@@ -1,0 +1,123 @@
+"""Engine configuration tree.
+
+Replaces the reference's four config tiers (SURVEY.md section 5.6): CMake
+feature defines, per-system Options structs, runtime SettingsSystem JSON, and
+shader pipelineState blocks — with one dataclass tree. All fields here are
+*static* (trace-time Python): changing one recompiles the step, exactly like
+the reference's spec constants / pipeline variants. Dynamic per-frame values
+(time, camera pose, exposure) live in the frame state instead.
+
+Persisted as JSON via `to_json`/`from_json` to keep parity with
+SettingsSystem (reference: source/system/settings.cpp:20-40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import typing
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Capacities/rates mirror Jolt defaults in the reference
+    (include/garden/system/physics.hpp:679-685, 796-797)."""
+
+    max_bodies: int = 4096
+    max_contacts_per_body: int = 16
+    simulation_rate: int = 60           # fixed-step Hz
+    collision_steps: int = 1
+    solver_iterations: int = 10         # velocity solver iterations
+    position_iterations: int = 2
+    baumgarte: float = 0.2
+    speculative_margin: float = 0.02    # speculative contact distance
+    penetration_slop: float = 0.005
+    gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0)
+    cell_size: float = 2.0              # broadphase uniform-grid cell edge
+    grid_dim: int = 64                  # cells per axis
+    max_bodies_per_cell: int = 8
+    cascade_lag_threshold: float = 0.5  # seconds of sustained lag before clamping
+    sleep_enabled: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowConfig:
+    """Cascaded shadow maps (reference: render/csm.hpp:43-90)."""
+
+    cascade_count: int = 3
+    map_size: int = 1024                # reference default 2048
+    distance: float = 100.0
+    split_ratios: Tuple[float, float] = (0.1, 0.25)
+    bias_constant: float = 0.0012
+    bias_normal: float = 0.05
+    pcf_radius: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Deferred pipeline options (reference: deferred.hpp:63-70 Options,
+    graphics.hpp quality levels, tone-mapping.hpp:36-44)."""
+
+    width: int = 1920
+    height: int = 1080
+    tile_size: int = 64                 # raster screen tile edge (pixels)
+    max_triangles: int = 65536
+    max_tris_per_tile: int = 512
+    max_instances: int = 1024
+    max_vertices: int = 65536
+    use_shadows: bool = True
+    use_hbao: bool = True
+    use_bloom: bool = True
+    use_auto_exposure: bool = True
+    use_fxaa: bool = True
+    use_atmosphere: bool = True
+    use_oit: bool = True
+    use_velocity: bool = False
+    bloom_mip_count: int = 5
+    exposure_histogram_bins: int = 256  # reference: auto-exposure.hpp:65
+    tone_mapper: str = "aces"           # "aces" | "uchimura"
+    exposure_compensation: float = 0.0
+    shadow: ShadowConfig = dataclasses.field(default_factory=ShadowConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    capacity: int = 4096                # entity capacity
+    physics: PhysicsConfig = dataclasses.field(default_factory=PhysicsConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    max_tick_rate: int = 60             # loop.hpp:57
+    world_batch: int = 1                # leading batch axis for multi-world
+
+
+def _to_dict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, tuple):
+        return list(obj)
+    return obj
+
+
+def _from_dict(cls: type, data: Dict[str, Any]) -> Any:
+    # resolve string annotations (PEP 563) to real types
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            v = _from_dict(ftype, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def to_json(cfg: EngineConfig) -> str:
+    return json.dumps(_to_dict(cfg), indent=2)
+
+
+def from_json(text: str, cls: type = EngineConfig) -> EngineConfig:
+    return _from_dict(cls, json.loads(text))
