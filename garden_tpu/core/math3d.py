@@ -29,6 +29,20 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+# Explicit f32 precision for small-matrix ops: TPU matmul defaults to
+# bfloat16 inputs, which is far too coarse for transform chains and
+# physics. HIGHEST forces full float32 accumulation.
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def einsum(subscripts, *ops):
+    return jnp.einsum(subscripts, *ops, precision=HIGHEST)
+
+
+def matmul(a, b):
+    return jnp.matmul(a, b, precision=HIGHEST)
+
+
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched dot product over the trailing axis, keepdims=False."""
     return jnp.sum(a * b, axis=-1)
@@ -198,7 +212,7 @@ def compose_trs(position: jnp.ndarray, rotation: jnp.ndarray, scale: jnp.ndarray
 def apply_mat4(m: jnp.ndarray, p: jnp.ndarray, w: float = 1.0) -> jnp.ndarray:
     """Transform 3D points/directions by 4x4 matrices -> 3D (no divide)."""
     return (
-        jnp.einsum("...ij,...j->...i", m[..., :3, :3], p)
+        einsum("...ij,...j->...i", m[..., :3, :3], p)
         + m[..., :3, 3] * w
     )
 
@@ -206,7 +220,7 @@ def apply_mat4(m: jnp.ndarray, p: jnp.ndarray, w: float = 1.0) -> jnp.ndarray:
 def apply_mat4_h(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Transform 3D points -> homogeneous 4D clip coordinates."""
     ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-    return jnp.einsum("...ij,...j->...i", m, ph)
+    return einsum("...ij,...j->...i", m, ph)
 
 
 def look_at(eye: jnp.ndarray, target: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
@@ -215,7 +229,7 @@ def look_at(eye: jnp.ndarray, target: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarr
     s = normalize(jnp.cross(f, up))
     u = jnp.cross(s, f)
     rot = jnp.stack([s, u, -f], axis=-2)  # (...,3,3)
-    trans = -jnp.einsum("...ij,...j->...i", rot, eye)
+    trans = -einsum("...ij,...j->...i", rot, eye)
     top = jnp.concatenate([rot, trans[..., :, None]], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=top.dtype), top.shape[:-2] + (1, 4)
@@ -283,7 +297,7 @@ def aabb_transform(aabb_min, aabb_max, position, rotation):
     extent = 0.5 * (aabb_max - aabb_min)
     r = quat_to_mat3(rotation)
     new_center = quat_rotate(rotation, center) + position
-    new_extent = jnp.einsum("...ij,...j->...i", jnp.abs(r), extent)
+    new_extent = einsum("...ij,...j->...i", jnp.abs(r), extent)
     return new_center - new_extent, new_center + new_extent
 
 
@@ -330,8 +344,8 @@ def aabb_outside_frustum(planes: jnp.ndarray, aabb_min: jnp.ndarray, aabb_max: j
     n = planes[..., :3]  # (6,3)
     d = planes[..., 3]  # (6,)
     dist = (
-        jnp.einsum("...i,pi->...p", center, n)
-        + jnp.einsum("...i,pi->...p", extent, jnp.abs(n))
+        einsum("...i,pi->...p", center, n)
+        + einsum("...i,pi->...p", extent, jnp.abs(n))
         + d
     )
     degenerate = jnp.all(planes == 0.0, axis=-1)  # (6,)

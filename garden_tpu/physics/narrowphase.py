@@ -1,0 +1,358 @@
+"""Narrowphase: batched analytic contact generation.
+
+Rebuild of Jolt's narrowphase contact generation as stepped by the reference
+(source/system/physics.cpp:1186-1193; speculative contact margin and convex
+radius conventions from include/garden/system/physics.hpp:874-881). Instead
+of per-pair virtual dispatch, every supported shape-pair kernel runs
+vectorized over the whole candidate pair list and `jnp.select` picks the
+right result per pair — branch-free, VPU-friendly.
+
+Supported pairs: sphere-sphere, sphere-box, sphere-capsule, sphere-plane,
+box-box (vertex-face manifolds; edge-edge axes are not yet generated),
+box-plane, capsule-plane, capsule-capsule, capsule-box (segment-point
+approximation).
+
+Manifold layout per pair (fixed MAX_POINTS=4, masked):
+- `point`  f32[..., 4, 3]: world contact position
+- `normal` f32[..., 4, 3]: unit normal pointing from body A to body B
+- `pen`    f32[..., 4]: penetration depth (>0 overlapping; values in
+  (-margin, 0] are speculative contacts)
+- `valid`  bool[..., 4]
+
+Convention: impulses P = lambda*n are applied v_a -= invm_a*P,
+v_b += invm_b*P; pairs approach when dot(v_b - v_a, n) < 0.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from garden_tpu.core import math3d as m3
+from garden_tpu.physics import shapes as sh
+
+Array = jnp.ndarray
+MAX_POINTS = 4
+
+# numpy, not jnp: module import must not initialize the device backend
+_CORNER_SIGNS = np.array(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
+    dtype=np.float32,
+)  # (8, 3)
+
+
+def _empty_manifold(shape) -> Dict[str, Array]:
+    return {
+        "point": jnp.zeros(shape + (MAX_POINTS, 3), jnp.float32),
+        "normal": jnp.zeros(shape + (MAX_POINTS, 3), jnp.float32),
+        "pen": jnp.full(shape + (MAX_POINTS,), -jnp.inf, jnp.float32),
+        "valid": jnp.zeros(shape + (MAX_POINTS,), bool),
+    }
+
+
+def _one_point(shape, point, normal, pen, valid) -> Dict[str, Array]:
+    m = _empty_manifold(shape)
+    m["point"] = m["point"].at[..., 0, :].set(point)
+    m["normal"] = m["normal"].at[..., 0, :].set(normal)
+    m["pen"] = m["pen"].at[..., 0].set(pen)
+    m["valid"] = m["valid"].at[..., 0].set(valid)
+    return m
+
+
+def _plane_world(pos_b: Array, quat_b: Array, params_b: Array) -> Tuple[Array, Array]:
+    """Plane local (n, d) -> world (n_w, d_w) with n_w.x + d_w = 0 on plane."""
+    n_w = m3.quat_rotate(quat_b, params_b[..., :3])
+    d_w = params_b[..., 3] - m3.dot(n_w, pos_b)
+    return n_w, d_w
+
+
+# -- sphere kernels ---------------------------------------------------------
+
+
+def sphere_sphere(pa, ra, pb, rb, margin):
+    d = pb - pa
+    dist = m3.length(d)
+    safe = jnp.maximum(dist, 1e-9)
+    n = d / safe[..., None]
+    n = jnp.where(dist[..., None] < 1e-9,
+                  jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), n.shape), n)
+    pen = ra + rb - dist
+    point = pa + n * (ra - 0.5 * pen)[..., None]
+    return _one_point(pa.shape[:-1], point, n, pen, pen > -margin)
+
+
+def sphere_plane(pa, ra, n_w, d_w, margin):
+    s = m3.dot(n_w, pa) + d_w
+    pen = ra - s
+    point = pa - n_w * (ra - 0.5 * pen)[..., None]
+    # normal A(sphere) -> B(plane) is down into the plane
+    return _one_point(pa.shape[:-1], point, -n_w, pen, pen > -margin)
+
+
+def sphere_box(pa, ra, pb, qb, half_b, margin):
+    """Sphere A vs oriented box B."""
+    rb = m3.quat_to_mat3(qb)
+    c_l = m3.einsum("...ji,...j->...i", rb, pa - pb)  # R^T (pa - pb)
+    clamped = jnp.clip(c_l, -half_b, half_b)
+    delta = c_l - clamped
+    dist = m3.length(delta)
+    outside = dist > 1e-9
+
+    # outside: normal from box surface toward sphere center
+    n_out_l = delta / jnp.maximum(dist, 1e-9)[..., None]
+
+    # inside: push out along the axis of least depth
+    depth_axis = half_b - jnp.abs(c_l)  # (.., 3)
+    axis = jnp.argmin(depth_axis, axis=-1)
+    sign = jnp.sign(jnp.take_along_axis(c_l, axis[..., None], -1))[..., 0]
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    n_in_l = jnp.eye(3, dtype=jnp.float32)[axis] * sign[..., None]
+    inside_dist = -jnp.min(depth_axis, axis=-1)  # negative depth into box
+
+    n_l = jnp.where(outside[..., None], n_out_l, n_in_l)
+    surf_dist = jnp.where(outside, dist, inside_dist)
+    pen = ra - surf_dist
+    n_w = m3.einsum("...ij,...j->...i", rb, n_l)  # box B -> sphere A
+    closest_w = m3.einsum("...ij,...j->...i", rb, clamped) + pb
+    point = closest_w - n_w * (0.5 * pen)[..., None]
+    # normal A(sphere) -> B(box) = -n_w
+    return _one_point(pa.shape[:-1], point, -n_w, pen, pen > -margin)
+
+
+# -- capsule helpers ---------------------------------------------------------
+
+
+def _capsule_segment(p, q, half_height):
+    """Capsule world segment endpoints (local Y axis)."""
+    axis = m3.quat_rotate(q, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), p.shape))
+    return p - axis * half_height[..., None], p + axis * half_height[..., None]
+
+
+def _closest_on_segment(a0, a1, p):
+    d = a1 - a0
+    t = m3.dot(p - a0, d) / jnp.maximum(m3.dot(d, d), 1e-12)
+    return a0 + d * jnp.clip(t, 0.0, 1.0)[..., None]
+
+
+def _closest_segment_segment(p1, q1, p2, q2):
+    """Closest points between segments (Ericson, Real-Time Collision
+    Detection 5.1.9), vectorized."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = m3.dot(d1, d1)
+    e = m3.dot(d2, d2)
+    f = m3.dot(d2, r)
+    c = m3.dot(d1, r)
+    b = m3.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    return p1 + d1 * s[..., None], p2 + d2 * t_cl[..., None]
+
+
+def capsule_plane(pa, qa, ra, hha, n_w, d_w, margin):
+    """Two sphere contacts at the capsule segment ends."""
+    e0, e1 = _capsule_segment(pa, qa, hha)
+    m = _empty_manifold(pa.shape[:-1])
+    for i, e in enumerate((e0, e1)):
+        s = m3.dot(n_w, e) + d_w
+        pen = ra - s
+        point = e - n_w * (ra - 0.5 * pen)[..., None]
+        m["point"] = m["point"].at[..., i, :].set(point)
+        m["normal"] = m["normal"].at[..., i, :].set(-n_w)
+        m["pen"] = m["pen"].at[..., i].set(pen)
+        m["valid"] = m["valid"].at[..., i].set(pen > -margin)
+    return m
+
+
+def capsule_capsule(pa, qa, ra, hha, pb, qb, rb, hhb, margin):
+    a0, a1 = _capsule_segment(pa, qa, hha)
+    b0, b1 = _capsule_segment(pb, qb, hhb)
+    ca, cb = _closest_segment_segment(a0, a1, b0, b1)
+    return sphere_sphere(ca, ra, cb, rb, margin)
+
+
+def capsule_sphere(pa, qa, ra, hha, pb, rb, margin):
+    a0, a1 = _capsule_segment(pa, qa, hha)
+    ca = _closest_on_segment(a0, a1, pb)
+    return sphere_sphere(ca, ra, pb, rb, margin)
+
+
+def capsule_box(pa, qa, ra, hha, pb, qb, half_b, margin):
+    """Approximate: closest capsule-segment point to box center -> sphere-box."""
+    a0, a1 = _capsule_segment(pa, qa, hha)
+    ca = _closest_on_segment(a0, a1, pb)
+    return sphere_box(ca, ra, pb, qb, half_b, margin)
+
+
+# -- box kernels --------------------------------------------------------------
+
+
+def _box_corners_world(p, q, half):
+    """(..., 8, 3) world corners."""
+    r = m3.quat_to_mat3(q)
+    local = _CORNER_SIGNS * half[..., None, :]
+    return m3.einsum("...ij,...kj->...ki", r, local) + p[..., None, :]
+
+
+def box_plane(pa, qa, half_a, n_w, d_w, margin):
+    corners = _box_corners_world(pa, qa, half_a)  # (..., 8, 3)
+    s = m3.einsum("...ki,...i->...k", corners, n_w) + d_w[..., None]
+    pen = -s  # corner below plane -> positive
+    # top-4 deepest corners
+    top_pen, top_idx = _top4(pen)
+    point = jnp.take_along_axis(corners, top_idx[..., None], axis=-2)
+    m = _empty_manifold(pa.shape[:-1])
+    m["point"] = point
+    m["normal"] = jnp.broadcast_to((-n_w)[..., None, :], point.shape)
+    m["pen"] = top_pen
+    m["valid"] = top_pen > -margin
+    return m
+
+
+def _top4(x: Array) -> Tuple[Array, Array]:
+    return jax.lax.top_k(x, MAX_POINTS)
+
+
+def box_box(pa, qa, half_a, pb, qb, half_b, margin):
+    """Face-SAT manifold: minimal-overlap axis over the 6 face normals, then
+    per-corner penetrations past the opposing face plane, deepest 4 kept.
+
+    Edge-edge separating axes are not generated (a known approximation —
+    stacking and face/vertex-resting configurations, the reference's primary
+    workloads, are covered; edge-cross cases resolve via the nearest face
+    axis instead).
+    """
+    shape = pa.shape[:-1]
+    ra = m3.quat_to_mat3(qa)  # columns are A's axes
+    rb = m3.quat_to_mat3(qb)
+    d = pb - pa
+
+    # candidate axes: world-space face normals of A and B -> (..., 6, 3)
+    axes = jnp.concatenate(
+        [jnp.swapaxes(ra, -1, -2), jnp.swapaxes(rb, -1, -2)], axis=-2
+    )
+
+    def proj_radius(rot, half, axis):
+        # sum_i half_i * |dot(col_i(rot), axis)| ; rot cols are box axes
+        cols = jnp.swapaxes(rot, -1, -2)  # (..., 3(axis), 3)
+        return jnp.sum(
+            half[..., None, :] * jnp.abs(
+                m3.einsum("...aj,...kj->...ka", cols, axis)
+            ),
+            axis=-1,
+        )
+
+    r_a = proj_radius(ra, half_a, axes)  # (..., 6)
+    r_b = proj_radius(rb, half_b, axes)
+    dist = m3.einsum("...kj,...j->...k", axes, d)  # signed center distance
+    overlap = r_a + r_b - jnp.abs(dist)  # (..., 6)
+
+    separated = jnp.any(overlap < -margin, axis=-1)
+    best = jnp.argmin(overlap, axis=-1)  # minimal-overlap face axis
+    axis = jnp.take_along_axis(axes, best[..., None, None], axis=-2)[..., 0, :]
+    sign = jnp.sign(jnp.take_along_axis(dist, best[..., None], -1))[..., 0]
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    n = axis * sign[..., None]  # unit normal pointing A -> B
+
+    rn_a = jnp.take_along_axis(r_a, best[..., None], -1)[..., 0]
+    rn_b = jnp.take_along_axis(r_b, best[..., None], -1)[..., 0]
+
+    corners_a = _box_corners_world(pa, qa, half_a)  # (..., 8, 3)
+    corners_b = _box_corners_world(pb, qb, half_b)
+    # corners of B past A's face toward B: pen = r_a(n) - dot(c - pa, n)
+    pen_b = rn_a[..., None] - m3.einsum("...ki,...i->...k", corners_b - pa[..., None, :], n)
+    # corners of A past B's face toward A: pen = r_b(n) + dot(c - pb, n)
+    pen_a = rn_b[..., None] + m3.einsum("...ki,...i->...k", corners_a - pb[..., None, :], n)
+
+    pen = jnp.concatenate([pen_b, pen_a], axis=-1)  # (..., 16)
+    point = jnp.concatenate([corners_b, corners_a], axis=-2)
+
+    top_pen, top_idx = _top4(pen)
+    m = _empty_manifold(shape)
+    m["pen"] = top_pen
+    m["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
+    m["normal"] = jnp.broadcast_to(n[..., None, :], m["normal"].shape)
+    m["valid"] = (top_pen > -margin) & ~separated[..., None]
+    return m
+
+
+# -- dispatch -----------------------------------------------------------------
+
+
+def generate_contacts(
+    pos: Array, quat: Array, stype: Array, params: Array,
+    pair_i: Array, pair_j: Array, pair_valid: Array,
+    margin: float,
+) -> Dict[str, Array]:
+    """Contact manifolds for candidate pairs.
+
+    pair_i/pair_j: int32[P] body indices; returns manifolds with shape
+    (P, MAX_POINTS, ...) plus bodies `a`/`b` per pair. Pairs are canonically
+    ordered so that type(a) <= type(b) (normals flip when swapped).
+    """
+    ta, tb = stype[pair_i], stype[pair_j]
+    swap = ta > tb
+    a = jnp.where(swap, pair_j, pair_i)
+    b = jnp.where(swap, pair_i, pair_j)
+    ta, tb = stype[a], stype[b]
+
+    pa, qa, prm_a = pos[a], quat[a], params[a]
+    pb, qb, prm_b = pos[b], quat[b], params[b]
+
+    n_w, d_w = _plane_world(pb, qb, prm_b)
+
+    kernels = []
+    conds = []
+
+    def add(cond, man):
+        conds.append(cond)
+        kernels.append(man)
+
+    add((ta == sh.SPHERE) & (tb == sh.SPHERE),
+        sphere_sphere(pa, prm_a[..., 0], pb, prm_b[..., 0], margin))
+    add((ta == sh.SPHERE) & (tb == sh.BOX),
+        sphere_box(pa, prm_a[..., 0], pb, qb, prm_b[..., :3], margin))
+    add((ta == sh.SPHERE) & (tb == sh.CAPSULE),
+        _flip(capsule_sphere(pb, qb, prm_b[..., 0], prm_b[..., 1],
+                             pa, prm_a[..., 0], margin)))
+    add((ta == sh.SPHERE) & (tb == sh.PLANE),
+        sphere_plane(pa, prm_a[..., 0], n_w, d_w, margin))
+    add((ta == sh.BOX) & (tb == sh.BOX),
+        box_box(pa, qa, prm_a[..., :3], pb, qb, prm_b[..., :3], margin))
+    add((ta == sh.BOX) & (tb == sh.CAPSULE),
+        _flip(capsule_box(pb, qb, prm_b[..., 0], prm_b[..., 1],
+                          pa, qa, prm_a[..., :3], margin)))
+    add((ta == sh.BOX) & (tb == sh.PLANE),
+        box_plane(pa, qa, prm_a[..., :3], n_w, d_w, margin))
+    add((ta == sh.CAPSULE) & (tb == sh.CAPSULE),
+        capsule_capsule(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                        pb, qb, prm_b[..., 0], prm_b[..., 1], margin))
+    add((ta == sh.CAPSULE) & (tb == sh.PLANE),
+        capsule_plane(pa, qa, prm_a[..., 0], prm_a[..., 1], n_w, d_w, margin))
+
+    out = _empty_manifold(pair_i.shape)
+    for field in ("point", "normal", "pen", "valid"):
+        acc = out[field]
+        for cond, man in zip(conds, kernels):
+            c = cond
+            while c.ndim < acc.ndim:
+                c = c[..., None]
+            acc = jnp.where(c, man[field], acc)
+        out[field] = acc
+
+    out["valid"] &= pair_valid[..., None]
+    out["a"] = a
+    out["b"] = b
+    return out
+
+
+def _flip(man: Dict[str, Array]) -> Dict[str, Array]:
+    """Flip a manifold's normal direction (A<->B swap)."""
+    return dict(man, normal=-man["normal"])

@@ -1,0 +1,340 @@
+"""Physics world: body store, the fixed step, and the tick accumulator.
+
+Rebuild of PhysicsSystem (reference: include/garden/system/physics.hpp:667,
+source/system/physics.cpp). Maps:
+
+- Jolt body pool + RigidbodyComponent (physics.hpp:362) -> fixed-capacity
+  SoA body arrays (capacity contract mirrors maxRigidbodyCount,
+  physics.hpp:679-685).
+- collision layers NonMoving/Moving/Sensor/HqDebris/LqDebris and their
+  broadphase mapping (physics.hpp:194-225) -> int layer ids + a boolean
+  collision-filter table.
+- `PhysicsSystem::simulate`'s fixed-rate accumulator with interpolation and
+  cascade-lag clamping (physics.cpp:1154-1222) -> `simulate()` below; the
+  previous pose is kept for render interpolation (physics.cpp:1108-1144).
+- Jolt's Update (broadphase/narrowphase/solve/integrate) -> `step()`:
+  vectorized stages from broadphase.py/narrowphase.py/solver.py plus
+  semi-implicit Euler integration.
+
+The whole body state is a pytree; `step` is pure and jit/vmap/shard-friendly
+(a leading world-batch axis batches many independent worlds per chip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from garden_tpu.core import math3d as m3
+from garden_tpu.core.config import PhysicsConfig
+from garden_tpu.physics import broadphase, narrowphase, solver
+from garden_tpu.physics import shapes as sh
+
+Array = jnp.ndarray
+
+# motion types (physics.hpp:43-49)
+STATIC = 0
+KINEMATIC = 1
+DYNAMIC = 2
+
+# collision layers (physics.hpp:194-225)
+LAYER_NON_MOVING = 0
+LAYER_MOVING = 1
+LAYER_SENSOR = 2
+LAYER_HQ_DEBRIS = 3
+LAYER_LQ_DEBRIS = 4
+NUM_LAYERS = 5
+
+# grid-bypassing big-body slots (planes/heightfields)
+MAX_GLOBALS = 8
+
+
+def default_layer_table() -> np.ndarray:
+    """Which layers collide (mirrors ObjectLayerPairFilter in the reference:
+    non-moving collides with moving-ish layers, sensors only with moving)."""
+    t = np.zeros((NUM_LAYERS, NUM_LAYERS), dtype=bool)
+
+    def allow(a, b):
+        t[a, b] = True
+        t[b, a] = True
+
+    allow(LAYER_NON_MOVING, LAYER_MOVING)
+    allow(LAYER_NON_MOVING, LAYER_HQ_DEBRIS)
+    allow(LAYER_NON_MOVING, LAYER_LQ_DEBRIS)
+    allow(LAYER_MOVING, LAYER_MOVING)
+    allow(LAYER_MOVING, LAYER_HQ_DEBRIS)
+    allow(LAYER_MOVING, LAYER_SENSOR)
+    allow(LAYER_HQ_DEBRIS, LAYER_HQ_DEBRIS)
+    return t
+
+
+class PhysicsWorld:
+    """Host-side builder for a physics state pytree (the Jolt world analog)."""
+
+    def __init__(self, config: PhysicsConfig, shape_table: Optional[sh.ShapeTable] = None):
+        self.config = config
+        self.shapes = shape_table or sh.ShapeTable()
+        n = config.max_bodies
+        self._b: Dict[str, np.ndarray] = {
+            "has": np.zeros((n,), bool),
+            "shape": np.zeros((n,), np.int32),
+            "motion": np.zeros((n,), np.int32),
+            "pos": np.zeros((n, 3), np.float32),
+            "quat": np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1)),
+            "linvel": np.zeros((n, 3), np.float32),
+            "angvel": np.zeros((n, 3), np.float32),
+            "inv_mass": np.zeros((n,), np.float32),
+            "inv_inertia": np.zeros((n, 3), np.float32),
+            "friction": np.full((n,), 0.5, np.float32),
+            "restitution": np.zeros((n,), np.float32),
+            "layer": np.zeros((n,), np.int32),
+            "is_sensor": np.zeros((n,), bool),
+            "is_global": np.zeros((n,), bool),
+            "linear_factor": np.ones((n, 3), np.float32),
+            "angular_factor": np.ones((n, 3), np.float32),
+            "entity": np.full((n,), -1, np.int32),  # ECS backref
+        }
+        self._count = 0
+
+    def add_body(
+        self,
+        shape: int,
+        position=(0.0, 0.0, 0.0),
+        rotation=(0.0, 0.0, 0.0, 1.0),
+        motion: int = DYNAMIC,
+        linvel=(0.0, 0.0, 0.0),
+        angvel=(0.0, 0.0, 0.0),
+        friction: float = 0.5,
+        restitution: float = 0.0,
+        layer: Optional[int] = None,
+        is_sensor: bool = False,
+        mass_override: Optional[float] = None,
+        linear_factor=(1.0, 1.0, 1.0),
+        angular_factor=(1.0, 1.0, 1.0),
+        entity: int = -1,
+    ) -> int:
+        if self._count >= self.config.max_bodies:
+            raise RuntimeError("body capacity exhausted")
+        i = self._count
+        self._count += 1
+        b = self._b
+        b["has"][i] = True
+        b["shape"][i] = shape
+        b["motion"][i] = motion
+        b["pos"][i] = position
+        b["quat"][i] = rotation
+        b["linvel"][i] = linvel
+        b["angvel"][i] = angvel
+        b["friction"][i] = friction
+        b["restitution"][i] = restitution
+        b["is_sensor"][i] = is_sensor
+        b["entity"][i] = entity
+        b["linear_factor"][i] = linear_factor
+        b["angular_factor"][i] = angular_factor
+        stype = int(self.shapes.types[shape])
+        if layer is None:
+            layer = LAYER_MOVING if motion == DYNAMIC else LAYER_NON_MOVING
+            if is_sensor:
+                layer = LAYER_SENSOR
+        b["layer"][i] = layer
+        b["is_global"][i] = stype == sh.PLANE
+        if motion == DYNAMIC:
+            mass, inertia = sh.mass_properties(
+                jnp.asarray(stype), jnp.asarray(self.shapes.params[shape]),
+                jnp.asarray(self.shapes.density[shape]),
+            )
+            mass = float(mass)
+            inertia = np.asarray(inertia, np.float32)
+            if mass_override is not None:
+                inertia = inertia * (mass_override / mass)
+                mass = mass_override
+            b["inv_mass"][i] = 1.0 / mass
+            b["inv_inertia"][i] = 1.0 / np.maximum(inertia, 1e-12)
+        return i
+
+    def device_state(self) -> Dict[str, Any]:
+        bodies = {k: jnp.asarray(v) for k, v in self._b.items()}
+        n = self.config.max_bodies
+        k = self.config.max_contacts_per_body + MAX_GLOBALS
+        c = n * k * narrowphase.MAX_POINTS
+        return {
+            "bodies": bodies,
+            # independent copies: donation requires unaliased buffers
+            "prev_pos": jnp.array(self._b["pos"]),
+            "prev_quat": jnp.array(self._b["quat"]),
+            "shapes": self.shapes.device_arrays(),
+            "layer_table": jnp.asarray(default_layer_table()),
+            # persistent contact impulses for warm starting, fixed slot layout
+            "warm": {
+                "n": jnp.zeros((c,), jnp.float32),
+                "t1": jnp.zeros((c,), jnp.float32),
+                "t2": jnp.zeros((c,), jnp.float32),
+            },
+            "accum": jnp.float32(0.0),
+            "lag_time": jnp.float32(0.0),
+            "time": jnp.float32(0.0),
+        }
+
+
+# ---------------------------------------------------------------------------
+# The fixed step (pure function of state)
+# ---------------------------------------------------------------------------
+
+
+def collide(state: Dict[str, Any], config: PhysicsConfig) -> Dict[str, Array]:
+    """Broadphase + narrowphase -> flattened contact point list."""
+    b = state["bodies"]
+    shapes_t = state["shapes"]
+    stype = shapes_t["type"][b["shape"]]
+    params = shapes_t["params"][b["shape"]]
+
+    aabb_min, aabb_max = broadphase.body_aabbs(
+        b["pos"], b["quat"], stype, params, margin=config.speculative_margin
+    )
+    dynamic = b["motion"] == DYNAMIC
+    cand_idx, cand_valid = broadphase.find_candidates(
+        b["pos"], aabb_min, aabb_max,
+        active=b["has"], dynamic=dynamic,
+        layer=b["layer"], layer_table=state["layer_table"],
+        is_global=b["is_global"],
+        cell_size=config.cell_size,
+        grid_dim=config.grid_dim,
+        cand_per_cell=config.max_bodies_per_cell,
+        max_candidates=config.max_contacts_per_body,
+        max_globals=MAX_GLOBALS,
+    )
+    n, k = cand_idx.shape
+    pair_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)
+    pair_j = cand_idx.reshape(-1)
+    pair_valid = cand_valid.reshape(-1)
+
+    man = narrowphase.generate_contacts(
+        b["pos"], b["quat"], stype, params,
+        pair_i, pair_j, pair_valid,
+        margin=config.speculative_margin,
+    )
+    p = man["a"].shape[0]
+    mp = narrowphase.MAX_POINTS
+    return {
+        "a": jnp.broadcast_to(man["a"][:, None], (p, mp)).reshape(-1),
+        "b": jnp.broadcast_to(man["b"][:, None], (p, mp)).reshape(-1),
+        "point": man["point"].reshape(-1, 3),
+        "normal": man["normal"].reshape(-1, 3),
+        "pen": man["pen"].reshape(-1),
+        "valid": man["valid"].reshape(-1),
+    }
+
+
+def step(state: Dict[str, Any], config: PhysicsConfig,
+         dt: Optional[float] = None) -> Dict[str, Any]:
+    """One fixed physics step (the Jolt PhysicsSystem::Update analog)."""
+    if dt is None:
+        dt = 1.0 / config.simulation_rate
+    b = state["bodies"]
+    dynamic = (b["motion"] == DYNAMIC) & b["has"]
+
+    # gravity (applied before the solve, as Jolt does); locked DOFs
+    # (AllowedDOF, physics.hpp:54-65) zero their velocity components
+    gravity = jnp.asarray(config.gravity, jnp.float32)
+    linvel = b["linvel"] + jnp.where(
+        dynamic[:, None], gravity * dt * b["linear_factor"], 0.0
+    )
+    linvel = jnp.where(dynamic[:, None], linvel * b["linear_factor"], linvel)
+    angvel = jnp.where(
+        dynamic[:, None], b["angvel"] * b["angular_factor"], b["angvel"]
+    )
+    b = dict(b, linvel=linvel, angvel=angvel)
+    state = dict(state, bodies=b)
+
+    contacts = collide(state, config)
+    linvel, angvel, warm = solver.solve_velocity(
+        b, contacts, dt,
+        iterations=config.solver_iterations,
+        baumgarte=config.baumgarte,
+        slop=config.penetration_slop,
+        warm=state["warm"],
+    )
+
+    # integrate (semi-implicit Euler; kinematic bodies keep prescribed vel)
+    moving = ((b["motion"] == DYNAMIC) | (b["motion"] == KINEMATIC)) & b["has"]
+    pos = b["pos"] + jnp.where(moving[:, None], linvel * dt, 0.0)
+    quat = jnp.where(
+        moving[:, None],
+        m3.quat_integrate(b["quat"], angvel, dt),
+        b["quat"],
+    )
+
+    # positional penetration correction (split impulse), with collide-time
+    # penetrations adjusted by the integration displacement along the normal
+    if config.position_iterations > 0:
+        disp = pos - b["pos"]
+        pen_now = contacts["pen"] - m3.dot(
+            disp[contacts["b"]] - disp[contacts["a"]], contacts["normal"]
+        )
+        pos = solver.solve_position(
+            pos, b, contacts, pen_now,
+            iterations=config.position_iterations,
+            slop=config.penetration_slop,
+        )
+    b = dict(
+        b,
+        pos=pos,
+        quat=quat,
+        linvel=jnp.where(dynamic[:, None], linvel, b["linvel"]),
+        angvel=jnp.where(dynamic[:, None], angvel, b["angvel"]),
+    )
+    return dict(state, bodies=b, warm=warm, time=state["time"] + dt)
+
+
+def simulate(state: Dict[str, Any], config: PhysicsConfig, delta_time: Array,
+             max_steps_per_tick: int = 4) -> Dict[str, Any]:
+    """Fixed-rate accumulator stepping with cascade-lag recovery.
+
+    Mirrors PhysicsSystem::simulate (physics.cpp:1154-1222): accumulate
+    delta_time; run floor(accum/h) fixed steps (statically bounded by
+    max_steps_per_tick); if the sim stays more than one step behind for
+    longer than cascadeLagThreshold seconds, clamp to one step to break the
+    death spiral. Keeps prev pose for interpolation.
+    """
+    h = 1.0 / config.simulation_rate
+    accum = state["accum"] + delta_time
+    nsteps = jnp.floor(accum / h).astype(jnp.int32)
+
+    # cascade-lag recovery (physics.cpp:1172-1184)
+    lagging = nsteps > 1
+    lag_time = jnp.where(lagging, state["lag_time"] + delta_time, 0.0)
+    clamp = lag_time > config.cascade_lag_threshold
+    nsteps = jnp.where(clamp, jnp.minimum(nsteps, 1), nsteps)
+    nsteps = jnp.minimum(nsteps, max_steps_per_tick)
+    accum = jnp.where(clamp, jnp.minimum(accum, h), accum)
+
+    prev_pos = jnp.where(
+        (nsteps > 0), state["bodies"]["pos"], state["prev_pos"]
+    )
+    prev_quat = jnp.where((nsteps > 0), state["bodies"]["quat"], state["prev_quat"])
+
+    def body(i, st):
+        did = i < nsteps
+        stepped = step(st, config, h)
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(did, new, old), stepped, st
+        )
+
+    state = dict(state, prev_pos=prev_pos, prev_quat=prev_quat,
+                 lag_time=lag_time)
+    state = jax.lax.fori_loop(0, max_steps_per_tick, body, state)
+    return dict(state, accum=accum - nsteps.astype(jnp.float32) * h)
+
+
+def interpolated_pose(state: Dict[str, Any], config: PhysicsConfig
+                      ) -> Tuple[Array, Array]:
+    """Render pose between fixed steps (physics.cpp:1108-1144 analog)."""
+    h = 1.0 / config.simulation_rate
+    alpha = jnp.clip(state["accum"] / h, 0.0, 1.0)
+    pos = m3.lerp(state["prev_pos"], state["bodies"]["pos"], alpha)
+    quat = m3.quat_slerp(state["prev_quat"], state["bodies"]["quat"], alpha)
+    return pos, quat

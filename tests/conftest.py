@@ -2,12 +2,15 @@
 
 Multi-chip sharding is validated on virtual CPU devices since real pods are
 not available in CI (SURVEY.md section 4 'Implication for the rebuild').
-Must run before jax is imported anywhere.
+
+Note: the axon TPU plugin (when present via /root/.axon_site sitecustomize)
+force-sets jax_platforms="axon,cpu" at interpreter start, overriding the
+JAX_PLATFORMS env var — so we must override via jax.config *after* import,
+before any backend is touched.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {len(jax.devices())}"
