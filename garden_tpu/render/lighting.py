@@ -1,0 +1,89 @@
+"""PBR lighting resolve: the deferred fullscreen lighting pass.
+
+Rebuild of PbrLightingSystem's HdrRender resolve (include/garden/system/
+render/pbr-lighting.hpp:92, source/system/render/pbr-lighting.cpp): one
+directional light (the CommonConstants light dir, constants.hpp:26-56) with
+CSM shadowing and AO, plus ambient (hemisphere now, SH/IBL with the
+atmosphere system), emissive, and a procedural sky background for misses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from garden_tpu.core import math3d as m3
+from garden_tpu.render import brdf
+
+Array = jnp.ndarray
+
+
+def sky_color(view_dir: Array, light_dir: Array) -> Array:
+    """Cheap analytic sky (full Hillaire atmosphere in render/atmosphere.py).
+
+    view_dir: (..., 3) direction from camera into the scene."""
+    up = jnp.clip(view_dir[..., 1], -1.0, 1.0)
+    horizon = jnp.exp(-jnp.abs(up) * 3.0)
+    zenith = jnp.clip(up, 0.0, 1.0)
+    base = (
+        jnp.array([0.20, 0.35, 0.65]) * (1.0 - horizon)[..., None]
+        + jnp.array([0.65, 0.75, 0.85]) * horizon[..., None]
+    )
+    base = base * (0.3 + 0.7 * jnp.clip(light_dir[1], 0.0, 1.0))
+    # sun disk + glow
+    cos_sun = m3.dot(view_dir, light_dir)
+    glow = jnp.power(jnp.clip(cos_sun, 0.0, 1.0), 64.0) * 0.5
+    disk = jnp.where(cos_sun > 0.9997, 40.0, 0.0)
+    sun = (glow + disk)[..., None] * jnp.array([1.0, 0.95, 0.85])
+    ground = jnp.array([0.08, 0.07, 0.06]) * jnp.ones_like(base)
+    sky = base + sun
+    return jnp.where((up < 0.0)[..., None], ground, sky) * (0.5 + zenith[..., None])
+
+
+def resolve(
+    g: Dict[str, Array],
+    constants: Dict[str, Array],
+    sun_intensity: float = 4.0,
+    shadow: Optional[Array] = None,   # (H, W) 1 = lit
+    ao: Optional[Array] = None,       # (H, W)
+    ambient_intensity: float = 0.35,
+) -> Array:
+    """G-buffer + constants -> HDR radiance (H, W, 3)."""
+    cam = constants["camera_pos"]
+    # light_dir in constants points from the sun toward the scene; shading
+    # uses the direction toward the light
+    l = -constants["light_dir"]
+    view_vec = cam - g["position"]
+    v = m3.normalize(view_vec)
+
+    direct = brdf.evaluate(
+        g["normal"], v, jnp.broadcast_to(l, g["normal"].shape),
+        g["base_color"], g["metallic"], g["roughness"], g["reflectance"],
+    ) * sun_intensity
+    if shadow is not None:
+        direct = direct * shadow[..., None]
+
+    sky_up = jnp.array([0.45, 0.55, 0.70]) * ambient_intensity
+    ground_dn = jnp.array([0.12, 0.10, 0.08]) * ambient_intensity
+    amb = brdf.ambient(g["normal"], g["base_color"], g["metallic"],
+                       sky_up, ground_dn)
+    if ao is not None:
+        amb = amb * ao[..., None]
+
+    radiance = direct + amb + g["emissive"]
+
+    # sky for non-covered pixels, ray direction from the inverse projection
+    h, w = g["depth"].shape
+    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    ndc = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)  # (H, W, 2)
+    clip = jnp.concatenate(
+        [ndc, jnp.full(ndc.shape[:-1] + (1,), 0.5), jnp.ones(ndc.shape[:-1] + (1,))],
+        axis=-1,
+    )
+    world = m3.einsum("ij,hwj->hwi", constants["inv_view_proj"], clip)
+    dirs = m3.normalize(world[..., :3] / jnp.maximum(world[..., 3:4], 1e-9) - cam)
+    background = sky_color(dirs, l)
+
+    return jnp.where(g["visible"][..., None], radiance, background)

@@ -1,0 +1,251 @@
+"""Triangle mesh assets and the per-frame scene buffer.
+
+Rebuild of the reference's model/mesh layer: vertex+index buffers produced by
+modelc (include/garden/graphics/modelc.hpp:27), ModelRenderSystem LOD buffers
+(include/garden/system/render/model.hpp:27-46) and the per-frame instance
+buffers MeshRenderSystem bakes (mesh.cpp:331-553). Meshes are host-built
+numpy arrays; a `SceneBuffers` packs every registered mesh into one
+fixed-capacity vertex/index pool (the TPU analog of bindless vertex pulling)
+and instances reference (mesh id, material id, transform).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from garden_tpu.core import math3d as m3
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Host-side triangle mesh: positions (V,3), normals (V,3), uvs (V,2),
+    triangle indices (T,3)."""
+
+    positions: np.ndarray
+    normals: np.ndarray
+    uvs: np.ndarray
+    indices: np.ndarray
+
+    @property
+    def vertex_count(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def triangle_count(self) -> int:
+        return self.indices.shape[0]
+
+
+def cube(half: float = 0.5) -> Mesh:
+    """Unit cube with per-face normals (24 verts, 12 tris)."""
+    faces = [
+        ((0, 0, 1), (1, 0, 0), (0, 1, 0)),   # +z
+        ((0, 0, -1), (-1, 0, 0), (0, 1, 0)),  # -z
+        ((1, 0, 0), (0, 0, -1), (0, 1, 0)),   # +x
+        ((-1, 0, 0), (0, 0, 1), (0, 1, 0)),   # -x
+        ((0, 1, 0), (1, 0, 0), (0, 0, -1)),   # +y
+        ((0, -1, 0), (1, 0, 0), (0, 0, 1)),   # -y
+    ]
+    pos, nrm, uv, idx = [], [], [], []
+    for n, u, v in faces:
+        n, u, v = np.array(n, np.float32), np.array(u, np.float32), np.array(v, np.float32)
+        base = len(pos)
+        for su, sv, tu, tv in ((-1, -1, 0, 0), (1, -1, 1, 0), (1, 1, 1, 1), (-1, 1, 0, 1)):
+            pos.append((n + u * su + v * sv) * half)
+            nrm.append(n)
+            uv.append((tu, tv))
+        idx += [(base, base + 1, base + 2), (base, base + 2, base + 3)]
+    return Mesh(np.array(pos, np.float32), np.array(nrm, np.float32),
+                np.array(uv, np.float32), np.array(idx, np.int32))
+
+
+def uv_sphere(radius: float = 0.5, rings: int = 12, segments: int = 24) -> Mesh:
+    pos, nrm, uv, idx = [], [], [], []
+    for r in range(rings + 1):
+        phi = math.pi * r / rings
+        for s in range(segments + 1):
+            theta = 2.0 * math.pi * s / segments
+            n = (math.sin(phi) * math.cos(theta),
+                 math.cos(phi),
+                 math.sin(phi) * math.sin(theta))
+            pos.append(np.array(n) * radius)
+            nrm.append(n)
+            uv.append((s / segments, r / rings))
+    cols = segments + 1
+    for r in range(rings):
+        for s in range(segments):
+            a = r * cols + s
+            b = a + cols
+            idx += [(a, b, a + 1), (a + 1, b, b + 1)]
+    return Mesh(np.array(pos, np.float32), np.array(nrm, np.float32),
+                np.array(uv, np.float32), np.array(idx, np.int32))
+
+
+def plane_grid(size: float = 10.0, divisions: int = 8, y: float = 0.0) -> Mesh:
+    """Subdivided ground plane (finely divided so screen-tile binning keeps
+    per-triangle footprints bounded)."""
+    pos, nrm, uv, idx = [], [], [], []
+    n = divisions + 1
+    for iz in range(n):
+        for ix in range(n):
+            x = (ix / divisions - 0.5) * size
+            z = (iz / divisions - 0.5) * size
+            pos.append((x, y, z))
+            nrm.append((0.0, 1.0, 0.0))
+            uv.append((ix / divisions, iz / divisions))
+    for iz in range(divisions):
+        for ix in range(divisions):
+            a = iz * n + ix
+            b = a + n
+            idx += [(a, b, a + 1), (a + 1, b, b + 1)]
+    return Mesh(np.array(pos, np.float32), np.array(nrm, np.float32),
+                np.array(uv, np.float32), np.array(idx, np.int32))
+
+
+def heightfield(heights: np.ndarray, cell: float = 1.0) -> Mesh:
+    """Terrain mesh from an (H, W) height grid (worldgen config 2)."""
+    h, w = heights.shape
+    xs = (np.arange(w) - (w - 1) / 2.0) * cell
+    zs = (np.arange(h) - (h - 1) / 2.0) * cell
+    px, pz = np.meshgrid(xs, zs)
+    pos = np.stack([px, heights, pz], axis=-1).reshape(-1, 3).astype(np.float32)
+    # normals via central differences
+    gx = np.gradient(heights, cell, axis=1)
+    gz = np.gradient(heights, cell, axis=0)
+    nrm = np.stack([-gx, np.ones_like(heights), -gz], axis=-1)
+    nrm = (nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)).reshape(-1, 3).astype(np.float32)
+    uv = np.stack(np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h)),
+                  axis=-1).reshape(-1, 2).astype(np.float32)
+    idx = []
+    for iz in range(h - 1):
+        for ix in range(w - 1):
+            a = iz * w + ix
+            b = a + w
+            idx += [(a, b, a + 1), (a + 1, b, b + 1)]
+    return Mesh(pos, nrm, uv, np.array(idx, np.int32))
+
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """PBR material (the reference's G-buffer material model,
+    deferred.hpp:20-26: base color, metallic/roughness/AO, emissive)."""
+
+    base_color: Tuple[float, float, float] = (0.8, 0.8, 0.8)
+    metallic: float = 0.0
+    roughness: float = 0.5
+    emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    reflectance: float = 0.5
+
+
+class SceneBuffers:
+    """Packs meshes + materials into fixed-capacity device pools and bakes
+    per-frame instance data (the MeshRenderSystem combined-buffer analog)."""
+
+    def __init__(self, max_vertices: int, max_triangles: int,
+                 max_instances: int, max_materials: int = 64):
+        self.max_vertices = max_vertices
+        self.max_triangles = max_triangles
+        self.max_instances = max_instances
+        self.positions = np.zeros((max_vertices, 3), np.float32)
+        self.normals = np.zeros((max_vertices, 3), np.float32)
+        self.uvs = np.zeros((max_vertices, 2), np.float32)
+        self.indices = np.zeros((max_triangles, 3), np.int32)
+        self.tri_valid = np.zeros((max_triangles,), bool)
+        self.materials = np.zeros((max_materials, 10), np.float32)
+        self._mesh_ranges: List[Tuple[int, int, int, int]] = []  # v0, nv, t0, nt
+        self._v = 0
+        self._t = 0
+        self._m = 0
+        # instances
+        self.inst_mesh = np.full((max_instances,), -1, np.int32)
+        self.inst_material = np.zeros((max_instances,), np.int32)
+        self.inst_entity = np.full((max_instances,), -1, np.int32)
+        self._i = 0
+        # per-triangle instance id (static topology: triangles belong to
+        # instances, re-baked when instances change)
+        self.tri_instance = np.full((max_triangles,), -1, np.int32)
+        self.vert_instance = np.full((max_vertices,), -1, np.int32)
+
+    def add_mesh(self, mesh: Mesh) -> int:
+        v0, t0 = self._v, self._t
+        nv, nt = mesh.vertex_count, mesh.triangle_count
+        if v0 + nv > self.max_vertices or t0 + nt > self.max_triangles:
+            raise RuntimeError("scene buffer capacity exhausted")
+        self._mesh_ranges.append((v0, nv, t0, nt))
+        return len(self._mesh_ranges) - 1
+
+    def _mesh_store(self, mesh_id: int) -> Tuple[int, int, int, int]:
+        return self._mesh_ranges[mesh_id]
+
+    def add_material(self, mat: Material) -> int:
+        m = self._m
+        self.materials[m, 0:3] = mat.base_color
+        self.materials[m, 3] = mat.metallic
+        self.materials[m, 4] = mat.roughness
+        self.materials[m, 5:8] = mat.emissive
+        self.materials[m, 8] = mat.reflectance
+        self._m += 1
+        return m
+
+    def add_instance(self, mesh: Mesh, mesh_id_hint: Optional[int] = None,
+                     material: int = 0, entity: int = -1) -> int:
+        """Instantiate a mesh: copies its geometry into the pool bound to
+        this instance slot (simple but static-shape-friendly; shared-topology
+        instancing arrives with the culling/compaction pass)."""
+        if self._i >= self.max_instances:
+            raise RuntimeError("instance capacity exhausted")
+        inst = self._i
+        self._i += 1
+        v0, t0 = self._v, self._t
+        nv, nt = mesh.vertex_count, mesh.triangle_count
+        if v0 + nv > self.max_vertices or t0 + nt > self.max_triangles:
+            raise RuntimeError("scene buffer capacity exhausted")
+        self.positions[v0:v0 + nv] = mesh.positions
+        self.normals[v0:v0 + nv] = mesh.normals
+        self.uvs[v0:v0 + nv] = mesh.uvs
+        self.indices[t0:t0 + nt] = mesh.indices + v0
+        self.tri_valid[t0:t0 + nt] = True
+        self.tri_instance[t0:t0 + nt] = inst
+        self.vert_instance[v0:v0 + nv] = inst
+        self._v = v0 + nv
+        self._t = t0 + nt
+        self.inst_material[inst] = material
+        self.inst_entity[inst] = entity
+        return inst
+
+    def device_arrays(self) -> Dict[str, Array]:
+        return {
+            "positions": jnp.asarray(self.positions),
+            "normals": jnp.asarray(self.normals),
+            "uvs": jnp.asarray(self.uvs),
+            "indices": jnp.asarray(self.indices),
+            "tri_valid": jnp.asarray(self.tri_valid),
+            "tri_instance": jnp.asarray(self.tri_instance),
+            "vert_instance": jnp.asarray(self.vert_instance),
+            "inst_material": jnp.asarray(self.inst_material),
+            "inst_entity": jnp.asarray(self.inst_entity),
+            "materials": jnp.asarray(self.materials),
+        }
+
+
+def transform_vertices(scene: Dict[str, Array], inst_matrices: Array) -> Tuple[Array, Array]:
+    """Apply per-instance model matrices to the vertex pool.
+
+    inst_matrices: (I, 4, 4). Returns (world positions (V,3), world normals
+    (V,3)). The per-thread model-matrix bake of mesh.cpp:444-509 becomes one
+    gather + batched matmul (MXU work).
+    """
+    vi = jnp.maximum(scene["vert_instance"], 0)
+    mats = inst_matrices[vi]  # (V, 4, 4)
+    pos = m3.einsum("vij,vj->vi", mats[:, :3, :3], scene["positions"]) + mats[:, :3, 3]
+    # normals: inverse-transpose; assume uniform-ish scale (use rotation part
+    # normalized per-vertex)
+    nrm = m3.einsum("vij,vj->vi", mats[:, :3, :3], scene["normals"])
+    nrm = m3.normalize(nrm)
+    return pos, nrm

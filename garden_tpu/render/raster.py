@@ -1,0 +1,293 @@
+"""Software rasterization: triangle setup, tile binning, Pallas raster kernel.
+
+The TPU replacement for the reference's hardware raster draw path
+(MeshRenderSystem's DrawIndexed commands into the G-buffer render pass,
+mesh.cpp:556-719 + VulkanCommandBuffer replay). Architecture (CuRast-style
+tiled software raster, see PAPERS.md):
+
+1. `setup_triangles` (XLA): clip-space verts -> screen coords, reverse-Z
+   depths, 1/w for perspective-correct interpolation, backface/near culls.
+2. `bin_triangles` (XLA): each triangle emits (tile, tri) pairs for its
+   screen-tile footprint (up to FOOT x FOOT tiles); one global sort by tile
+   key; per-tile contiguous ranges found by searchsorted. Triangles with a
+   bigger footprint go to a small 'big list' prepended to every tile —
+   fixed capacities everywhere, overflow drops triangles (back-to-front
+   artifacts only, never OOM).
+3. `rasterize_visibility` (Pallas, grid = screen tiles): each tile loops its
+   binned triangles (dynamic trip count), evaluates edge functions over the
+   whole tile vectorized on the VPU, and keeps the nearest hit per pixel:
+   a visibility buffer of (tri id, barycentrics, depth). Shading is
+   deferred to a separate gather pass (render/gbuffer.py) so raster work is
+   independent of material cost.
+
+The visibility buffer replaces the reference's G-buffer *raster* stage; the
+G-buffer itself is reconstructed in gbuffer.py. Depth-only rasterization for
+shadow maps reuses the same kernel with a trivial output spec.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from garden_tpu.core import math3d as m3
+
+Array = jnp.ndarray
+
+FOOT = 4  # max tile footprint edge for per-tile binning (else 'big list')
+NEAR_EPS = 1e-6
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def setup_triangles(
+    clip: Array,          # (V, 4) clip-space positions
+    indices: Array,       # (T, 3)
+    tri_valid: Array,     # (T,)
+    width: int,
+    height: int,
+) -> Dict[str, Array]:
+    """Screen-space triangle setup. Returns per-triangle arrays."""
+    v = clip[indices]                     # (T, 3, 4)
+    w = v[..., 3]
+    # conservative near clip: reject triangles with any vertex behind the
+    # near plane (finely tessellated scenes make this loss negligible)
+    in_front = jnp.all(w > NEAR_EPS, axis=-1)
+    w_safe = jnp.maximum(w, NEAR_EPS)
+    inv_w = 1.0 / w_safe
+    ndc = v[..., :3] * inv_w[..., None]   # (T, 3, 3)
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (0.5 - ndc[..., 1] * 0.5) * height  # y-down screen
+    z = ndc[..., 2]                       # reverse-Z in [0, 1]
+
+    # signed area in screen space; CCW meshes become CW after the y-flip,
+    # so front faces have negative area here. Cull area >= 0 (backfaces).
+    ax = sx[:, 1] - sx[:, 0]
+    ay = sy[:, 1] - sy[:, 0]
+    bx = sx[:, 2] - sx[:, 0]
+    by = sy[:, 2] - sy[:, 0]
+    area = ax * by - ay * bx
+    front = area < -1e-8
+
+    xmin = jnp.min(sx, axis=-1)
+    xmax = jnp.max(sx, axis=-1)
+    ymin = jnp.min(sy, axis=-1)
+    ymax = jnp.max(sy, axis=-1)
+    on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+
+    valid = tri_valid & in_front & front & on_screen
+    # edges e_i sum to -area (positive for front faces); bary_i = e_i/(-area)
+    return {
+        "sx": sx, "sy": sy, "z": z, "inv_w": inv_w,
+        "inv_area": jnp.where(valid, 1.0 / jnp.where(front, -area, 1.0), 0.0),
+        "xmin": xmin, "xmax": xmax, "ymin": ymin, "ymax": ymax,
+        "valid": valid,
+    }
+
+
+def bin_triangles(
+    setup: Dict[str, Array],
+    width: int,
+    height: int,
+    tile: int,
+    max_per_tile: int,
+    max_big: int = 64,
+) -> Tuple[Array, Array]:
+    """Returns (tile_tris (tiles, max_big + max_per_tile) int32 padded with
+    -1, counts (tiles,) int32). tiles = tiles_y * tiles_x, row-major."""
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // tile)
+    n_tiles = tiles_x * tiles_y
+    t = setup["valid"].shape[0]
+
+    tx0 = jnp.clip(jnp.floor(setup["xmin"] / tile).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(setup["xmax"] / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(setup["ymin"] / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(setup["ymax"] / tile).astype(jnp.int32), 0, tiles_y - 1)
+    nx = tx1 - tx0 + 1
+    ny = ty1 - ty0 + 1
+    small = setup["valid"] & (nx <= FOOT) & (ny <= FOOT)
+    big = setup["valid"] & ~small
+
+    # (tri, k) pair emission for small triangles
+    k = jnp.arange(FOOT * FOOT, dtype=jnp.int32)
+    kx = k % FOOT
+    ky = k // FOOT
+    ptx = tx0[:, None] + kx[None, :]
+    pty = ty0[:, None] + ky[None, :]
+    pair_ok = small[:, None] & (kx[None, :] < nx[:, None]) & (ky[None, :] < ny[:, None])
+    key = jnp.where(pair_ok, pty * tiles_x + ptx, n_tiles)  # sentinel last
+    key = key.reshape(-1)
+    tri_of_pair = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, FOOT * FOOT)
+    ).reshape(-1)
+
+    order = jnp.argsort(key)
+    key_sorted = key[order]
+    tri_sorted = tri_of_pair[order]
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(key_sorted, tile_ids, side="left")
+    end = jnp.searchsorted(key_sorted, tile_ids, side="right")
+    take = jnp.arange(max_per_tile, dtype=jnp.int32)
+    gather = start[:, None] + take[None, :]
+    ok = gather < end[:, None]
+    gather = jnp.clip(gather, 0, key.shape[0] - 1)
+    tile_tris = jnp.where(ok, tri_sorted[gather], -1)  # (tiles, C)
+
+    # big triangles: fixed global list, prepended to every tile
+    max_big = min(max_big, t)
+    big_rank = jnp.where(big, 1, 0)
+    _, big_idx = jax.lax.top_k(big_rank, max_big)
+    big_ok = big[big_idx]
+    big_list = jnp.where(big_ok, big_idx.astype(jnp.int32), -1)  # (B,)
+    big_tile = jnp.broadcast_to(big_list[None, :], (n_tiles, max_big))
+
+    tile_tris = jnp.concatenate([big_tile, tile_tris], axis=1)
+    counts = jnp.sum(tile_tris >= 0, axis=1).astype(jnp.int32)
+    # compact: move valid entries to the front so the kernel's dynamic trip
+    # count covers them (big list may have holes)
+    order2 = jnp.argsort(jnp.where(tile_tris >= 0, 0, 1), axis=1, stable=True)
+    tile_tris = jnp.take_along_axis(tile_tris, order2, axis=1)
+    return tile_tris, counts
+
+
+def _raster_kernel(count_ref, data_ref, ids_ref, depth_ref, id_ref, b0_ref, b1_ref,
+                   *, tile: int):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    px = (tx * tile + 0.5) + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
+    py = (ty * tile + 0.5) + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
+
+    depth_ref[:] = jnp.zeros((tile, tile), jnp.float32)
+    id_ref[:] = jnp.full((tile, tile), -1, jnp.int32)
+    b0_ref[:] = jnp.zeros((tile, tile), jnp.float32)
+    b1_ref[:] = jnp.zeros((tile, tile), jnp.float32)
+
+    def body(c, _):
+        d = data_ref[0, c]  # (16,)
+        x0, y0, x1, y1, x2, y2 = d[0], d[1], d[2], d[3], d[4], d[5]
+        z0, z1, z2, inv_area = d[6], d[7], d[8], d[9]
+        # edge functions: front faces are CW after the y-flip, so interior
+        # pixels have e_i >= 0 and e0+e1+e2 = -area > 0
+        e0 = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+        e1 = (px - x2) * (y0 - y2) - (py - y2) * (x0 - x2)
+        e2 = (px - x0) * (y1 - y0) - (py - y0) * (x1 - x0)
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        b0 = e0 * inv_area
+        b1 = e1 * inv_area
+        b2 = e2 * inv_area
+        z = b0 * z0 + b1 * z1 + b2 * z2
+        keep = inside & (z > depth_ref[:]) & (z <= 1.0)
+        tri_id = ids_ref[0, c]
+        depth_ref[:] = jnp.where(keep, z, depth_ref[:])
+        id_ref[:] = jnp.where(keep, tri_id, id_ref[:])
+        b0_ref[:] = jnp.where(keep, b0, b0_ref[:])
+        b1_ref[:] = jnp.where(keep, b1, b1_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+
+
+def rasterize_visibility(
+    setup: Dict[str, Array],
+    tile_tris: Array,   # (tiles, C)
+    counts: Array,      # (tiles,)
+    width: int,
+    height: int,
+    tile: int,
+) -> Dict[str, Array]:
+    """Visibility buffer: depth (H,W) reverse-Z, tri id (H,W), screen
+    barycentrics b0/b1 (H,W)."""
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // tile)
+    n_tiles = tiles_x * tiles_y
+    c = tile_tris.shape[1]
+
+    # per-tile gathered triangle data (tiles, C, 16): 16-float records
+    # [x0 y0 x1 y1 x2 y2 z0 z1 z2 inv_area pad...] for aligned VMEM reads
+    safe = jnp.maximum(tile_tris, 0)
+    zeros = jnp.zeros_like(setup["inv_area"][safe])
+    data = jnp.stack(
+        [
+            setup["sx"][safe, 0], setup["sy"][safe, 0],
+            setup["sx"][safe, 1], setup["sy"][safe, 1],
+            setup["sx"][safe, 2], setup["sy"][safe, 2],
+            setup["z"][safe, 0], setup["z"][safe, 1], setup["z"][safe, 2],
+            setup["inv_area"][safe],
+            zeros, zeros, zeros, zeros, zeros, zeros,
+        ],
+        axis=-1,
+    )  # (tiles, C, 16)
+
+    grid = (tiles_y, tiles_x)
+    out_block = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+                             memory_space=pltpu.VMEM)
+    h_pad = tiles_y * tile
+    w_pad = tiles_x * tile
+    counts2d = counts.reshape(n_tiles, 1)
+
+    depth, tri_id, b0, b1 = pl.pallas_call(
+        functools.partial(_raster_kernel, tile=tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_block, out_block, out_block, out_block),
+        out_shape=(
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(counts2d, data, tile_tris)
+
+    return {
+        "depth": depth[:height, :width],
+        "tri_id": tri_id[:height, :width],
+        "b0": b0[:height, :width],
+        "b1": b1[:height, :width],
+    }
+
+
+def rasterize_depth(
+    setup: Dict[str, Array],
+    tile_tris: Array,
+    counts: Array,
+    width: int,
+    height: int,
+    tile: int,
+) -> Array:
+    """Depth-only raster (shadow maps: the CSM cascade passes,
+    csm.hpp:36-64). Same kernel, only the depth plane consumed."""
+    vis = rasterize_visibility(setup, tile_tris, counts, width, height, tile)
+    return vis["depth"]
+
+
+def render_pass(
+    clip: Array,
+    indices: Array,
+    tri_valid: Array,
+    width: int,
+    height: int,
+    tile: int,
+    max_per_tile: int,
+) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Full raster pass: setup -> bin -> rasterize. Returns (vis, setup)."""
+    setup = setup_triangles(clip, indices, tri_valid, width, height)
+    tile_tris, counts = bin_triangles(setup, width, height, tile, max_per_tile)
+    vis = rasterize_visibility(setup, tile_tris, counts, width, height, tile)
+    return vis, setup

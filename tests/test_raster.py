@@ -1,0 +1,86 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from garden_tpu.core import math3d as m3
+from garden_tpu.render import mesh as rmesh
+from garden_tpu.render import raster
+from garden_tpu.systems.camera import view_matrix
+
+
+W, H, TILE = 128, 128, 64
+
+
+def _full_screen_tri():
+    """One big CCW triangle facing the camera, at z_view = -2 (w=2)."""
+    # clip-space positions (x, y, z, w); reverse-Z depth z/w = 0.5
+    clip = jnp.array([
+        [-3.0, -1.0, 1.0, 2.0],
+        [3.0, -1.0, 1.0, 2.0],
+        [0.0, 3.0, 1.0, 2.0],
+    ], jnp.float32)
+    idx = jnp.array([[0, 1, 2]], jnp.int32)
+    valid = jnp.array([True])
+    return clip, idx, valid
+
+
+def test_single_triangle_coverage_and_depth():
+    clip, idx, valid = _full_screen_tri()
+    vis, setup = raster.render_pass(clip, idx, valid, W, H, TILE, 64)
+    tri_id = np.asarray(vis["tri_id"])
+    depth = np.asarray(vis["depth"])
+    # center covered with depth 0.5; corners outside
+    assert tri_id[H // 2, W // 2] == 0
+    assert abs(depth[H // 2, W // 2] - 0.5) < 1e-5
+    assert tri_id[0, 0] == -1 and tri_id[0, W - 1] == -1
+    # barycentrics sum to 1 where covered
+    b0 = np.asarray(vis["b0"])[H // 2, W // 2]
+    b1 = np.asarray(vis["b1"])[H // 2, W // 2]
+    assert 0.0 <= b0 <= 1.0 and 0.0 <= b1 <= 1.0
+
+
+def test_depth_test_nearer_wins():
+    # same triangle twice, second at nearer depth (reverse-Z: bigger z/w)
+    clip = jnp.array([
+        [-3.0, -1.0, 1.0, 2.0], [3.0, -1.0, 1.0, 2.0], [0.0, 3.0, 1.0, 2.0],
+        [-3.0, -1.0, 1.6, 2.0], [3.0, -1.0, 1.6, 2.0], [0.0, 3.0, 1.6, 2.0],
+    ], jnp.float32)
+    idx = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    valid = jnp.array([True, True])
+    vis, _ = raster.render_pass(clip, idx, valid, W, H, TILE, 64)
+    assert np.asarray(vis["tri_id"])[H // 2, W // 2] == 1
+    assert abs(np.asarray(vis["depth"])[H // 2, W // 2] - 0.8) < 1e-5
+
+
+def test_backface_culled():
+    clip, idx, valid = _full_screen_tri()
+    idx_flipped = idx[:, ::-1]
+    vis, _ = raster.render_pass(clip, idx_flipped, valid, W, H, TILE, 64)
+    assert np.asarray(vis["tri_id"]).max() == -1
+
+
+def test_cube_scene_renders():
+    scene = rmesh.SceneBuffers(max_vertices=256, max_triangles=256,
+                               max_instances=4)
+    mat = scene.add_material(rmesh.Material(base_color=(1.0, 0.2, 0.2)))
+    inst = scene.add_instance(rmesh.cube(0.5), material=mat)
+    dev = scene.device_arrays()
+
+    eye = jnp.array([0.0, 0.5, 2.5])
+    view = m3.look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = m3.perspective_reverse_z(1.0, W / H, 0.1)
+    inst_mats = jnp.broadcast_to(jnp.eye(4), (4, 4, 4))
+
+    world_pos, _ = rmesh.transform_vertices(dev, inst_mats)
+    clip = m3.apply_mat4_h(m3.matmul(proj, view), world_pos)
+    vis, setup = raster.render_pass(clip, dev["indices"], dev["tri_valid"],
+                                    W, H, TILE, 64)
+    tri_id = np.asarray(vis["tri_id"])
+    # cube covers the center, not the border
+    assert tri_id[H // 2, W // 2] >= 0
+    assert tri_id[2, 2] == -1
+    cover = (tri_id >= 0).mean()
+    assert 0.02 < cover < 0.5, cover
+    # depth of the front face: view z = 2.0 -> reverse-Z near/|z| = 0.05
+    d = np.asarray(vis["depth"])[H // 2, W // 2]
+    assert abs(d - 0.1 / 2.0) < 5e-3, d
