@@ -266,6 +266,7 @@ def orthographic(left, right, bottom, top, near, far, reverse_z: bool = True) ->
     else:
         m = m.at[2, 2].set(-1.0 / (far - near))
         m = m.at[2, 3].set(-near / (far - near))
+    m = m.at[3, 3].set(1.0)
     return m
 
 

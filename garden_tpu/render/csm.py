@@ -1,0 +1,143 @@
+"""Cascaded shadow maps.
+
+Rebuild of CsmRenderSystem (include/garden/system/render/csm.hpp:36-90,
+source/system/render/csm.cpp): 3 cascades fitted to slices of the camera
+frustum (split ratios (0.1, 0.25) of shadow distance 100), depth-only
+rasterization per cascade from the light's orthographic view, PCF-filtered
+compare on resolve with constant+normal bias. The reference renders cascades
+through IShadowMeshRenderSystem passes (mesh.cpp:795-847); here each cascade
+is one depth-only raster pass at shadow-map resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from garden_tpu.core import math3d as m3
+from garden_tpu.core.config import ShadowConfig
+from garden_tpu.render import raster
+
+Array = jnp.ndarray
+
+
+def cascade_splits(cfg: ShadowConfig, near: float) -> List[float]:
+    """View-space split depths [near, s1, s2, far] (csm.hpp:89-90)."""
+    d = cfg.distance
+    return [near] + [r * d for r in cfg.split_ratios] + [d]
+
+
+def fit_cascade(
+    inv_view_proj: Array,   # camera inverse view-proj
+    light_dir: Array,       # direction the light travels (sun -> scene)
+    cam_near: float,
+    split_near: float,
+    split_far: float,
+    near_clip_proj: float,
+) -> Array:
+    """Light view-projection fitted around one frustum slice.
+
+    Builds the slice's 8 world-space corners from NDC via inv_view_proj
+    (reverse-Z: depth = near/viewdist), then a light-space AABB -> ortho.
+    """
+    # reverse-Z infinite projection: ndc_z = near / dist
+    z0 = near_clip_proj / jnp.maximum(split_near, near_clip_proj)
+    z1 = near_clip_proj / jnp.maximum(split_far, near_clip_proj)
+    corners = []
+    for x in (-1.0, 1.0):
+        for y in (-1.0, 1.0):
+            for z in (z0, z1):
+                h = inv_view_proj @ jnp.array([x, y, z, 1.0])
+                corners.append(h[:3] / h[3])
+    corners = jnp.stack(corners)  # (8, 3)
+
+    center = jnp.mean(corners, axis=0)
+    light_dir = m3.normalize(light_dir)
+    up = jnp.where(jnp.abs(light_dir[1]) > 0.95,
+                   jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    eye = center - light_dir * 200.0
+    view = m3.look_at(eye, center, up)
+
+    lc = m3.apply_mat4(view, corners)  # corners in light space
+    lo = jnp.min(lc, axis=0)
+    hi = jnp.max(lc, axis=0)
+    # extend the near plane backwards to catch off-slice casters
+    proj = m3.orthographic(lo[0], hi[0], lo[1], hi[1],
+                           -hi[2] - 100.0, -lo[2], reverse_z=True)
+    return m3.matmul(proj, view)
+
+
+def render_cascades(
+    world_positions: Array,
+    indices: Array,
+    tri_valid: Array,
+    light_view_projs: List[Array],
+    cfg: ShadowConfig,
+    max_per_tile: int = 256,
+) -> Array:
+    """Depth-only raster per cascade -> (cascades, S, S) reverse-Z maps."""
+    size = cfg.map_size
+    maps = []
+    for lvp in light_view_projs:
+        clip = m3.apply_mat4_h(lvp, world_positions)
+        # front faces only: sufficient for closed casters, and it keeps the
+        # same winding convention as the main pass
+        setup = raster.setup_triangles(clip, indices, tri_valid, size, size)
+        tiles, counts = raster.bin_triangles(setup, size, size, 64, max_per_tile)
+        maps.append(raster.rasterize_depth(setup, tiles, counts, size, size, 64))
+    return jnp.stack(maps)
+
+
+def resolve_shadow(
+    position: Array,         # (H, W, 3) world positions
+    normal: Array,           # (H, W, 3)
+    view_depth: Array,       # (H, W) distance from camera (for cascade pick)
+    shadow_maps: Array,      # (C, S, S)
+    light_view_projs: Array,  # (C, 4, 4)
+    cfg: ShadowConfig,
+    splits: List[float],
+    light_dir: Array,
+) -> Array:
+    """PCF shadow factor (H, W), 1 = lit (the csm.gsl resolve analog)."""
+    size = cfg.map_size
+    c_count = shadow_maps.shape[0]
+
+    # cascade selection by view distance
+    cascade = jnp.zeros_like(view_depth, dtype=jnp.int32)
+    for i in range(1, c_count):
+        cascade = jnp.where(view_depth > splits[i], i, cascade)
+    in_range = view_depth < splits[-1]
+
+    # normal-offset bias (csm.hpp bias settings)
+    offset_pos = position + normal * cfg.bias_normal
+
+    lvp = light_view_projs[cascade]                       # (H, W, 4, 4)
+    h = m3.einsum("hwij,hwj->hwi",
+                  lvp, jnp.concatenate([offset_pos,
+                                        jnp.ones_like(position[..., :1])], -1))
+    uvz = h[..., :3] / jnp.maximum(h[..., 3:4], 1e-9)
+    u = (uvz[..., 0] * 0.5 + 0.5) * size
+    v = (0.5 - uvz[..., 1] * 0.5) * size
+    # reverse-Z: lenient compare (z + bias >= occ) prevents self-shadow acne
+    z = uvz[..., 2] + cfg.bias_constant
+
+    inside = (u >= 1) & (u < size - 1) & (v >= 1) & (v < size - 1)
+
+    # PCF 3x3: point is lit if its depth >= occluder depth (reverse-Z:
+    # bigger = closer; map stores nearest caster)
+    lit_acc = jnp.zeros_like(z)
+    taps = 0
+    r = cfg.pcf_radius
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            ui = jnp.clip(u.astype(jnp.int32) + dx, 0, size - 1)
+            vi = jnp.clip(v.astype(jnp.int32) + dy, 0, size - 1)
+            occ = shadow_maps[cascade, vi, ui]
+            lit_acc = lit_acc + jnp.where(z >= occ, 1.0, 0.0)
+            taps += 1
+    lit = lit_acc / taps
+
+    # facing away from the light is fully shadowed by shading anyway
+    return jnp.where(inside & in_range, lit, 1.0)

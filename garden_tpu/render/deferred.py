@@ -1,11 +1,13 @@
 """Deferred renderer: the static pass schedule.
 
 Rebuild of DeferredRenderSystem's event chain (source/system/render/
-deferred.cpp:441-777): PreDeferredRender -> G-buffer -> HdrRender (lighting)
--> LdrRender (bloom/exposure/tone map) -> AA. The event chain is already a
-static schedule in disguise; here it is literally a function composing pass
-functions, all inside one jit. Framebuffers are entries of the returned
-frame dict.
+deferred.cpp:441-777): PreDeferredRender (culling + shadows) -> G-buffer ->
+HdrRender (PBR lighting) -> LdrRender (bloom, auto exposure, tone map) ->
+AA. The event chain is already a static schedule in disguise; here it is
+literally a function composing pass functions, all inside one jit.
+Framebuffers are entries of the returned frame dict; pass-enable flags are
+static config (recompile on change), exactly like the reference's pipeline
+variants (SURVEY.md section 7 'Branchy pass-enable flags').
 """
 
 from __future__ import annotations
@@ -16,7 +18,10 @@ import jax.numpy as jnp
 
 from garden_tpu.core import math3d as m3
 from garden_tpu.core.config import RenderConfig
-from garden_tpu.render import gbuffer, lighting, mesh, raster, tonemap
+from garden_tpu.render import bloom as bloom_mod
+from garden_tpu.render import csm as csm_mod
+from garden_tpu.render import fxaa as fxaa_mod
+from garden_tpu.render import gbuffer, hbao, lighting, mesh, raster, tonemap
 
 Array = jnp.ndarray
 
@@ -37,31 +42,88 @@ class DeferredRenderer:
             "avg_luminance": jnp.float32(0.18),
         }
 
+    # -- culling (PreDeferredRender: mesh.cpp:331-553 fan-out analog) --------
+
+    def cull_instances(self, scene: Dict[str, Array], inst_matrices: Array,
+                       constants: Dict[str, Array]) -> Array:
+        """Frustum-cull instances -> per-triangle validity mask."""
+        corners = jnp.stack([
+            jnp.stack([
+                jnp.where(
+                    jnp.array([bool(k & 1), bool(k & 2), bool(k & 4)]),
+                    scene["inst_aabb_max"], scene["inst_aabb_min"]
+                )[..., i] for i in range(3)
+            ], axis=-1) for k in range(8)
+        ], axis=-2)  # (I, 8, 3)
+        wc = m3.einsum("iab,ikb->ika", inst_matrices[:, :3, :3], corners) \
+            + inst_matrices[:, None, :3, 3]
+        wmin = jnp.min(wc, axis=1)
+        wmax = jnp.max(wc, axis=1)
+        planes = m3.frustum_planes(constants["view_proj"])
+        outside = m3.aabb_outside_frustum(planes, wmin, wmax)
+        visible = scene["inst_valid"] & ~outside
+        ti = scene["tri_instance"]
+        return scene["tri_valid"] & visible[jnp.maximum(ti, 0)] & (ti >= 0)
+
+    # -- the frame ------------------------------------------------------------
+
     def render(
         self,
         scene: Dict[str, Array],
         inst_matrices: Array,          # (I, 4, 4)
         constants: Dict[str, Array],
         frame_state: Dict[str, Array],
-        shadow: Optional[Array] = None,
-        ao: Optional[Array] = None,
     ) -> Dict[str, Array]:
         cfg = self.config
         w, h = cfg.width, cfg.height
 
-        # vertex transform + raster (the DeferredRender G-buffer pass)
+        # PreDeferredRender: vertex transform + frustum cull
         world_pos, world_nrm = mesh.transform_vertices(scene, inst_matrices)
+        tri_valid = self.cull_instances(scene, inst_matrices, constants)
+
+        # G-buffer raster (visibility buffer)
         clip = m3.apply_mat4_h(constants["view_proj"], world_pos)
         vis, setup = raster.render_pass(
-            clip, scene["indices"], scene["tri_valid"], w, h,
+            clip, scene["indices"], tri_valid, w, h,
             cfg.tile_size, cfg.max_tris_per_tile,
         )
-
-        # G-buffer shading + lighting resolve (HdrRender)
         g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos, world_nrm)
+
+        # shadows (CSM cascades; casters are not frustum-culled)
+        shadow = None
+        if cfg.use_shadows:
+            scfg = cfg.shadow
+            near = 0.1
+            splits = csm_mod.cascade_splits(scfg, near)
+            lvps = [
+                csm_mod.fit_cascade(constants["inv_view_proj"],
+                                    constants["light_dir"], near,
+                                    splits[i], splits[i + 1], near)
+                for i in range(scfg.cascade_count)
+            ]
+            shadow_maps = csm_mod.render_cascades(
+                world_pos, scene["indices"], scene["tri_valid"], lvps, scfg,
+            )
+            view_depth = m3.length(g["position"] - constants["camera_pos"])
+            shadow = csm_mod.resolve_shadow(
+                g["position"], g["normal"], view_depth, shadow_maps,
+                jnp.stack(lvps), scfg, splits, constants["light_dir"],
+            )
+            shadow = jnp.where(g["visible"], shadow, 1.0)
+
+        # HBAO into the lighting AO term (hbao.cpp analog)
+        ao = None
+        if cfg.use_hbao:
+            ao = hbao.compute_hbao(g["position"], g["normal"], g["visible"],
+                                   constants["camera_pos"])
+
+        # HdrRender: PBR lighting resolve + sky
         hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao)
 
-        # auto exposure (LdrRender chain)
+        # LdrRender: bloom -> auto exposure -> tone map
+        if cfg.use_bloom:
+            hdr = bloom_mod.apply_bloom(hdr, cfg.bloom_mip_count)
+
         if cfg.use_auto_exposure:
             hist = tonemap.luminance_histogram(hdr, cfg.exposure_histogram_bins)
             target = tonemap.average_luminance_from_histogram(hist)
@@ -73,14 +135,19 @@ class DeferredRenderer:
         exposure = tonemap.exposure_from_luminance(
             avg_lum, compensation=cfg.exposure_compensation
         )
-
         ldr = tonemap.tone_map(hdr, exposure, mode=cfg.tone_mapper)
 
+        # AA on the LDR buffer (fxaa.hpp:37)
+        if cfg.use_fxaa:
+            ldr = fxaa_mod.apply_fxaa(ldr)
+
         return {
-            "image": ldr,                 # (H, W, 3) uint8
+            "image": tonemap.to_uint8(ldr),
             "hdr": hdr,
             "depth": vis["depth"],
             "tri_id": vis["tri_id"],
             "gbuffer": g,
+            "shadow": shadow,
+            "ao": ao,
             "frame_state": {"avg_luminance": avg_lum},
         }

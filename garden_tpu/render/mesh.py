@@ -171,6 +171,9 @@ class SceneBuffers:
         # instances, re-baked when instances change)
         self.tri_instance = np.full((max_triangles,), -1, np.int32)
         self.vert_instance = np.full((max_vertices,), -1, np.int32)
+        # per-instance local AABBs for frustum/occlusion culling
+        self.inst_aabb_min = np.zeros((max_instances, 3), np.float32)
+        self.inst_aabb_max = np.zeros((max_instances, 3), np.float32)
 
     def add_mesh(self, mesh: Mesh) -> int:
         v0, t0 = self._v, self._t
@@ -217,6 +220,8 @@ class SceneBuffers:
         self._t = t0 + nt
         self.inst_material[inst] = material
         self.inst_entity[inst] = entity
+        self.inst_aabb_min[inst] = mesh.positions.min(axis=0)
+        self.inst_aabb_max[inst] = mesh.positions.max(axis=0)
         return inst
 
     def device_arrays(self) -> Dict[str, Array]:
@@ -230,6 +235,9 @@ class SceneBuffers:
             "vert_instance": jnp.asarray(self.vert_instance),
             "inst_material": jnp.asarray(self.inst_material),
             "inst_entity": jnp.asarray(self.inst_entity),
+            "inst_aabb_min": jnp.asarray(self.inst_aabb_min),
+            "inst_aabb_max": jnp.asarray(self.inst_aabb_max),
+            "inst_valid": jnp.asarray(np.arange(self.max_instances) < self._i),
             "materials": jnp.asarray(self.materials),
         }
 

@@ -94,7 +94,7 @@ def exposure_from_luminance(avg_lum: Array, key: float = 0.18,
 
 def tone_map(hdr: Array, exposure: Array, mode: str = "aces",
              dither_seed: Array = None) -> Array:
-    """HDR (H,W,3) -> LDR uint8, sRGB encoded, with optional dither."""
+    """HDR (H,W,3) -> LDR float sRGB in [0,1] (quantize with `to_uint8`)."""
     x = hdr * exposure
     curve = aces if mode == "aces" else uchimura
     ldr = curve(x)
@@ -103,4 +103,8 @@ def tone_map(hdr: Array, exposure: Array, mode: str = "aces",
         noise = jax.random.uniform(dither_seed, srgb.shape, minval=-0.5 / 255,
                                    maxval=0.5 / 255)
         srgb = jnp.clip(srgb + noise, 0.0, 1.0)
-    return (srgb * 255.0 + 0.5).astype(jnp.uint8)
+    return srgb
+
+
+def to_uint8(srgb: Array) -> Array:
+    return (jnp.clip(srgb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
