@@ -233,10 +233,15 @@ class World:
         return state
 
     def adopt(self, state: State) -> None:
-        """Write a stepped state back into host-side staging arrays."""
-        self._alive = np.asarray(state["entities"]["alive"])
-        self._generation = np.asarray(state["entities"]["generation"])
-        self._stores = jax.tree_util.tree_map(np.asarray, state["components"])
+        """Write a stepped state back into host-side staging arrays.
+
+        Copies: numpy views of device buffers are read-only, and host code
+        mutates these staging arrays in place."""
+        self._alive = np.array(state["entities"]["alive"])
+        self._generation = np.array(state["entities"]["generation"])
+        self._stores = jax.tree_util.tree_map(
+            lambda x: np.array(x), state["components"]
+        )
         free_mask = ~self._alive
         self._free = list(np.nonzero(free_mask)[0][::-1])
 

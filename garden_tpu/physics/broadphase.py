@@ -107,12 +107,13 @@ def find_candidates(
     cand = order[gather_pos.reshape(n, -1)]                    # (N, 27*C)
     cand_valid = in_range.reshape(n, -1)
 
-    # 4. masks
+    # 4. masks. Symmetric row layout (see solver.py): every pair (i, j)
+    # appears in BOTH rows i and j — no i<j dedup. Rows exist only for
+    # dynamic bodies (static rows would compute zero impulses).
     i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cand_valid &= cand > i_idx  # dedup + self
+    cand_valid &= cand != i_idx
     cand_valid &= active[:, None] & active[cand]
-    # at least one dynamic
-    cand_valid &= dynamic[:, None] | dynamic[cand]
+    cand_valid &= dynamic[:, None]
     # layer filter
     cand_valid &= layer_table[layer[:, None], layer[cand]]
     # AABB overlap

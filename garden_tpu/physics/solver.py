@@ -1,22 +1,35 @@
-"""Contact constraint solver: mass-splitting Jacobi impulse iterations.
+"""Contact constraint solver: scatter-free symmetric Jacobi impulses.
 
 Rebuild of Jolt's sequential-impulse velocity solver as stepped by the
-reference (source/system/physics.cpp:1186-1193). Sequential (Gauss-Seidel)
-impulses are inherently serial per island; the TPU-native formulation solves
-every contact in parallel each iteration (Jacobi) with *mass splitting*
-(Tonge et al., 2012): each body's effective inverse mass in the constraint
-preconditioner is scaled by its contact count, which makes the parallel
-update non-overshooting, while impulses are applied with the true inverse
-mass via one segment-sum scatter. More iterations substitute for the
-sequential sweep; SURVEY.md section 7 'Hard parts' calls this trade out
-explicitly.
+reference (source/system/physics.cpp:1186-1193). Two TPU-specific design
+decisions replace the sequential island sweep:
+
+1. **Jacobi with mass splitting** (Tonge et al., 2012): every contact is
+   solved in parallel each iteration; each body's inverse mass in the
+   constraint preconditioner is scaled by its contact count, which makes the
+   parallel update non-overshooting. Warm starting across steps (persistent
+   per-slot accumulated impulses) provides the convergence stacks need.
+
+2. **Symmetric row layout — no scatters.** Contacts live in a fixed
+   (bodies, K, points) layout where each body's row holds *all* its
+   contacts: a touching pair (i, j) appears twice, once in row i (normal
+   pointing i->j) and once, mirrored, in row j. The impulse magnitudes
+   computed in the two rows are bit-identical by symmetry, so applying
+   impulses is a pure per-row reduction (sum over the row's slots) — there
+   is no segment_sum / scatter anywhere, only partner-velocity gathers.
+   Scatters serialize on TPU; row reductions are free VPU work. The 2x
+   redundant arithmetic is far cheaper than the scatters it removes.
 
 Features mirrored from the Jolt path: accumulated-impulse clamping, Baumgarte
 positional bias with penetration slop, restitution with a bounce threshold,
 Coulomb friction on two tangents bounded by the accumulated normal impulse,
-sensor contacts excluded from response (physics.hpp:362 RigidbodyComponent
-sensor flag), per-body linear/angular factors for DOF locking
-(physics.hpp:54-65 AllowedDOF incl. Plane2D).
+sensor contacts excluded from response (physics.hpp:362), per-body
+linear/angular DOF factors (physics.hpp:54-65 AllowedDOF incl. Plane2D).
+
+Contact layout (S = K * MAX_POINTS slots per body):
+- `partner` int32[N, S]: the other body (gather index)
+- `point`   f32[N, S, 3], `normal` f32[N, S, 3] (row body -> partner)
+- `pen`     f32[N, S], `valid` bool[N, S]
 """
 
 from __future__ import annotations
@@ -32,7 +45,10 @@ Array = jnp.ndarray
 
 
 def _orthonormal_tangents(n: Array) -> Tuple[Array, Array]:
-    """Two unit tangents perpendicular to n (batched, branch-free)."""
+    """Two unit tangents perpendicular to n (batched, branch-free).
+
+    Chosen so that mirrored normals give mirrored frames: t1(-n) = -t1(n),
+    t2(-n) = t2(n) — required for row-symmetric friction impulses."""
     helper = jnp.where(
         (jnp.abs(n[..., 0]) > 0.9)[..., None],
         jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), n.shape),
@@ -54,61 +70,56 @@ def solve_velocity(
     restitution_threshold: float = 0.5,
     warm: Optional[Dict[str, Array]] = None,
 ) -> Tuple[Array, Array, Dict[str, Array]]:
-    """Solve contact constraints; returns (linvel, angvel, impulse dict).
-
-    contacts: flattened point list with fields `a`, `b` (int32[C] body ids),
-    `point` f32[C,3], `normal` f32[C,3] (A->B), `pen` f32[C], `valid` bool[C].
+    """Solve contact constraints; returns (linvel, angvel, warm impulses).
 
     `warm` carries the previous step's accumulated impulses in the same
-    fixed contact-slot layout (body i, candidate k, manifold point p); for
-    resting configurations the slots are stable across steps, so applying
-    them up-front gives the sequential-impulse warm-starting effect stacks
-    need to converge (Jolt warm-starts the same way; a stale slot after a
-    topology change injects at most one frame of noise and is clamped by the
-    accumulation limits).
-    """
-    n_bodies = bodies["pos"].shape[0]
-    a = contacts["a"]
-    b = contacts["b"]
-    point = contacts["point"]
+    (N, S) slot layout; for resting configurations the slots are stable
+    across steps, giving the warm-starting effect stacks need (Jolt
+    warm-starts the same way)."""
+    partner = contacts["partner"]          # (N, S)
+    point = contacts["point"]              # (N, S, 3)
     normal = contacts["normal"]
     pen = contacts["pen"]
-    # speculative contacts (pen<0) participate in velocity solve but get no
-    # positional bias; sensors produce no response at all
-    responsive = contacts["valid"] & ~(bodies["is_sensor"][a] | bodies["is_sensor"][b])
+    is_sensor = bodies["is_sensor"]
+    responsive = contacts["valid"] & ~(
+        is_sensor[:, None] | is_sensor[partner]
+    )
+    resp_f = responsive.astype(jnp.float32)
 
-    inv_mass = bodies["inv_mass"]
-    # world-space inverse inertia: R diag(I^-1) R^T
+    inv_mass = bodies["inv_mass"]          # (N,)
+    # world-space inverse inertia: R diag(I^-1) R^T, once per step
     r = m3.quat_to_mat3(bodies["quat"])
-    inv_inertia_w = m3.einsum(
-        "nij,nj,nkj->nik", r, bodies["inv_inertia"], r
-    )
+    inv_inertia_w = m3.einsum("nij,nj,nkj->nik", r, bodies["inv_inertia"], r)
 
-    # mass splitting: contact count per body (min 1)
-    w = responsive.astype(jnp.float32)
-    count = (
-        jax.ops.segment_sum(w, a, num_segments=n_bodies)
-        + jax.ops.segment_sum(w, b, num_segments=n_bodies)
-    )
+    # mass splitting: per-body contact count (each pair counted once per row)
+    count = jnp.sum(resp_f, axis=1)
     split = jnp.maximum(count, 1.0)
+    split_p = split[partner]               # partner's split (gather, 1x/step)
 
-    ra = point - bodies["pos"][a]
-    rb = point - bodies["pos"][b]
+    pos = bodies["pos"]
+    r_own = point - pos[:, None, :]
+    r_par = point - pos[partner]
 
     lin_factor = bodies["linear_factor"]
     ang_factor = bodies["angular_factor"]
+    inv_mass_p = inv_mass[partner]
+    inertia_own = inv_inertia_w[:, None]   # (N, 1, 3, 3) broadcast over slots
+    inertia_par = inv_inertia_w[partner]   # (N, S, 3, 3)
+    angf_own = ang_factor[:, None, :]
+    angf_par = ang_factor[partner]
 
     def k_for(axis: Array) -> Array:
         """Effective mass denominator along a unit axis (with splitting)."""
-        ra_x = jnp.cross(ra, axis)
-        rb_x = jnp.cross(rb, axis)
-        ang_a = m3.einsum("cij,cj->ci", inv_inertia_w[a], ra_x * ang_factor[a])
-        ang_b = m3.einsum("cij,cj->ci", inv_inertia_w[b], rb_x * ang_factor[b])
+        rx_o = jnp.cross(r_own, axis)
+        rx_p = jnp.cross(r_par, axis)
+        ang_o = m3.einsum("nsij,nsj->nsi", jnp.broadcast_to(
+            inertia_own, inertia_par.shape), rx_o * angf_own)
+        ang_p = m3.einsum("nsij,nsj->nsi", inertia_par, rx_p * angf_par)
         k = (
-            inv_mass[a] * split[a]
-            + inv_mass[b] * split[b]
-            + m3.dot(ra_x * ang_factor[a], ang_a) * split[a]
-            + m3.dot(rb_x * ang_factor[b], ang_b) * split[b]
+            inv_mass[:, None] * split[:, None]
+            + inv_mass_p * split_p
+            + m3.dot(rx_o * angf_own, ang_o) * split[:, None]
+            + m3.dot(rx_p * angf_par, ang_p) * split_p
         )
         return jnp.maximum(k, 1e-9)
 
@@ -117,33 +128,31 @@ def solve_velocity(
     k_t1 = k_for(t1)
     k_t2 = k_for(t2)
 
-    friction = jnp.sqrt(bodies["friction"][a] * bodies["friction"][b])
-    restitution = jnp.maximum(bodies["restitution"][a], bodies["restitution"][b])
+    friction = jnp.sqrt(bodies["friction"][:, None] * bodies["friction"][partner])
+    restitution = jnp.maximum(bodies["restitution"][:, None],
+                              bodies["restitution"][partner])
 
     def rel_vel(linvel: Array, angvel: Array) -> Array:
-        va = linvel[a] + jnp.cross(angvel[a], ra)
-        vb = linvel[b] + jnp.cross(angvel[b], rb)
-        return vb - va
+        """Velocity of partner contact point relative to own (N, S, 3)."""
+        v_own = linvel[:, None, :] + jnp.cross(angvel[:, None, :], r_own)
+        v_par = linvel[partner] + jnp.cross(angvel[partner], r_par)
+        return v_par - v_own
 
-    # restitution target from pre-solve approach speed
     vn0 = m3.dot(rel_vel(bodies["linvel"], bodies["angvel"]), normal)
     bounce = jnp.where(vn0 < -restitution_threshold, -restitution * vn0, 0.0)
     bias = (baumgarte / dt) * jnp.maximum(pen - slop, 0.0)
     target_vn = jnp.maximum(bounce, bias)
 
     def apply(linvel, angvel, impulse):
-        """Scatter impulse vectors (C,3) applied at contact points."""
-        dlin = (
-            jax.ops.segment_sum(-impulse * inv_mass[a][:, None], a, num_segments=n_bodies)
-            + jax.ops.segment_sum(impulse * inv_mass[b][:, None], b, num_segments=n_bodies)
-        )
-        torque_a = jax.ops.segment_sum(jnp.cross(ra, -impulse), a, num_segments=n_bodies)
-        torque_b = jax.ops.segment_sum(jnp.cross(rb, impulse), b, num_segments=n_bodies)
-        dang = m3.einsum("nij,nj->ni", inv_inertia_w, torque_a + torque_b)
-        return (
-            linvel + dlin * lin_factor,
-            angvel + dang * ang_factor,
-        )
+        """Row-reduce impulses (N, S, 3) applied at the contact points.
+
+        Impulse convention: `impulse` is what the row body RECEIVES
+        (own side gets -impulse in the A->B pair convention, so callers
+        pass lambda * n with n pointing row->partner and we negate here)."""
+        dlin = -jnp.sum(impulse, axis=1) * inv_mass[:, None] * lin_factor
+        torque = -jnp.sum(jnp.cross(r_own, impulse), axis=1)
+        dang = m3.einsum("nij,nj->ni", inv_inertia_w, torque) * ang_factor
+        return linvel + dlin, angvel + dang
 
     def iteration(_, carry):
         linvel, angvel, acc_n, acc_t1, acc_t2 = carry
@@ -151,14 +160,12 @@ def solve_velocity(
         v = rel_vel(linvel, angvel)
         vn = m3.dot(v, normal)
 
-        # normal impulse with accumulation clamp >= 0
         dlam = (target_vn - vn) / k_n
         new_acc = jnp.maximum(acc_n + dlam, 0.0)
         dlam = jnp.where(responsive, new_acc - acc_n, 0.0)
         acc_n = jnp.where(responsive, new_acc, acc_n)
-        linvel, angvel = apply(linvel, angvel, dlam[:, None] * normal)
+        linvel, angvel = apply(linvel, angvel, dlam[..., None] * normal)
 
-        # friction, bounded by mu * normal impulse
         v = rel_vel(linvel, angvel)
         max_f = friction * acc_n
         dt1 = -m3.dot(v, t1) / k_t1
@@ -170,7 +177,7 @@ def solve_velocity(
         dt2 = jnp.where(responsive, new_t2 - acc_t2, 0.0)
         acc_t2 = jnp.where(responsive, new_t2, acc_t2)
         linvel, angvel = apply(
-            linvel, angvel, dt1[:, None] * t1 + dt2[:, None] * t2
+            linvel, angvel, dt1[..., None] * t1 + dt2[..., None] * t2
         )
 
         return linvel, angvel, acc_n, acc_t1, acc_t2
@@ -183,7 +190,8 @@ def solve_velocity(
         acc_t20 = jnp.where(responsive, warm["t2"], 0.0)
         linvel0, angvel0 = apply(
             linvel0, angvel0,
-            acc_n0[:, None] * normal + acc_t10[:, None] * t1 + acc_t20[:, None] * t2,
+            acc_n0[..., None] * normal + acc_t10[..., None] * t1
+            + acc_t20[..., None] * t2,
         )
     else:
         acc_n0 = acc_t10 = acc_t20 = zeros
@@ -205,42 +213,35 @@ def solve_position(
     slop: float,
     beta: float = 0.8,
 ) -> Array:
-    """Positional (split-impulse) penetration correction.
+    """Positional (split-impulse) penetration correction, row-reduced.
 
-    The Jolt analog is its position solver pass after the velocity solve.
-    Linear-only Jacobi projection with mass splitting: each iteration pushes
-    penetrating pairs apart along the contact normal without injecting
-    momentum (velocities are untouched). `pen` is the penetration measured at
-    the *current* `pos` (callers adjust the collide-time value by any
-    integration displacement).
-    """
-    n_bodies = pos.shape[0]
-    a, b = contacts["a"], contacts["b"]
+    Linear-only Jacobi projection with mass splitting; velocities untouched.
+    `pen` (N, S) is the penetration measured at the current `pos`."""
+    partner = contacts["partner"]
     normal = contacts["normal"]
-    responsive = contacts["valid"] & ~(bodies["is_sensor"][a] | bodies["is_sensor"][b])
+    is_sensor = bodies["is_sensor"]
+    responsive = contacts["valid"] & ~(is_sensor[:, None] | is_sensor[partner])
     inv_mass = bodies["inv_mass"]
 
-    w = responsive.astype(jnp.float32)
-    count = (
-        jax.ops.segment_sum(w, a, num_segments=n_bodies)
-        + jax.ops.segment_sum(w, b, num_segments=n_bodies)
-    )
+    count = jnp.sum(responsive.astype(jnp.float32), axis=1)
     split = jnp.maximum(count, 1.0)
-    k = jnp.maximum(inv_mass[a] * split[a] + inv_mass[b] * split[b], 1e-9)
+    k = jnp.maximum(
+        inv_mass[:, None] * split[:, None] + inv_mass[partner] * split[partner],
+        1e-9,
+    )
     lin_factor = bodies["linear_factor"]
 
     def iteration(_, carry):
         pos, corr = carry
         sep = pen - corr
         lam = jnp.where(responsive, beta * jnp.maximum(sep - slop, 0.0) / k, 0.0)
-        push = lam[:, None] * normal
-        dpos = (
-            jax.ops.segment_sum(-push * inv_mass[a][:, None], a, num_segments=n_bodies)
-            + jax.ops.segment_sum(push * inv_mass[b][:, None], b, num_segments=n_bodies)
-        ) * lin_factor
+        # own body moves along -normal (away from partner)
+        dpos = -jnp.sum(lam[..., None] * normal, axis=1) * inv_mass[:, None] * lin_factor
         pos = pos + dpos
-        corr = corr + m3.dot(dpos[b] - dpos[a], normal)
+        # remaining penetration shrinks by the relative separation along n
+        corr = corr + m3.dot(dpos[partner] - dpos[:, None, :], normal)
         return pos, corr
 
-    pos, _ = jax.lax.fori_loop(0, iterations, iteration, (pos, jnp.zeros_like(pen)))
+    pos, _ = jax.lax.fori_loop(0, iterations, iteration,
+                               (pos, jnp.zeros_like(pen)))
     return pos

@@ -160,7 +160,7 @@ class PhysicsWorld:
         bodies = {k: jnp.asarray(v) for k, v in self._b.items()}
         n = self.config.max_bodies
         k = self.config.max_contacts_per_body + MAX_GLOBALS
-        c = n * k * narrowphase.MAX_POINTS
+        c = (n, k * narrowphase.MAX_POINTS)
         return {
             "bodies": bodies,
             # independent copies: donation requires unaliased buffers
@@ -170,13 +170,16 @@ class PhysicsWorld:
             "layer_table": jnp.asarray(default_layer_table()),
             # persistent contact impulses for warm starting, fixed slot layout
             "warm": {
-                "n": jnp.zeros((c,), jnp.float32),
-                "t1": jnp.zeros((c,), jnp.float32),
-                "t2": jnp.zeros((c,), jnp.float32),
+                "n": jnp.zeros(c, jnp.float32),
+                "t1": jnp.zeros(c, jnp.float32),
+                "t2": jnp.zeros(c, jnp.float32),
             },
             "accum": jnp.float32(0.0),
             "lag_time": jnp.float32(0.0),
             "time": jnp.float32(0.0),
+            # per-body ground-support flag (character controllers,
+            # body-event detection)
+            "grounded": jnp.zeros((n,), bool),
         }
 
 
@@ -217,15 +220,21 @@ def collide(state: Dict[str, Any], config: PhysicsConfig) -> Dict[str, Array]:
         pair_i, pair_j, pair_valid,
         margin=config.speculative_margin,
     )
-    p = man["a"].shape[0]
+    # re-orient: manifold normals point A->B in canonical (type-sorted)
+    # order; the row layout wants row-body -> partner
+    flip = (man["a"] != pair_i)[:, None, None]
+    normal = jnp.where(flip, -man["normal"], man["normal"])
+
+    # (N, S) symmetric row layout, S = K * MAX_POINTS (solver.py docstring)
     mp = narrowphase.MAX_POINTS
+    s = k * mp
     return {
-        "a": jnp.broadcast_to(man["a"][:, None], (p, mp)).reshape(-1),
-        "b": jnp.broadcast_to(man["b"][:, None], (p, mp)).reshape(-1),
-        "point": man["point"].reshape(-1, 3),
-        "normal": man["normal"].reshape(-1, 3),
-        "pen": man["pen"].reshape(-1),
-        "valid": man["valid"].reshape(-1),
+        "partner": jnp.broadcast_to(
+            cand_idx[:, :, None], (n, k, mp)).reshape(n, s),
+        "point": man["point"].reshape(n, s, 3),
+        "normal": normal.reshape(n, s, 3),
+        "pen": man["pen"].reshape(n, s),
+        "valid": man["valid"].reshape(n, s),
     }
 
 
@@ -273,7 +282,7 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     if config.position_iterations > 0:
         disp = pos - b["pos"]
         pen_now = contacts["pen"] - m3.dot(
-            disp[contacts["b"]] - disp[contacts["a"]], contacts["normal"]
+            disp[contacts["partner"]] - disp[:, None, :], contacts["normal"]
         )
         pos = solver.solve_position(
             pos, b, contacts, pen_now,
@@ -287,7 +296,13 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         linvel=jnp.where(dynamic[:, None], linvel, b["linvel"]),
         angvel=jnp.where(dynamic[:, None], angvel, b["angvel"]),
     )
-    return dict(state, bodies=b, warm=warm, time=state["time"] + dt)
+    # ground support: any contact whose normal (row->partner) points down
+    # within ~45 degrees, i.e. the partner supports this body from below
+    grounded = jnp.any(
+        contacts["valid"] & (contacts["normal"][..., 1] < -0.7071), axis=1
+    )
+    return dict(state, bodies=b, warm=warm, grounded=grounded,
+                time=state["time"] + dt)
 
 
 def simulate(state: Dict[str, Any], config: PhysicsConfig, delta_time: Array,

@@ -1,0 +1,271 @@
+"""Scene load/store in the reference's `.scene` JSON format.
+
+Rebuild of ResourceSystem's scene pipeline (include/garden/system/resource.
+hpp:463-476 loadScene/storeScene/clearScene; format written by
+source/system/resource.cpp:2357,2559-2700): a top-level `entities` array,
+each entity a `{"components": [{".type": <name>, ...fields}]}` list;
+transforms carry a `uid` string and reference parents by uid; physics
+constraints and links resolve uids in a post-deserialize pass
+(physics.hpp:777-782). Scenes double as the engine's checkpoints
+(SURVEY.md section 5.4).
+
+Systems participate by registering (serialize, deserialize) hooks per
+component name — the ISerializable analog. Built-in hooks cover transform,
+camera and rigidbody components.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from garden_tpu.core.ecs import World
+from garden_tpu.systems.link import LinkSystem
+
+SerializeFn = Callable[[World, int], Optional[Dict[str, Any]]]
+DeserializeFn = Callable[[World, int, Dict[str, Any], "SceneContext"], None]
+
+
+class SceneContext:
+    """Deserialization context: uid -> entity map + post-resolve hooks."""
+
+    def __init__(self) -> None:
+        self.uid_to_entity: Dict[str, int] = {}
+        self.post_hooks: List[Callable[[], None]] = []
+
+
+class SceneSerializer:
+    """Registry of per-component serialize/deserialize hooks."""
+
+    def __init__(self, world: World) -> None:
+        self.world = world
+        self._hooks: Dict[str, Tuple[SerializeFn, DeserializeFn]] = {}
+        self._register_builtins()
+
+    def register(self, component: str, serialize: SerializeFn,
+                 deserialize: DeserializeFn) -> None:
+        self._hooks[component] = (serialize, deserialize)
+
+    # -- store ---------------------------------------------------------------
+
+    def store_scene(self, path: Optional[str] = None) -> Dict[str, Any]:
+        """Serialize all alive entities; returns (and optionally writes) the
+        scene dict in the reference JSON shape."""
+        world = self.world
+        link: Optional[LinkSystem] = world.systems.get("LinkSystem")  # type: ignore
+        entities = []
+        tstore = world._stores.get("transform")
+        for e in range(world.capacity):
+            if not world._alive[e]:
+                continue
+            if tstore is not None and tstore["has"][e] and tstore["do_not_serialize"][e]:
+                continue
+            comps = []
+            for name, (ser, _de) in self._hooks.items():
+                if name in world._stores and not world._stores[name]["has"][e]:
+                    continue
+                data = ser(world, e)
+                if data is not None:
+                    comps.append({".type": name, **data})
+            if comps:
+                entities.append({"components": comps})
+        scene = {"entities": entities}
+        if path:
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(scene, f, indent=1)
+        return scene
+
+    # -- load ----------------------------------------------------------------
+
+    def load_scene(self, source) -> List[int]:
+        """Load a scene dict / JSON file; returns created entity ids."""
+        if isinstance(source, str):
+            with open(source, "r", encoding="utf-8") as f:
+                scene = json.load(f)
+        else:
+            scene = source
+        world = self.world
+        ctx = SceneContext()
+        created: List[int] = []
+        pending: List[Tuple[int, str, Dict[str, Any]]] = []
+
+        # pass 1: create entities, collect uids
+        for edata in scene.get("entities", []):
+            e = world.create_entity()
+            created.append(e)
+            for comp in edata.get("components", []):
+                name = comp[".type"]
+                uid = comp.get("uid")
+                if uid:
+                    ctx.uid_to_entity[uid] = e
+                pending.append((e, name, comp))
+
+        # pass 2: deserialize components
+        for e, name, comp in pending:
+            hook = self._hooks.get(name)
+            if hook is None:
+                continue
+            hook[1](world, e, comp, ctx)
+
+        # pass 3: cross-reference resolution (physics.hpp:777-782 analog)
+        for fn in ctx.post_hooks:
+            fn()
+        return created
+
+    def clear_scene(self) -> None:
+        """Destroy all entities except DoNotDestroy (resource.cpp:2533)."""
+        world = self.world
+        tstore = world._stores.get("transform")
+        link: Optional[LinkSystem] = world.systems.get("LinkSystem")  # type: ignore
+        for e in range(world.capacity):
+            if not world._alive[e]:
+                continue
+            if tstore is not None and tstore["has"][e] and tstore["do_not_destroy"][e]:
+                continue
+            if link is not None:
+                link.remove(e)
+            world.destroy_entity(e)
+
+    # -- built-in component hooks ---------------------------------------------
+
+    def _register_builtins(self) -> None:
+        world = self.world
+
+        def ser_transform(w: World, e: int) -> Optional[Dict[str, Any]]:
+            s = w._stores.get("transform")
+            if s is None or not s["has"][e]:
+                return None
+            link: Optional[LinkSystem] = w.systems.get("LinkSystem")  # type: ignore
+            out: Dict[str, Any] = {}
+            if link is not None:
+                out["uid"] = link.uuid_of(e) or link.add_link(e)
+            out["position"] = [float(v) for v in s["position"][e]]
+            out["rotation"] = [float(v) for v in s["rotation"][e]]
+            out["scale"] = [float(v) for v in s["scale"][e]]
+            if not s["active"][e]:
+                out["isActive"] = False
+            parent = int(s["parent"][e])
+            if parent >= 0 and link is not None:
+                out["parent"] = link.uuid_of(parent) or link.add_link(parent)
+            return out
+
+        def de_transform(w: World, e: int, d: Dict[str, Any], ctx: SceneContext) -> None:
+            w.add_component(
+                e, "transform",
+                position=d.get("position", [0, 0, 0]),
+                rotation=d.get("rotation", [0, 0, 0, 1]),
+                scale=d.get("scale", [1, 1, 1]),
+                active=d.get("isActive", True),
+            )
+            link: Optional[LinkSystem] = w.systems.get("LinkSystem")  # type: ignore
+            if d.get("uid") and link is not None:
+                link.add_link(e, d["uid"])
+            parent_uid = d.get("parent")
+            if parent_uid:
+                def resolve(e=e, parent_uid=parent_uid):
+                    p = ctx.uid_to_entity.get(parent_uid)
+                    if p is None and link is not None:
+                        p = link.find_by_uuid(parent_uid)
+                    if p is not None:
+                        w.set_component(e, "transform", parent=p)
+                ctx.post_hooks.append(resolve)
+
+        self.register("transform", ser_transform, de_transform)
+
+        def ser_camera(w: World, e: int) -> Optional[Dict[str, Any]]:
+            s = w._stores.get("camera")
+            if s is None or not s["has"][e]:
+                return None
+            if int(s["proj_type"][e]) == 0:
+                return {
+                    "projection": "perspective",
+                    "fieldOfView": float(s["fov_y"][e]),
+                    "aspectRatio": float(s["aspect"][e]),
+                    "nearPlane": float(s["near"][e]),
+                }
+            return {
+                "projection": "orthographic",
+                "extents": [float(v) for v in s["ortho_extents"][e]],
+            }
+
+        def de_camera(w: World, e: int, d: Dict[str, Any], ctx: SceneContext) -> None:
+            if d.get("projection", "perspective") == "perspective":
+                w.add_component(e, "camera", proj_type=0,
+                                fov_y=d.get("fieldOfView", 0.9),
+                                aspect=d.get("aspectRatio", 16 / 9),
+                                near=d.get("nearPlane", 0.1))
+            else:
+                w.add_component(e, "camera", proj_type=1,
+                                ortho_extents=d.get("extents",
+                                                    [-1, 1, -1, 1, -1, 1]))
+
+        self.register("camera", ser_camera, de_camera)
+
+        def ser_rigidbody(w: World, e: int) -> Optional[Dict[str, Any]]:
+            s = w._stores.get("rigidbody")
+            if s is None or not s["has"][e]:
+                return None
+            phys = w.systems.get("PhysicsSystem")
+            if phys is None:
+                return None
+            b = int(s["body"][e])
+            bd = phys.physics._b
+            shapes = phys.physics.shapes
+            shape_idx = int(bd["shape"][b])
+            stype = int(shapes.types[shape_idx])
+            params = shapes.params[shape_idx]
+            from garden_tpu.physics import shapes as sh
+            shape_data: Dict[str, Any] = {"shapeType": sh.SHAPE_NAMES[stype]}
+            if stype == sh.SPHERE:
+                shape_data["radius"] = float(params[0])
+            elif stype == sh.BOX:
+                shape_data["halfExtent"] = [float(v) for v in params[:3]]
+                shape_data["convexRadius"] = float(params[3])
+            elif stype == sh.CAPSULE:
+                shape_data["radius"] = float(params[0])
+                shape_data["halfHeight"] = float(params[1])
+            elif stype == sh.PLANE:
+                shape_data["normal"] = [float(v) for v in params[:3]]
+                shape_data["distance"] = float(params[3])
+            return {
+                **shape_data,
+                "motionType": ["static", "kinematic", "dynamic"][int(bd["motion"][b])],
+                "linearVelocity": [float(v) for v in bd["linvel"][b]],
+                "angularVelocity": [float(v) for v in bd["angvel"][b]],
+                "friction": float(bd["friction"][b]),
+                "restitution": float(bd["restitution"][b]),
+                "isSensor": bool(bd["is_sensor"][b]),
+            }
+
+        def de_rigidbody(w: World, e: int, d: Dict[str, Any], ctx: SceneContext) -> None:
+            phys = w.systems.get("PhysicsSystem")
+            if phys is None:
+                return
+            from garden_tpu.physics import shapes as sh
+            from garden_tpu.physics import world as pw
+            st = d.get("shapeType", "box")
+            shapes = phys.physics.shapes
+            if st == "sphere":
+                shape = shapes.sphere(d.get("radius", 0.5))
+            elif st == "capsule":
+                shape = shapes.capsule(d.get("radius", 0.3), d.get("halfHeight", 0.5))
+            elif st == "plane":
+                shape = shapes.plane(tuple(d.get("normal", (0, 1, 0))),
+                                     d.get("distance", 0.0))
+            else:
+                shape = shapes.box(tuple(d.get("halfExtent", (0.5, 0.5, 0.5))),
+                                   d.get("convexRadius", 0.05))
+            motion = {"static": 0, "kinematic": 1, "dynamic": 2}[
+                d.get("motionType", "dynamic")]
+            phys.add_rigidbody(
+                e, shape, motion=motion,
+                linvel=tuple(d.get("linearVelocity", (0, 0, 0))),
+                angvel=tuple(d.get("angularVelocity", (0, 0, 0))),
+                friction=d.get("friction", 0.5),
+                restitution=d.get("restitution", 0.0),
+                is_sensor=d.get("isSensor", False),
+            )
+
+        self.register("rigidbody", ser_rigidbody, de_rigidbody)

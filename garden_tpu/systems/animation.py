@@ -1,0 +1,176 @@
+"""Animation system: keyframe tracks evaluated in the jitted step.
+
+Rebuild of AnimationSystem + the animation asset model (include/garden/
+animate.hpp: Animation = keyframe map per component type, AnimationFrame
+with interpolation function/coefficient; include/garden/system/animation.
+hpp:96, source/system/animation.cpp:155-178 — the reference fans evaluation
+across the foreground thread pool; here all tracks evaluate in one
+vectorized pass).
+
+Tracks are fixed-capacity device arrays: each track animates one entity's
+transform with up to KF keyframes (position lerp, rotation slerp, scale
+lerp — the TransformFrame property set, transform.hpp animation support).
+`.anim` JSON assets (resource.hpp:485) load via `load_animation`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from garden_tpu.core import math3d as m3
+from garden_tpu.core.ecs import ComponentDef, Field, System, World
+
+Array = jnp.ndarray
+
+ANIMATION = ComponentDef(
+    "animation",
+    {
+        "track": Field((), jnp.int32, -1),
+        "time": Field((), jnp.float32, 0.0),
+        "playing": Field((), jnp.bool_, True),
+        "looped": Field((), jnp.bool_, True),
+        "speed": Field((), jnp.float32, 1.0),
+    },
+)
+
+
+class AnimationSystem(System):
+    component = ANIMATION
+
+    def __init__(self, max_tracks: int = 64, max_keyframes: int = 32):
+        self.max_tracks = max_tracks
+        self.max_keyframes = max_keyframes
+        kf = max_keyframes
+        self._times = np.zeros((max_tracks, kf), np.float32)
+        self._pos = np.zeros((max_tracks, kf, 3), np.float32)
+        self._rot = np.tile(np.array([0, 0, 0, 1], np.float32),
+                            (max_tracks, kf, 1))
+        self._scale = np.ones((max_tracks, kf, 3), np.float32)
+        self._kf_count = np.zeros((max_tracks,), np.int32)
+        self._animate_mask = np.zeros((max_tracks, 3), bool)  # pos/rot/scale
+        self._count = 0
+
+    def attach(self, world: World) -> None:
+        super().attach(world)
+        world.events.subscribe("Update", self.update, priority=-10.0)
+
+    # -- host-side track building ---------------------------------------------
+
+    def add_track(self, keyframes) -> int:
+        """keyframes: list of dicts {time, position?, rotation?, scale?}."""
+        if self._count >= self.max_tracks:
+            raise RuntimeError("track capacity exhausted")
+        t = self._count
+        self._count += 1
+        n = min(len(keyframes), self.max_keyframes)
+        self._kf_count[t] = n
+        has_p = has_r = has_s = False
+        for i, kf in enumerate(keyframes[:n]):
+            self._times[t, i] = kf["time"]
+            if "position" in kf:
+                self._pos[t, i] = kf["position"]
+                has_p = True
+            elif i > 0:
+                self._pos[t, i] = self._pos[t, i - 1]
+            if "rotation" in kf:
+                self._rot[t, i] = kf["rotation"]
+                has_r = True
+            elif i > 0:
+                self._rot[t, i] = self._rot[t, i - 1]
+            if "scale" in kf:
+                self._scale[t, i] = kf["scale"]
+                has_s = True
+            elif i > 0:
+                self._scale[t, i] = self._scale[t, i - 1]
+        self._animate_mask[t] = (has_p, has_r, has_s)
+        # pad tail with the last keyframe so searchsorted clamps cleanly
+        for i in range(n, self.max_keyframes):
+            self._times[t, i] = self._times[t, n - 1] + 1e6
+            self._pos[t, i] = self._pos[t, n - 1]
+            self._rot[t, i] = self._rot[t, n - 1]
+            self._scale[t, i] = self._scale[t, n - 1]
+        return t
+
+    def load_animation(self, path: str) -> int:
+        """Load a `.anim` JSON keyframe file (resource.hpp:485 format:
+        a list of keyframe objects per transform property)."""
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+        return self.add_track(data["keyframes"] if "keyframes" in data else data)
+
+    def device_state(self) -> Dict[str, Array]:
+        return {
+            "times": jnp.asarray(self._times),
+            "pos": jnp.asarray(self._pos),
+            "rot": jnp.asarray(self._rot),
+            "scale": jnp.asarray(self._scale),
+            "kf_count": jnp.asarray(self._kf_count),
+            "animate_mask": jnp.asarray(self._animate_mask),
+        }
+
+    # -- jitted evaluation ------------------------------------------------------
+
+    def update(self, state: Dict[str, Any], ctx: Dict[str, Any]) -> Dict[str, Any]:
+        comp = state["components"].get("animation")
+        tracks = state.get("animation_tracks")
+        if comp is None or tracks is None or "transform" not in state["components"]:
+            return state
+
+        dt = ctx["delta_time"]
+        track = jnp.maximum(comp["track"], 0)
+        active = comp["has"] & comp["playing"] & (comp["track"] >= 0)
+
+        last_i = jnp.maximum(tracks["kf_count"][track] - 1, 0)
+        duration = jnp.take_along_axis(
+            tracks["times"][track], last_i[:, None], axis=1)[:, 0]
+        t = comp["time"] + dt * comp["speed"] * active
+        t = jnp.where(comp["looped"] & (duration > 0),
+                      jnp.mod(t, jnp.maximum(duration, 1e-6)),
+                      jnp.minimum(t, duration))
+
+        times = tracks["times"][track]                       # (E, KF)
+        hi = jnp.clip(
+            jnp.sum((times <= t[:, None]).astype(jnp.int32), axis=1),
+            1, self.max_keyframes - 1,
+        )
+        lo = hi - 1
+
+        def take(arr, idx):
+            return jnp.take_along_axis(
+                arr[track], idx[:, None, None] if arr.ndim == 3 else idx[:, None],
+                axis=1)
+
+        t_lo = jnp.take_along_axis(times, lo[:, None], axis=1)[:, 0]
+        t_hi = jnp.take_along_axis(times, hi[:, None], axis=1)[:, 0]
+        alpha = jnp.clip((t - t_lo) / jnp.maximum(t_hi - t_lo, 1e-6), 0.0, 1.0)
+
+        pos = m3.lerp(take(tracks["pos"], lo)[:, 0], take(tracks["pos"], hi)[:, 0],
+                      alpha[:, None])
+        # quat_slerp takes t with shape (E,) (it appends the component axis)
+        rot = m3.quat_slerp(take(tracks["rot"], lo)[:, 0],
+                            take(tracks["rot"], hi)[:, 0], alpha)
+        scale = m3.lerp(take(tracks["scale"], lo)[:, 0],
+                        take(tracks["scale"], hi)[:, 0], alpha[:, None])
+
+        mask = tracks["animate_mask"][track]                 # (E, 3)
+        tcomp = state["components"]["transform"]
+        # trace-time shape guards: a silent broadcast here corrupts the store
+        assert pos.shape == tcomp["position"].shape, pos.shape
+        assert rot.shape == tcomp["rotation"].shape, rot.shape
+        assert scale.shape == tcomp["scale"].shape, scale.shape
+        an_p = active & mask[:, 0] & tcomp["has"]
+        an_r = active & mask[:, 1] & tcomp["has"]
+        an_s = active & mask[:, 2] & tcomp["has"]
+        tcomp = dict(
+            tcomp,
+            position=jnp.where(an_p[:, None], pos, tcomp["position"]),
+            rotation=jnp.where(an_r[:, None], rot, tcomp["rotation"]),
+            scale=jnp.where(an_s[:, None], scale, tcomp["scale"]),
+        )
+        comp = dict(comp, time=jnp.where(active, t, comp["time"]))
+        return dict(state, components=dict(state["components"],
+                                           transform=tcomp, animation=comp))

@@ -1,0 +1,123 @@
+import json
+
+import numpy as np
+
+from garden_tpu.core.config import EngineConfig, PhysicsConfig
+from garden_tpu.engine import Engine
+from garden_tpu.ops import noise
+from garden_tpu.scene.scene import SceneSerializer
+from garden_tpu.systems.camera import CameraSystem
+from garden_tpu.systems.link import LinkSystem
+from garden_tpu.systems.physics import PhysicsSystem
+from garden_tpu.systems.transform import TransformSystem
+
+import jax.numpy as jnp
+
+
+def make_engine():
+    cfg = EngineConfig(capacity=32,
+                       physics=PhysicsConfig(max_bodies=32, grid_dim=8))
+    eng = Engine(cfg)
+    eng.create_system(TransformSystem())
+    eng.create_system(CameraSystem())
+    eng.create_system(LinkSystem())
+    eng.create_system(PhysicsSystem(cfg.physics))
+    eng.initialize()
+    return eng
+
+
+def test_scene_roundtrip(tmp_path):
+    eng = make_engine()
+    w = eng.world
+    phys = w.systems["PhysicsSystem"]
+
+    parent = w.create_entity()
+    w.add_component(parent, "transform", position=[1, 2, 3])
+    child = w.create_entity()
+    w.add_component(child, "transform", position=[0, 1, 0], parent=parent,
+                    scale=[2, 2, 2])
+    cam = w.create_entity()
+    w.add_component(cam, "transform", position=[0, 5, 10])
+    w.add_component(cam, "camera", fov_y=1.2)
+    ball = w.create_entity()
+    w.add_component(ball, "transform", position=[0, 3, 0])
+    phys.add_rigidbody(ball, phys.physics.shapes.sphere(0.5), restitution=0.4)
+
+    ser = SceneSerializer(w)
+    path = str(tmp_path / "test.scene")
+    scene = ser.store_scene(path)
+    assert len(scene["entities"]) == 4
+    # format check: reference shape (resource.cpp:2637)
+    comp0 = scene["entities"][0]["components"][0]
+    assert ".type" in comp0
+
+    # load into a fresh engine
+    eng2 = make_engine()
+    ser2 = SceneSerializer(eng2.world)
+    created = ser2.load_scene(path)
+    assert len(created) == 4
+
+    # hierarchy reconnected via uid
+    t = eng2.world._stores["transform"]
+    child2 = [e for e in created
+              if t["has"][e] and tuple(t["scale"][e]) == (2.0, 2.0, 2.0)][0]
+    p2 = int(t["parent"][child2])
+    assert p2 >= 0 and tuple(t["position"][p2]) == (1.0, 2.0, 3.0)
+
+    # camera restored
+    cams = eng2.world._stores["camera"]
+    cam2 = [e for e in created if cams["has"][e]][0]
+    assert abs(float(cams["fov_y"][cam2]) - 1.2) < 1e-6
+
+    # rigidbody restored with restitution
+    phys2 = eng2.world.systems["PhysicsSystem"]
+    rb = eng2.world._stores["rigidbody"]
+    ball2 = [e for e in created if rb["has"][e]][0]
+    b2 = int(rb["body"][ball2])
+    assert abs(float(phys2.physics._b["restitution"][b2]) - 0.4) < 1e-6
+
+    # clear_scene leaves nothing
+    ser2.clear_scene()
+    assert eng2.world.entity_count() == 0
+
+
+def test_clear_scene_respects_do_not_destroy():
+    eng = make_engine()
+    w = eng.world
+    keep = w.create_entity()
+    w.add_component(keep, "transform", do_not_destroy=True)
+    gone = w.create_entity()
+    w.add_component(gone, "transform")
+    SceneSerializer(w).clear_scene()
+    assert w.is_alive(keep) and not w.is_alive(gone)
+
+
+def test_do_not_serialize():
+    eng = make_engine()
+    w = eng.world
+    e = w.create_entity()
+    w.add_component(e, "transform", do_not_serialize=True)
+    scene = SceneSerializer(w).store_scene()
+    assert scene["entities"] == []
+
+
+def test_noise_kernels():
+    xs = jnp.linspace(0.0, 10.0, 64)
+    gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
+    n = np.asarray(noise.perlin2(gx, gy))
+    assert n.shape == (64, 64)
+    assert -1.5 < n.min() and n.max() < 1.5
+    assert n.std() > 0.1  # actually varies
+    # determinism + seed variation
+    n2 = np.asarray(noise.perlin2(gx, gy))
+    np.testing.assert_array_equal(n, n2)
+    n3 = np.asarray(noise.perlin2(gx, gy, seed=1))
+    assert not np.allclose(n, n3)
+    # 3D + fbm + terrain
+    z = jnp.ones_like(gx)
+    n3d = np.asarray(noise.perlin3(gx, gy, z))
+    assert n3d.std() > 0.1
+    f = np.asarray(noise.fbm(noise.perlin2, gx, gy, octaves=4))
+    assert f.std() > 0.05
+    hm = np.asarray(noise.terrain_heightmap(32))
+    assert hm.shape == (32, 32) and np.isfinite(hm).all() and hm.std() > 0.5
