@@ -21,6 +21,7 @@ from garden_tpu.core.config import RenderConfig
 from garden_tpu.render import bloom as bloom_mod
 from garden_tpu.render import csm as csm_mod
 from garden_tpu.render import fxaa as fxaa_mod
+from garden_tpu.render import oit as oit_mod
 from garden_tpu.render import gbuffer, hbao, lighting, mesh, raster, tonemap
 
 Array = jnp.ndarray
@@ -81,10 +82,11 @@ class DeferredRenderer:
         world_pos, world_nrm = mesh.transform_vertices(scene, inst_matrices)
         tri_valid = self.cull_instances(scene, inst_matrices, constants)
 
-        # G-buffer raster (visibility buffer)
+        # G-buffer raster (visibility buffer); translucents go to OIT
+        translucent = scene["tri_translucent"]
         clip = m3.apply_mat4_h(constants["view_proj"], world_pos)
         vis, setup = raster.render_pass(
-            clip, scene["indices"], tri_valid, w, h,
+            clip, scene["indices"], tri_valid & ~translucent, w, h,
             cfg.tile_size, cfg.max_tris_per_tile,
         )
         g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos, world_nrm)
@@ -117,8 +119,44 @@ class DeferredRenderer:
             ao = hbao.compute_hbao(g["position"], g["normal"], g["visible"],
                                    constants["camera_pos"])
 
-        # HdrRender: PBR lighting resolve + sky
-        hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao)
+        # HdrRender: PBR lighting resolve + sky.
+        # With atmosphere on: physical sky raymarch for background pixels,
+        # SH irradiance for diffuse ambient, reflected-ray sky for specular
+        # ambient (AtmosphereRenderSystem + PbrLighting SH path)
+        if cfg.use_atmosphere:
+            from garden_tpu.render import atmosphere as atm
+            to_light = -constants["light_dir"]
+            rays = lighting.view_rays(g, constants)
+            sky = atm.sky_radiance(rays, to_light)
+            sh = atm.sky_sh(to_light)
+            refl = m3.reflect(-jnp.broadcast_to(
+                m3.normalize(constants["camera_pos"] - g["position"]),
+                g["normal"].shape), g["normal"])
+            spec_amb = atm.sky_radiance(refl, to_light, steps=4)
+            hdr = lighting.resolve(
+                g, constants, shadow=shadow, ao=ao,
+                ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
+            )
+        else:
+            hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao)
+
+        # OIT pass: translucent triangles accumulate over the opaque HDR
+        # (OitRenderSystem composite, oit.hpp:38)
+        if cfg.use_oit:
+            tsetup = raster.setup_triangles(
+                clip, scene["indices"], tri_valid & translucent, w, h)
+            ttiles, tcounts = raster.bin_triangles(
+                tsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
+            mat_id = scene["inst_material"][
+                jnp.maximum(scene["tri_instance"], 0)]
+            mat = scene["materials"][mat_id]
+            # simple translucent shading: tinted ambient + emissive
+            tri_colors = jnp.concatenate(
+                [mat[:, 0:3] * 0.8 + mat[:, 5:8], mat[:, 9:10]], axis=-1)
+            accum, reveal = oit_mod.rasterize_oit(
+                tsetup, tri_colors, ttiles, tcounts, vis["depth"],
+                w, h, cfg.tile_size)
+            hdr = oit_mod.composite(hdr, accum, reveal)
 
         # LdrRender: bloom -> auto exposure -> tone map
         if cfg.use_bloom:

@@ -41,15 +41,37 @@ def sky_color(view_dir: Array, light_dir: Array) -> Array:
     return jnp.where((up < 0.0)[..., None], ground, sky) * (0.5 + zenith[..., None])
 
 
+def view_rays(g: Dict[str, Array], constants: Dict[str, Array]) -> Array:
+    """Per-pixel world-space ray directions from the inverse projection."""
+    h, w = g["depth"].shape
+    cam = constants["camera_pos"]
+    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    ndc = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)  # (H, W, 2)
+    clip = jnp.concatenate(
+        [ndc, jnp.full(ndc.shape[:-1] + (1,), 0.5), jnp.ones(ndc.shape[:-1] + (1,))],
+        axis=-1,
+    )
+    world = m3.einsum("ij,hwj->hwi", constants["inv_view_proj"], clip)
+    return m3.normalize(world[..., :3] / jnp.maximum(world[..., 3:4], 1e-9) - cam)
+
+
 def resolve(
     g: Dict[str, Array],
     constants: Dict[str, Array],
     sun_intensity: float = 4.0,
-    shadow: Optional[Array] = None,   # (H, W) 1 = lit
-    ao: Optional[Array] = None,       # (H, W)
+    shadow: Optional[Array] = None,     # (H, W) 1 = lit
+    ao: Optional[Array] = None,         # (H, W)
     ambient_intensity: float = 0.35,
+    ambient_sh: Optional[Array] = None,  # (9, 3) sky SH radiance
+    sky: Optional[Array] = None,         # (H, W, 3) physical sky radiance
+    specular_ambient: Optional[Array] = None,  # (H, W, 3) env reflection
 ) -> Array:
-    """G-buffer + constants -> HDR radiance (H, W, 3)."""
+    """G-buffer + constants -> HDR radiance (H, W, 3).
+
+    Without atmosphere inputs, falls back to the analytic `sky_color` and a
+    hemisphere ambient. With `ambient_sh`/`sky` (from render/atmosphere.py)
+    this matches the reference's PbrLighting SH-irradiance + IBL path."""
     cam = constants["camera_pos"]
     # light_dir in constants points from the sun toward the scene; shading
     # uses the direction toward the light
@@ -64,26 +86,30 @@ def resolve(
     if shadow is not None:
         direct = direct * shadow[..., None]
 
-    sky_up = jnp.array([0.45, 0.55, 0.70]) * ambient_intensity
-    ground_dn = jnp.array([0.12, 0.10, 0.08]) * ambient_intensity
-    amb = brdf.ambient(g["normal"], g["base_color"], g["metallic"],
-                       sky_up, ground_dn)
+    if ambient_sh is not None:
+        from garden_tpu.render import atmosphere as atm
+        irradiance = atm.sh_irradiance(g["normal"], ambient_sh)
+        diffuse_color = g["base_color"] * (1.0 - g["metallic"][..., None])
+        amb = diffuse_color * irradiance
+    else:
+        sky_up = jnp.array([0.45, 0.55, 0.70]) * ambient_intensity
+        ground_dn = jnp.array([0.12, 0.10, 0.08]) * ambient_intensity
+        amb = brdf.ambient(g["normal"], g["base_color"], g["metallic"],
+                           sky_up, ground_dn)
+    if specular_ambient is not None:
+        nov = jnp.maximum(m3.dot(g["normal"], v), 1e-4)
+        f0 = brdf.f0_from_material(g["base_color"], g["metallic"],
+                                   g["reflectance"])
+        fres = brdf.f_schlick(nov, f0)
+        smooth = (1.0 - g["roughness"][..., None]) ** 2
+        amb = amb + specular_ambient * fres * smooth
     if ao is not None:
         amb = amb * ao[..., None]
 
     radiance = direct + amb + g["emissive"]
 
-    # sky for non-covered pixels, ray direction from the inverse projection
-    h, w = g["depth"].shape
-    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-    y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
-    ndc = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)  # (H, W, 2)
-    clip = jnp.concatenate(
-        [ndc, jnp.full(ndc.shape[:-1] + (1,), 0.5), jnp.ones(ndc.shape[:-1] + (1,))],
-        axis=-1,
-    )
-    world = m3.einsum("ij,hwj->hwi", constants["inv_view_proj"], clip)
-    dirs = m3.normalize(world[..., :3] / jnp.maximum(world[..., 3:4], 1e-9) - cam)
-    background = sky_color(dirs, l)
+    if sky is None:
+        dirs = view_rays(g, constants)
+        sky = sky_color(dirs, l)
 
-    return jnp.where(g["visible"][..., None], radiance, background)
+    return jnp.where(g["visible"][..., None], radiance, sky)

@@ -141,6 +141,7 @@ class Material:
     roughness: float = 0.5
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     reflectance: float = 0.5
+    alpha: float = 1.0  # < 1 routes the instance through the OIT pass
 
 
 class SceneBuffers:
@@ -193,6 +194,7 @@ class SceneBuffers:
         self.materials[m, 4] = mat.roughness
         self.materials[m, 5:8] = mat.emissive
         self.materials[m, 8] = mat.reflectance
+        self.materials[m, 9] = mat.alpha
         self._m += 1
         return m
 
@@ -224,6 +226,13 @@ class SceneBuffers:
         self.inst_aabb_max[inst] = mesh.positions.max(axis=0)
         return inst
 
+    def tri_translucent_mask(self):
+        import numpy as _np
+        inst_alpha = self.materials[self.inst_material[:, None], 9][:, 0]
+        translucent_inst = inst_alpha < 1.0
+        ti = _np.maximum(self.tri_instance, 0)
+        return translucent_inst[ti] & (self.tri_instance >= 0)
+
     def device_arrays(self) -> Dict[str, Array]:
         return {
             "positions": jnp.asarray(self.positions),
@@ -231,6 +240,7 @@ class SceneBuffers:
             "uvs": jnp.asarray(self.uvs),
             "indices": jnp.asarray(self.indices),
             "tri_valid": jnp.asarray(self.tri_valid),
+            "tri_translucent": jnp.asarray(self.tri_translucent_mask()),
             "tri_instance": jnp.asarray(self.tri_instance),
             "vert_instance": jnp.asarray(self.vert_instance),
             "inst_material": jnp.asarray(self.inst_material),
