@@ -9,6 +9,12 @@ import json
 import time
 
 import jax
+
+# persistent compiled-program cache: the step program compiles slowly through
+# the axon remote-compile tunnel; the cache makes repeat runs instant
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +49,9 @@ def build_world(n: int = 10240) -> tuple:
 def main() -> None:
     w, cfg, count = build_world()
     state = w.device_state()
-    stepf = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0), donate_argnums=0)
+    types = w.shapes.present_types()
+    stepf = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0, types),
+                    donate_argnums=0)
     state = stepf(state)
     jax.block_until_ready(state)
 

@@ -26,6 +26,9 @@ class PhysicsConfig:
 
     max_bodies: int = 4096
     max_contacts_per_body: int = 16
+    # contact slots kept per body after narrowphase compaction: the solver
+    # iterates over this much smaller layout (HBM-traffic bound)
+    max_active_contacts: int = 16
     simulation_rate: int = 60           # fixed-step Hz
     collision_steps: int = 1
     solver_iterations: int = 10         # velocity solver iterations

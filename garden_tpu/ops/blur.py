@@ -1,0 +1,94 @@
+"""Shared image-process kernels: blurs and downsamples.
+
+Rebuild of GpuProcessSystem (include/garden/system/render/gpu-process.hpp:29,
+shaders/process/*: box/bilateral/gaussian blurs, normal-aware downsample,
+GGX blur chains used by reflections/refraction). All separable filters are
+expressed as dense shifted adds — XLA fuses the taps into one pass.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def _shift2d(x: Array, dy: int, dx: int) -> Array:
+    """Edge-clamped shift (image semantics)."""
+    h, w = x.shape[0], x.shape[1]
+    pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))) + \
+        tuple(((0, 0),) * (x.ndim - 2))
+    xp = jnp.pad(x, pad, mode="edge")
+    return xp[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
+
+
+def gaussian_kernel(radius: int, sigma: Optional[float] = None) -> np.ndarray:
+    sigma = sigma or max(radius / 2.0, 1e-3)
+    xs = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: Array, radius: int = 2, sigma: Optional[float] = None) -> Array:
+    """Separable gaussian blur (process/gaussian-blur.frag)."""
+    k = gaussian_kernel(radius, sigma)
+    out = jnp.zeros_like(img)
+    for i, wgt in enumerate(k):
+        out = out + _shift2d(img, 0, i - radius) * wgt
+    img2 = out
+    out = jnp.zeros_like(img)
+    for i, wgt in enumerate(k):
+        out = out + _shift2d(img2, i - radius, 0) * wgt
+    return out
+
+
+def box_blur(img: Array, radius: int = 1) -> Array:
+    """Box blur (process/box-blur.frag)."""
+    n = 2 * radius + 1
+    out = jnp.zeros_like(img)
+    for d in range(-radius, radius + 1):
+        out = out + _shift2d(img, 0, d)
+    img2 = out / n
+    out = jnp.zeros_like(img)
+    for d in range(-radius, radius + 1):
+        out = out + _shift2d(img2, d, 0)
+    return out / n
+
+
+def bilateral_blur(img: Array, guide_depth: Array, radius: int = 2,
+                   depth_sigma: float = 0.1) -> Array:
+    """Depth-aware (bilateral) blur — used for AO/shadow denoise
+    (process/bilateral-blur.frag)."""
+    k = gaussian_kernel(radius)
+    acc = jnp.zeros_like(img)
+    wacc = jnp.zeros(img.shape[:2] + (1,) * (img.ndim - 2), img.dtype)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            wgt = k[dy + radius] * k[dx + radius]
+            d = _shift2d(guide_depth, dy, dx)
+            dw = jnp.exp(-jnp.abs(d - guide_depth) / depth_sigma)
+            w = wgt * dw
+            while w.ndim < img.ndim:
+                w = w[..., None]
+            acc = acc + _shift2d(img, dy, dx) * w
+            wacc = wacc + w
+    return acc / jnp.maximum(wacc, 1e-6)
+
+
+def downsample2x(img: Array) -> Array:
+    h, w = img.shape[0] & ~1, img.shape[1] & ~1
+    x = img[:h, :w]
+    return x.reshape((h // 2, 2, w // 2, 2) + x.shape[2:]).mean(axis=(1, 3))
+
+
+def ggx_blur_chain(img: Array, levels: int = 4) -> list:
+    """Progressively blurred mip chain for rough reflections (the reference's
+    GGX blur chain for refraction, deferred.cpp:584-604)."""
+    chain = [img]
+    for _ in range(levels):
+        chain.append(downsample2x(gaussian_blur(chain[-1], radius=1)))
+    return chain

@@ -86,9 +86,24 @@ def find_candidates(
     sentinel = grid_dim ** 3 + 1
     key = jnp.where(active & ~is_global, key, sentinel)
 
-    # 2. sort bodies by key
+    # 2. sort bodies by key and build a dense cell->run table.
+    # (A binary-search lookup — jnp.searchsorted — costs ~60ms and ~9min of
+    # compile at 10K bodies on TPU: it serializes dependent gathers. The
+    # dense table is two cheap scatters + direct gathers: ~10x faster.)
     order = jnp.argsort(key)
     sorted_key = key[order]
+    n_cells = grid_dim ** 3 + 2  # + sentinel cell + 1 spare
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    run_end = jnp.concatenate(
+        [sorted_key[1:] != sorted_key[:-1], jnp.ones((1,), bool)])
+    start_tab = jnp.full((n_cells,), n, jnp.int32).at[
+        jnp.where(run_start, sorted_key, n_cells)
+    ].set(idxs, mode="drop")
+    end_tab = jnp.zeros((n_cells,), jnp.int32).at[
+        jnp.where(run_end, sorted_key, n_cells)
+    ].set(idxs + 1, mode="drop")
 
     # 3. candidate gather from 27 neighbor cells
     offs = jnp.array(
@@ -96,10 +111,10 @@ def find_candidates(
         dtype=jnp.int32,
     )  # (27,)
     # neighbor cell keys per body: (N, 27); clamp-generated duplicates at the
-    # grid border are deduped by the i<j + overlap masks downstream
-    ncell = key[:, None] + offs[None, :]
-    start = jnp.searchsorted(sorted_key, ncell, side="left")   # (N, 27)
-    end = jnp.searchsorted(sorted_key, ncell, side="right")    # (N, 27)
+    # grid border are deduped by the overlap masks downstream
+    ncell = jnp.clip(key[:, None] + offs[None, :], 0, n_cells - 1)
+    start = start_tab[ncell]                                   # (N, 27)
+    end = end_tab[ncell]                                       # (N, 27)
     take = jnp.arange(cand_per_cell, dtype=jnp.int32)          # (C,)
     gather_pos = start[:, :, None] + take[None, None, :]       # (N, 27, C)
     in_range = gather_pos < end[:, :, None]

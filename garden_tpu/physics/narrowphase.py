@@ -290,12 +290,17 @@ def generate_contacts(
     pos: Array, quat: Array, stype: Array, params: Array,
     pair_i: Array, pair_j: Array, pair_valid: Array,
     margin: float,
+    present_types: frozenset = None,
 ) -> Dict[str, Array]:
     """Contact manifolds for candidate pairs.
 
     pair_i/pair_j: int32[P] body indices; returns manifolds with shape
     (P, MAX_POINTS, ...) plus bodies `a`/`b` per pair. Pairs are canonically
     ordered so that type(a) <= type(b) (normals flip when swapped).
+
+    `present_types` (static, from ShapeTable.present_types()) prunes kernels
+    for shape types the scene doesn't contain — a trace-time specialization,
+    like the reference's pipeline variants.
     """
     ta, tb = stype[pair_i], stype[pair_j]
     swap = ta > tb
@@ -311,31 +316,43 @@ def generate_contacts(
     kernels = []
     conds = []
 
-    def add(cond, man):
-        conds.append(cond)
-        kernels.append(man)
+    def have(*types) -> bool:
+        return present_types is None or all(t in present_types for t in types)
 
-    add((ta == sh.SPHERE) & (tb == sh.SPHERE),
-        sphere_sphere(pa, prm_a[..., 0], pb, prm_b[..., 0], margin))
-    add((ta == sh.SPHERE) & (tb == sh.BOX),
-        sphere_box(pa, prm_a[..., 0], pb, qb, prm_b[..., :3], margin))
-    add((ta == sh.SPHERE) & (tb == sh.CAPSULE),
-        _flip(capsule_sphere(pb, qb, prm_b[..., 0], prm_b[..., 1],
-                             pa, prm_a[..., 0], margin)))
-    add((ta == sh.SPHERE) & (tb == sh.PLANE),
-        sphere_plane(pa, prm_a[..., 0], n_w, d_w, margin))
-    add((ta == sh.BOX) & (tb == sh.BOX),
-        box_box(pa, qa, prm_a[..., :3], pb, qb, prm_b[..., :3], margin))
-    add((ta == sh.BOX) & (tb == sh.CAPSULE),
-        _flip(capsule_box(pb, qb, prm_b[..., 0], prm_b[..., 1],
-                          pa, qa, prm_a[..., :3], margin)))
-    add((ta == sh.BOX) & (tb == sh.PLANE),
-        box_plane(pa, qa, prm_a[..., :3], n_w, d_w, margin))
-    add((ta == sh.CAPSULE) & (tb == sh.CAPSULE),
-        capsule_capsule(pa, qa, prm_a[..., 0], prm_a[..., 1],
-                        pb, qb, prm_b[..., 0], prm_b[..., 1], margin))
-    add((ta == sh.CAPSULE) & (tb == sh.PLANE),
-        capsule_plane(pa, qa, prm_a[..., 0], prm_a[..., 1], n_w, d_w, margin))
+    def add(cond, man_fn):
+        conds.append(cond)
+        kernels.append(man_fn())
+
+    if have(sh.SPHERE):
+        add((ta == sh.SPHERE) & (tb == sh.SPHERE),
+            lambda: sphere_sphere(pa, prm_a[..., 0], pb, prm_b[..., 0], margin))
+    if have(sh.SPHERE, sh.BOX):
+        add((ta == sh.SPHERE) & (tb == sh.BOX),
+            lambda: sphere_box(pa, prm_a[..., 0], pb, qb, prm_b[..., :3], margin))
+    if have(sh.SPHERE, sh.CAPSULE):
+        add((ta == sh.SPHERE) & (tb == sh.CAPSULE),
+            lambda: _flip(capsule_sphere(pb, qb, prm_b[..., 0], prm_b[..., 1],
+                                         pa, prm_a[..., 0], margin)))
+    if have(sh.SPHERE, sh.PLANE):
+        add((ta == sh.SPHERE) & (tb == sh.PLANE),
+            lambda: sphere_plane(pa, prm_a[..., 0], n_w, d_w, margin))
+    if have(sh.BOX):
+        add((ta == sh.BOX) & (tb == sh.BOX),
+            lambda: box_box(pa, qa, prm_a[..., :3], pb, qb, prm_b[..., :3], margin))
+    if have(sh.BOX, sh.CAPSULE):
+        add((ta == sh.BOX) & (tb == sh.CAPSULE),
+            lambda: _flip(capsule_box(pb, qb, prm_b[..., 0], prm_b[..., 1],
+                                      pa, qa, prm_a[..., :3], margin)))
+    if have(sh.BOX, sh.PLANE):
+        add((ta == sh.BOX) & (tb == sh.PLANE),
+            lambda: box_plane(pa, qa, prm_a[..., :3], n_w, d_w, margin))
+    if have(sh.CAPSULE):
+        add((ta == sh.CAPSULE) & (tb == sh.CAPSULE),
+            lambda: capsule_capsule(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                                    pb, qb, prm_b[..., 0], prm_b[..., 1], margin))
+    if have(sh.CAPSULE, sh.PLANE):
+        add((ta == sh.CAPSULE) & (tb == sh.PLANE),
+            lambda: capsule_plane(pa, qa, prm_a[..., 0], prm_a[..., 1], n_w, d_w, margin))
 
     out = _empty_manifold(pair_i.shape)
     for field in ("point", "normal", "pen", "valid"):

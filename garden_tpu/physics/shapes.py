@@ -93,6 +93,10 @@ class ShapeTable:
     def count(self) -> int:
         return self._count
 
+    def present_types(self) -> frozenset:
+        """Static set of shape types in use (trace-time kernel pruning)."""
+        return frozenset(int(t) for t in self.types[: self._count])
+
 
 # ---------------------------------------------------------------------------
 # Batched shape queries (device-side, indexed by per-body shape arrays)

@@ -188,8 +188,12 @@ class PhysicsWorld:
 # ---------------------------------------------------------------------------
 
 
-def collide(state: Dict[str, Any], config: PhysicsConfig) -> Dict[str, Array]:
-    """Broadphase + narrowphase -> flattened contact point list."""
+def collide(state: Dict[str, Any], config: PhysicsConfig,
+            present_types: Any = None) -> Dict[str, Array]:
+    """Broadphase + narrowphase -> compacted per-body contact rows.
+
+    `present_types`: static frozenset from ShapeTable.present_types() for
+    trace-time narrowphase kernel pruning."""
     b = state["bodies"]
     shapes_t = state["shapes"]
     stype = shapes_t["type"][b["shape"]]
@@ -219,6 +223,7 @@ def collide(state: Dict[str, Any], config: PhysicsConfig) -> Dict[str, Array]:
         b["pos"], b["quat"], stype, params,
         pair_i, pair_j, pair_valid,
         margin=config.speculative_margin,
+        present_types=present_types,
     )
     # re-orient: manifold normals point A->B in canonical (type-sorted)
     # order; the row layout wants row-body -> partner
@@ -228,7 +233,7 @@ def collide(state: Dict[str, Any], config: PhysicsConfig) -> Dict[str, Array]:
     # (N, S) symmetric row layout, S = K * MAX_POINTS (solver.py docstring)
     mp = narrowphase.MAX_POINTS
     s = k * mp
-    return {
+    contacts = {
         "partner": jnp.broadcast_to(
             cand_idx[:, :, None], (n, k, mp)).reshape(n, s),
         "point": man["point"].reshape(n, s, 3),
@@ -237,9 +242,29 @@ def collide(state: Dict[str, Any], config: PhysicsConfig) -> Dict[str, Array]:
         "valid": man["valid"].reshape(n, s),
     }
 
+    # compact rows to the active-contact budget: the solver loop is HBM
+    # traffic bound, and the raw layout is ~95% padding. top_k keeps the
+    # first `max_active_contacts` valid slots per row in stable order;
+    # `slot` maps back into the full layout for warm-impulse persistence.
+    s_act = min(config.max_active_contacts, s)
+    rank = jnp.where(contacts["valid"],
+                     s - jnp.arange(s, dtype=jnp.int32)[None, :], 0)
+    _, sel = jax.lax.top_k(rank, s_act)                    # (N, s_act)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    compact = {
+        "partner": contacts["partner"][rows, sel],
+        "point": contacts["point"][rows, sel],
+        "normal": contacts["normal"][rows, sel],
+        "pen": contacts["pen"][rows, sel],
+        "valid": contacts["valid"][rows, sel],
+        "slot": sel,
+    }
+    return compact
+
 
 def step(state: Dict[str, Any], config: PhysicsConfig,
-         dt: Optional[float] = None) -> Dict[str, Any]:
+         dt: Optional[float] = None,
+         present_types: Any = None) -> Dict[str, Any]:
     """One fixed physics step (the Jolt PhysicsSystem::Update analog)."""
     if dt is None:
         dt = 1.0 / config.simulation_rate
@@ -259,14 +284,21 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     b = dict(b, linvel=linvel, angvel=angvel)
     state = dict(state, bodies=b)
 
-    contacts = collide(state, config)
-    linvel, angvel, warm = solver.solve_velocity(
+    contacts = collide(state, config, present_types)
+    rows = jnp.arange(b["pos"].shape[0], dtype=jnp.int32)[:, None]
+    warm_compact = {k: v[rows, contacts["slot"]] for k, v in state["warm"].items()}
+    linvel, angvel, warm_c = solver.solve_velocity(
         b, contacts, dt,
         iterations=config.solver_iterations,
         baumgarte=config.baumgarte,
         slop=config.penetration_slop,
-        warm=state["warm"],
+        warm=warm_compact,
     )
+    # persist impulses back into the full slot layout for warm starting
+    warm = {
+        k: jnp.zeros_like(state["warm"][k]).at[rows, contacts["slot"]].set(v)
+        for k, v in warm_c.items()
+    }
 
     # integrate (semi-implicit Euler; kinematic bodies keep prescribed vel)
     moving = ((b["motion"] == DYNAMIC) | (b["motion"] == KINEMATIC)) & b["has"]
@@ -306,7 +338,8 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
 
 
 def simulate(state: Dict[str, Any], config: PhysicsConfig, delta_time: Array,
-             max_steps_per_tick: int = 4) -> Dict[str, Any]:
+             max_steps_per_tick: int = 4,
+             present_types: Any = None) -> Dict[str, Any]:
     """Fixed-rate accumulator stepping with cascade-lag recovery.
 
     Mirrors PhysicsSystem::simulate (physics.cpp:1154-1222): accumulate
@@ -334,7 +367,7 @@ def simulate(state: Dict[str, Any], config: PhysicsConfig, delta_time: Array,
 
     def body(i, st):
         did = i < nsteps
-        stepped = step(st, config, h)
+        stepped = step(st, config, h, present_types)
         return jax.tree_util.tree_map(
             lambda new, old: jnp.where(did, new, old), stepped, st
         )

@@ -60,7 +60,8 @@ class PhysicsSystem(System):
 
     def update(self, state: Dict[str, Any], ctx: Dict[str, Any]) -> Dict[str, Any]:
         phys = state["physics"]
-        phys = pw.simulate(phys, self.config, ctx["delta_time"])
+        phys = pw.simulate(phys, self.config, ctx["delta_time"],
+                           present_types=self.physics.shapes.present_types())
         state = dict(state, physics=phys)
         if "transform" in state["components"]:
             state = self.sync_transforms(state)

@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garden_tpu.core.config import PhysicsConfig
+from garden_tpu.parallel.worlds import WorldBatch
+from garden_tpu.physics import world as pw
+from garden_tpu.utils import checkpoint
+
+
+def build_state():
+    cfg = PhysicsConfig(max_bodies=16, grid_dim=8)
+    w = pw.PhysicsWorld(cfg)
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    w.add_body(w.shapes.sphere(0.5), position=(0, 3, 0))
+    return w.device_state(), cfg
+
+
+def test_world_batch_over_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    state, cfg = build_state()
+    wb = WorldBatch(lambda s: pw.step(s, cfg, 1.0 / 60.0), n_worlds=8)
+
+    def vary(s, i):
+        b = s["bodies"]
+        pos = b["pos"].at[1, 1].add(0.1 * i.astype(jnp.float32))
+        return dict(s, bodies=dict(b, pos=pos))
+
+    batched = wb.replicate(state, vary_fn=vary)
+    for _ in range(30):
+        batched = wb.step(batched)
+
+    ys = np.asarray(batched["bodies"]["pos"][:, 1, 1])
+    # worlds decorrelated: started at different heights -> different ys
+    assert len(np.unique(ys.round(4))) > 4
+    # all fell
+    assert (ys < 3.8).all()
+    # per-world extraction works
+    w0 = wb.world(batched, 0)
+    assert w0["bodies"]["pos"].shape == (16, 3)
+    # metric reduction over ICI
+    mean_y = wb.reduce(batched, lambda s: s["bodies"]["pos"][1, 1])
+    assert abs(float(mean_y) - ys.mean()) < 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state, cfg = build_state()
+    stepped = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0))(state)
+    path = str(tmp_path / "snap.npz")
+    checkpoint.save(path, stepped)
+    restored = checkpoint.load(path, stepped)
+    # bitwise identical resume
+    for a, b in zip(jax.tree_util.tree_leaves(stepped),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # continuing from the restored state matches continuing from the original
+    n1 = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0))(stepped)
+    n2 = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0))(restored)
+    np.testing.assert_array_equal(np.asarray(n1["bodies"]["pos"]),
+                                  np.asarray(n2["bodies"]["pos"]))
