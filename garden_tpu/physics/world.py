@@ -300,6 +300,16 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         for k, v in warm_c.items()
     }
 
+    # joint constraints (Fixed/Point, physics.hpp:368-373)
+    if "constraints" in state:
+        from garden_tpu.physics import constraints as con
+        b2 = dict(b, linvel=linvel, angvel=angvel)
+        linvel, angvel = con.solve_constraints(
+            b2, state["constraints"], dt,
+            iterations=config.solver_iterations // 2 + 1,
+            baumgarte=config.baumgarte,
+        )
+
     # integrate (semi-implicit Euler; kinematic bodies keep prescribed vel)
     moving = ((b["motion"] == DYNAMIC) | (b["motion"] == KINEMATIC)) & b["has"]
     pos = b["pos"] + jnp.where(moving[:, None], linvel * dt, 0.0)
@@ -321,6 +331,12 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
             iterations=config.position_iterations,
             slop=config.penetration_slop,
         )
+        if "constraints" in state:
+            from garden_tpu.physics import constraints as con
+            pos = con.project_positions(
+                pos, dict(b, quat=quat), state["constraints"],
+                iterations=config.position_iterations,
+            )
     b = dict(
         b,
         pos=pos,

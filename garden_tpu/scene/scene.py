@@ -80,10 +80,16 @@ class SceneSerializer:
     # -- load ----------------------------------------------------------------
 
     def load_scene(self, source) -> List[int]:
-        """Load a scene dict / JSON file; returns created entity ids."""
+        """Load a scene dict / JSON file / packed BSON file (the shipping
+        format, json-serialize.hpp:92-108); returns created entity ids."""
         if isinstance(source, str):
-            with open(source, "r", encoding="utf-8") as f:
-                scene = json.load(f)
+            if source.endswith(".bson"):
+                from garden_tpu.assets import bson
+                with open(source, "rb") as f:
+                    scene = bson.loads(f.read())
+            else:
+                with open(source, "r", encoding="utf-8") as f:
+                    scene = json.load(f)
         else:
             scene = source
         world = self.world

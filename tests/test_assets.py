@@ -1,0 +1,95 @@
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garden_tpu.assets import bson
+from garden_tpu.assets.model import load_obj, save_obj
+from garden_tpu.ops.cubemap import equi_to_cube, sample_cubemap
+from garden_tpu.render.mesh import cube as make_cube
+
+
+OBJ_TRI = """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 0 1
+f 1/1 2/2 3/3
+"""
+
+OBJ_QUAD = """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f 1 2 3 4
+"""
+
+
+def test_obj_triangle_with_generated_normals():
+    m = load_obj(OBJ_TRI, from_string=True)
+    assert m.vertex_count == 3 and m.triangle_count == 1
+    np.testing.assert_allclose(m.normals, [[0, 0, 1]] * 3, atol=1e-6)
+    np.testing.assert_allclose(m.uvs, [[0, 0], [1, 0], [0, 1]])
+
+
+def test_obj_quad_fan_triangulation():
+    m = load_obj(OBJ_QUAD, from_string=True)
+    assert m.triangle_count == 2
+    assert m.vertex_count == 4  # dedup
+
+
+def test_obj_save_load_roundtrip(tmp_path):
+    m = make_cube(0.5)
+    p = str(tmp_path / "cube.obj")
+    save_obj(m, p)
+    m2 = load_obj(p)
+    assert m2.triangle_count == m.triangle_count
+    np.testing.assert_allclose(
+        sorted(map(tuple, m2.positions.tolist())),
+        sorted(map(tuple, m.positions.tolist())), atol=1e-5)
+
+
+def test_bson_roundtrip():
+    doc = {
+        "entities": [
+            {"components": [
+                {".type": "transform", "position": [1.0, 2.0, 3.0],
+                 "isActive": True, "parent": None, "count": 3}
+            ]}
+        ],
+        "version": "1.0",
+    }
+    data = bson.dumps(doc)
+    out = bson.loads(data)
+    assert out == doc
+
+
+def test_json2bson_tool(tmp_path):
+    jp = str(tmp_path / "a.scene")
+    bp = str(tmp_path / "a.bson")
+    doc = {"entities": [{"components": [{".type": "camera", "fieldOfView": 0.9}]}]}
+    with open(jp, "w") as f:
+        json.dump(doc, f)
+    bson.json2bson(jp, bp)
+    with open(bp, "rb") as f:
+        assert bson.loads(f.read()) == doc
+
+
+def test_equi_to_cube_direction_colors():
+    # equirect where each pixel encodes its longitude band color
+    h, w = 32, 64
+    equi = np.zeros((h, w, 3), np.float32)
+    equi[:, : w // 2, 0] = 1.0   # west half red
+    equi[:, w // 2:, 2] = 1.0    # east half blue
+    cube = equi_to_cube(jnp.asarray(equi), 16)
+    assert cube.shape == (6, 16, 16, 3)
+    # up face mixes; +z face center: lon 0 -> x = w/2 -> blue half
+    pz_center = np.asarray(cube[4, 8, 8])
+    assert pz_center[2] > pz_center[0]
+    # sampling matches the face it came from
+    c = sample_cubemap(cube, jnp.array([[0.0, 0.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(c[0]), pz_center, atol=0.2)

@@ -1,0 +1,68 @@
+import os
+import time
+
+from garden_tpu.core.ecs import World
+from garden_tpu.systems.input import InputSystem
+from garden_tpu.systems.misc import AppInfo, AppInfoSystem, FileWatcherSystem, LocaleSystem
+
+
+def test_input_edge_detection():
+    inp = InputSystem()
+    inp.push_key_down("w")
+    inp.push_cursor(10, 20)
+    inp.swap()
+    assert inp.is_down("w") and inp.was_pressed("w") and not inp.was_released("w")
+    assert inp.cursor == (10, 20)
+    # held: no longer 'pressed'
+    inp.swap()
+    assert inp.is_down("w") and not inp.was_pressed("w")
+    inp.push_key_up("w")
+    inp.push_cursor(15, 20)
+    inp.swap()
+    assert not inp.is_down("w") and inp.was_released("w")
+    assert inp.cursor_delta == (5, 0)
+
+
+def test_input_text_and_drops():
+    inp = InputSystem()
+    inp.push_text("he")
+    inp.push_text("llo")
+    inp.push_file_drop("/tmp/model.obj")
+    inp.swap()
+    assert inp.text == "hello"
+    assert inp.dropped_files == ["/tmp/model.obj"]
+    inp.swap()
+    assert inp.text == "" and inp.dropped_files == []
+
+
+def test_locale():
+    loc = LocaleSystem("en")
+    loc.load_locale("en", {"menu.start": "Start"})
+    loc.load_locale("de", {"menu.start": "Starten"})
+    assert loc.get("menu.start") == "Start"
+    loc.set_locale("de")
+    assert loc.get("menu.start") == "Starten"
+    assert loc.get("missing.key") == "missing.key"
+    assert loc.get("missing.key", "fallback") == "fallback"
+
+
+def test_file_watcher(tmp_path):
+    p = tmp_path / "shader.gsl"
+    p.write_text("v1")
+    fw = FileWatcherSystem()
+    fw.watch(str(p))
+    changes = []
+    fw.on_change(changes.append)
+    assert fw.poll() == []
+    time.sleep(0.01)
+    os.utime(str(p), (time.time() + 1, time.time() + 1))
+    assert fw.poll() == [str(p)]
+    assert changes == [str(p)]
+
+
+def test_app_info(tmp_path):
+    info = AppInfo(name="demo", cache_path=str(tmp_path / "cache"))
+    s = AppInfoSystem(info)
+    path = s.cache_path("pipelines.bin")
+    assert os.path.isdir(str(tmp_path / "cache"))
+    assert path.endswith("pipelines.bin")
