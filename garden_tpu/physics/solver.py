@@ -163,7 +163,7 @@ def solve_velocity(
         dang = m3.einsum("nij,nj->ni", inv_inertia_w, torque) * ang_factor
         return linvel + dlin, angvel + dang
 
-    def iteration(carry):
+    def iteration(_, carry):
         linvel, angvel, acc_n, acc_t1, acc_t2 = carry
 
         v = rel_vel(linvel, angvel)
@@ -205,12 +205,13 @@ def solve_velocity(
     else:
         acc_n0 = acc_t10 = acc_t20 = zeros
 
-    # unrolled: XLA fuses across iterations (a fori_loop here compiles to a
-    # ~40MB executable on this backend and runs ~20x slower — measured)
-    carry = (linvel0, angvel0, acc_n0, acc_t10, acc_t20)
-    for _ in range(iterations):
-        carry = iteration(carry)
-    linvel, angvel, acc_n, acc_t1, acc_t2 = carry
+    # fori_loop, not Python-unrolled: the iteration is gather-bound, so
+    # unrolling buys no runtime (measured: 27.59 vs 27.57 ms) while its
+    # compile time explodes through the remote-compile tunnel
+    linvel, angvel, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
+        0, iterations, iteration,
+        (linvel0, angvel0, acc_n0, acc_t10, acc_t20),
+    )
     return linvel, angvel, {"n": acc_n, "t1": acc_t1, "t2": acc_t2}
 
 
