@@ -75,7 +75,11 @@ class RenderConfig:
     use_auto_exposure: bool = True
     use_fxaa: bool = True
     use_atmosphere: bool = True
+    use_clouds: bool = False
     use_oit: bool = True
+    # internal render scale (the DLSS/upscaling hook, graphics.hpp:139
+    # useUpscaling/scaledFrameSize): <1 renders smaller and upsamples
+    render_scale: float = 1.0
     use_velocity: bool = False
     bloom_mip_count: int = 5
     exposure_histogram_bins: int = 256  # reference: auto-exposure.hpp:65

@@ -146,6 +146,40 @@ def mass_properties(stype: Array, params: Array, density: Array
     return mass, inertia
 
 
+def mass_properties_np(stype: int, params: np.ndarray, density: float
+                       ) -> Tuple[float, np.ndarray]:
+    """Host-side scalar mass properties (numpy; used by add_body so world
+    construction never dispatches device ops)."""
+    params = np.asarray(params, np.float64)
+    density = float(density)
+    if stype == SPHERE:
+        r = params[0]
+        m = density * (4.0 / 3.0) * np.pi * r ** 3
+        i = 0.4 * m * r * r
+        return m, np.array([i, i, i], np.float32)
+    if stype == BOX:
+        hx, hy, hz = params[:3]
+        m = density * 8.0 * hx * hy * hz
+        return m, np.array([
+            m / 3.0 * (hy * hy + hz * hz),
+            m / 3.0 * (hx * hx + hz * hz),
+            m / 3.0 * (hx * hx + hy * hy),
+        ], np.float32)
+    if stype == CAPSULE:
+        r, hh = params[0], params[1]
+        cyl_m = density * np.pi * r * r * (2.0 * hh)
+        hem_m = density * (2.0 / 3.0) * np.pi * r ** 3
+        m = cyl_m + 2.0 * hem_m
+        cyl_iy = 0.5 * cyl_m * r * r
+        cyl_ix = cyl_m * (3.0 * r * r + (2.0 * hh) ** 2) / 12.0
+        hem_iy = 0.4 * hem_m * r * r
+        hem_ix = hem_iy + hem_m * (hh + 3.0 * r / 8.0) ** 2
+        ix = cyl_ix + 2.0 * hem_ix
+        iy = cyl_iy + 2.0 * hem_iy
+        return m, np.array([ix, iy, ix], np.float32)
+    return 1.0, np.ones(3, np.float32)
+
+
 def local_aabb(stype: Array, params: Array) -> Tuple[Array, Array]:
     """Shape-local AABB half-extent box (min, max), batched."""
     r = params[..., 0]

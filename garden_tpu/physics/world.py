@@ -143,12 +143,9 @@ class PhysicsWorld:
         b["layer"][i] = layer
         b["is_global"][i] = stype == sh.PLANE
         if motion == DYNAMIC:
-            mass, inertia = sh.mass_properties(
-                jnp.asarray(stype), jnp.asarray(self.shapes.params[shape]),
-                jnp.asarray(self.shapes.density[shape]),
-            )
-            mass = float(mass)
-            inertia = np.asarray(inertia, np.float32)
+            # host-side numpy: 10K add_body calls must not dispatch device ops
+            mass, inertia = sh.mass_properties_np(
+                stype, self.shapes.params[shape], self.shapes.density[shape])
             if mass_override is not None:
                 inertia = inertia * (mass_override / mass)
                 mass = mass_override

@@ -76,7 +76,14 @@ class DeferredRenderer:
         frame_state: Dict[str, Array],
     ) -> Dict[str, Array]:
         cfg = self.config
-        w, h = cfg.width, cfg.height
+        # internal render scale (the DLSS/upscaling hook, graphics.hpp:139):
+        # all 3D passes run at the scaled size; LDR upsamples at the end
+        scale = cfg.render_scale
+        if scale != 1.0:
+            w = max(int(cfg.width * scale) // cfg.tile_size, 1) * cfg.tile_size
+            h = max(int(cfg.height * scale) // cfg.tile_size, 1) * cfg.tile_size
+        else:
+            w, h = cfg.width, cfg.height
 
         # PreDeferredRender: vertex transform + frustum cull
         world_pos, world_nrm = mesh.transform_vertices(scene, inst_matrices)
@@ -128,6 +135,11 @@ class DeferredRenderer:
             to_light = -constants["light_dir"]
             rays = lighting.view_rays(g, constants)
             sky = atm.sky_radiance(rays, to_light)
+            if cfg.use_clouds:
+                from garden_tpu.render import clouds as clouds_mod
+                crgb, calpha = clouds_mod.render_clouds(
+                    rays, to_light, time=constants["time"])
+                sky = clouds_mod.composite_clouds(sky, crgb, calpha)
             sh = atm.sky_sh(to_light)
             refl = m3.reflect(-jnp.broadcast_to(
                 m3.normalize(constants["camera_pos"] - g["position"]),
@@ -175,7 +187,12 @@ class DeferredRenderer:
         )
         ldr = tonemap.tone_map(hdr, exposure, mode=cfg.tone_mapper)
 
-        # AA on the LDR buffer (fxaa.hpp:37)
+        # upscale to display resolution (DlssRenderSystem's role)
+        if scale != 1.0:
+            import jax
+            ldr = jax.image.resize(ldr, (cfg.height, cfg.width, 3), "linear")
+
+        # AA on the LDR buffer (fxaa.hpp:37), at display resolution
         if cfg.use_fxaa:
             ldr = fxaa_mod.apply_fxaa(ldr)
 
