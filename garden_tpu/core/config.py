@@ -64,7 +64,7 @@ class RenderConfig:
 
     width: int = 1920
     height: int = 1080
-    tile_size: int = 64                 # raster screen tile edge (pixels)
+    tile_size: int = 128                # raster tile edge; TPU Pallas needs 128-lane alignment
     max_triangles: int = 65536
     max_tris_per_tile: int = 512
     max_instances: int = 1024

@@ -85,8 +85,8 @@ def render_cascades(
         # front faces only: sufficient for closed casters, and it keeps the
         # same winding convention as the main pass
         setup = raster.setup_triangles(clip, indices, tri_valid, size, size)
-        tiles, counts = raster.bin_triangles(setup, size, size, 64, max_per_tile)
-        maps.append(raster.rasterize_depth(setup, tiles, counts, size, size, 64))
+        tiles, counts = raster.bin_triangles(setup, size, size, 128, max_per_tile)
+        maps.append(raster.rasterize_depth(setup, tiles, counts, size, size, 128))
     return jnp.stack(maps)
 
 

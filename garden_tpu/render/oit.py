@@ -30,11 +30,15 @@ Array = jnp.ndarray
 
 def _oit_kernel(count_ref, data_ref, opaque_depth_ref,
                 acc_r_ref, acc_g_ref, acc_b_ref, acc_w_ref, reveal_ref,
-                *, tile: int):
+                *, tile: int, tiles_x: int):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    px = (tx * tile + 0.5) + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
-    py = (ty * tile + 0.5) + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
+    tile_idx = ty * tiles_x + tx
+    # tpu.iota must be integer-typed; cast after
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32)
+    px = (tx * tile + 0.5) + ix
+    py = (ty * tile + 0.5) + iy
 
     acc_r_ref[:] = jnp.zeros((tile, tile), jnp.float32)
     acc_g_ref[:] = jnp.zeros((tile, tile), jnp.float32)
@@ -67,7 +71,7 @@ def _oit_kernel(count_ref, data_ref, opaque_depth_ref,
         reveal_ref[:] = reveal_ref[:] * jnp.where(vis, 1.0 - alpha, 1.0)
         return 0
 
-    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+    jax.lax.fori_loop(0, count_ref[tile_idx, 0], body, 0)
 
 
 def rasterize_oit(
@@ -112,10 +116,10 @@ def rasterize_oit(
                              memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        functools.partial(_oit_kernel, tile=tile),
+        functools.partial(_oit_kernel, tile=tile, tiles_x=tiles_x),
         grid=(tiles_y, tiles_x),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0),
+            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),

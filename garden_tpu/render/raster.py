@@ -159,12 +159,16 @@ def bin_triangles(
     return tile_tris, counts
 
 
-def _raster_kernel(count_ref, data_ref, ids_ref, depth_ref, id_ref, b0_ref, b1_ref,
-                   *, tile: int):
+def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
+                   *, tile: int, tiles_x: int):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    px = (tx * tile + 0.5) + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
-    py = (ty * tile + 0.5) + jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
+    tile_idx = ty * tiles_x + tx
+    # tpu.iota must be integer-typed; cast after
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32)
+    px = (tx * tile + 0.5) + ix
+    py = (ty * tile + 0.5) + iy
 
     depth_ref[:] = jnp.zeros((tile, tile), jnp.float32)
     id_ref[:] = jnp.full((tile, tile), -1, jnp.int32)
@@ -172,7 +176,7 @@ def _raster_kernel(count_ref, data_ref, ids_ref, depth_ref, id_ref, b0_ref, b1_r
     b1_ref[:] = jnp.zeros((tile, tile), jnp.float32)
 
     def body(c, _):
-        d = data_ref[0, c]  # (16,)
+        d = data_ref[0, c]  # (16,) [coords..., tri_id as f32]
         x0, y0, x1, y1, x2, y2 = d[0], d[1], d[2], d[3], d[4], d[5]
         z0, z1, z2, inv_area = d[6], d[7], d[8], d[9]
         # edge functions: front faces are CW after the y-flip, so interior
@@ -186,14 +190,14 @@ def _raster_kernel(count_ref, data_ref, ids_ref, depth_ref, id_ref, b0_ref, b1_r
         b2 = e2 * inv_area
         z = b0 * z0 + b1 * z1 + b2 * z2
         keep = inside & (z > depth_ref[:]) & (z <= 1.0)
-        tri_id = ids_ref[0, c]
+        tri_id = d[10].astype(jnp.int32)
         depth_ref[:] = jnp.where(keep, z, depth_ref[:])
         id_ref[:] = jnp.where(keep, tri_id, id_ref[:])
         b0_ref[:] = jnp.where(keep, b0, b0_ref[:])
         b1_ref[:] = jnp.where(keep, b1, b1_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+    jax.lax.fori_loop(0, count_ref[tile_idx, 0], body, 0)
 
 
 def rasterize_visibility(
@@ -212,7 +216,9 @@ def rasterize_visibility(
     c = tile_tris.shape[1]
 
     # per-tile gathered triangle data (tiles, C, 16): 16-float records
-    # [x0 y0 x1 y1 x2 y2 z0 z1 z2 inv_area pad...] for aligned VMEM reads
+    # [x0 y0 x1 y1 x2 y2 z0 z1 z2 inv_area tri_id pad...]; the triangle id
+    # rides in the float record (exact for ids < 2^24) so the kernel needs
+    # no second indexed input
     safe = jnp.maximum(tile_tris, 0)
     zeros = jnp.zeros_like(setup["inv_area"][safe])
     data = jnp.stack(
@@ -222,7 +228,8 @@ def rasterize_visibility(
             setup["sx"][safe, 2], setup["sy"][safe, 2],
             setup["z"][safe, 0], setup["z"][safe, 1], setup["z"][safe, 2],
             setup["inv_area"][safe],
-            zeros, zeros, zeros, zeros, zeros, zeros,
+            tile_tris.astype(jnp.float32),
+            zeros, zeros, zeros, zeros, zeros,
         ],
         axis=-1,
     )  # (tiles, C, 16)
@@ -232,17 +239,17 @@ def rasterize_visibility(
                              memory_space=pltpu.VMEM)
     h_pad = tiles_y * tile
     w_pad = tiles_x * tile
+    # counts ride in SMEM as ONE full-array block (TPU blocks must be
+    # 8/128-aligned or whole-array); the kernel indexes by tile id
     counts2d = counts.reshape(n_tiles, 1)
 
     depth, tri_id, b0, b1 = pl.pallas_call(
-        functools.partial(_raster_kernel, tile=tile),
+        functools.partial(_raster_kernel, tile=tile, tiles_x=tiles_x),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0),
+            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_block, out_block, out_block, out_block),
@@ -253,7 +260,7 @@ def rasterize_visibility(
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         ),
         interpret=_interpret(),
-    )(counts2d, data, tile_tris)
+    )(counts2d, data)
 
     return {
         "depth": depth[:height, :width],
