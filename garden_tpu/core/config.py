@@ -97,6 +97,27 @@ class EngineConfig:
     world_batch: int = 1                # leading batch axis for multi-world
 
 
+# quality presets (GraphicsQuality PotatoPC..Ultra, graphics.hpp:53-56)
+QUALITY_PRESETS = {
+    "potato": dict(use_shadows=False, use_hbao=False, use_bloom=False,
+                   use_atmosphere=False, use_fxaa=False, use_oit=False,
+                   render_scale=0.5),
+    "low": dict(use_hbao=False, use_bloom=False, render_scale=0.75,
+                shadow=ShadowConfig(map_size=512, cascade_count=2)),
+    "medium": dict(shadow=ShadowConfig(map_size=1024)),
+    "high": dict(shadow=ShadowConfig(map_size=2048)),
+    "ultra": dict(use_clouds=True, shadow=ShadowConfig(map_size=2048,
+                                                       pcf_radius=2)),
+}
+
+
+def render_quality(quality: str = "medium", **overrides) -> "RenderConfig":
+    """RenderConfig from a quality preset name."""
+    kw = dict(QUALITY_PRESETS[quality])
+    kw.update(overrides)
+    return RenderConfig(**kw)
+
+
 def _to_dict(obj: Any) -> Any:
     if dataclasses.is_dataclass(obj):
         return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}

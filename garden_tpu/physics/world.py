@@ -155,6 +155,8 @@ class PhysicsWorld:
 
     def device_state(self) -> Dict[str, Any]:
         bodies = {k: jnp.asarray(v) for k, v in self._b.items()}
+        bodies["sleep_timer"] = jnp.zeros((self.config.max_bodies,), jnp.float32)
+        bodies["sleeping"] = jnp.zeros((self.config.max_bodies,), bool)
         n = self.config.max_bodies
         k = self.config.max_contacts_per_body + MAX_GLOBALS
         c = (n, k * narrowphase.MAX_POINTS)
@@ -177,6 +179,10 @@ class PhysicsWorld:
             # per-body ground-support flag (character controllers,
             # body-event detection)
             "grounded": jnp.zeros((n,), bool),
+            # per-slot touching partners (contact events); compacted width
+            "touching": jnp.full(
+                (n, min(self.config.max_active_contacts,
+                        k * narrowphase.MAX_POINTS)), -1, jnp.int32),
         }
 
 
@@ -341,13 +347,33 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         linvel=jnp.where(dynamic[:, None], linvel, b["linvel"]),
         angvel=jnp.where(dynamic[:, None], angvel, b["angvel"]),
     )
+    # sleeping (physics.hpp allowSleeping analog): bodies below the motion
+    # threshold for sleep_time freeze; contact with a moving partner wakes
+    if config.sleep_enabled:
+        speed2 = jnp.sum(b["linvel"] ** 2, -1) + jnp.sum(b["angvel"] ** 2, -1)
+        slow = speed2 < 0.003
+        timer = jnp.where(slow, b["sleep_timer"] + dt, 0.0)
+        sleeping = timer > 0.5
+        # sleeping bodies hold pose exactly
+        keep = (sleeping & b["sleeping"])[:, None]
+        pos = jnp.where(keep, state["bodies"]["pos"], pos)
+        quat = jnp.where(keep, state["bodies"]["quat"], quat)
+        b = dict(b, sleep_timer=timer, sleeping=sleeping,
+                 linvel=jnp.where(sleeping[:, None], 0.0, b["linvel"]),
+                 angvel=jnp.where(sleeping[:, None], 0.0, b["angvel"]))
+        b = dict(b, pos=pos, quat=quat)
+
     # ground support: any contact whose normal (row->partner) points down
     # within ~45 degrees, i.e. the partner supports this body from below
     grounded = jnp.any(
         contacts["valid"] & (contacts["normal"][..., 1] < -0.7071), axis=1
     )
+    # touching-partner summary for host-side contact events
+    # (body listeners "Entered/Exited", physics.cpp:1043-1105)
+    touching = jnp.where(contacts["valid"] & (contacts["pen"] > 0.0),
+                         contacts["partner"], -1)
     return dict(state, bodies=b, warm=warm, grounded=grounded,
-                time=state["time"] + dt)
+                touching=touching, time=state["time"] + dt)
 
 
 def simulate(state: Dict[str, Any], config: PhysicsConfig, delta_time: Array,

@@ -112,32 +112,47 @@ def resolve_shadow(
 
     # normal-offset bias (csm.hpp bias settings)
     offset_pos = position + normal * cfg.bias_normal
+    hpos = jnp.concatenate([offset_pos, jnp.ones_like(position[..., :1])], -1)
 
-    lvp = light_view_projs[cascade]                       # (H, W, 4, 4)
-    h = m3.einsum("hwij,hwj->hwi",
-                  lvp, jnp.concatenate([offset_pos,
-                                        jnp.ones_like(position[..., :1])], -1))
-    uvz = h[..., :3] / jnp.maximum(h[..., 3:4], 1e-9)
-    u = (uvz[..., 0] * 0.5 + 0.5) * size
-    v = (0.5 - uvz[..., 1] * 0.5) * size
+    # project into EVERY cascade densely and select (a (H,W)-indexed gather
+    # of per-pixel matrices lowers catastrophically on TPU; 3 dense einsums
+    # + selects are ~free)
+    u = jnp.zeros_like(view_depth)
+    v = jnp.zeros_like(view_depth)
+    z = jnp.zeros_like(view_depth)
+    for i in range(c_count):
+        h = m3.einsum("ij,hwj->hwi", light_view_projs[i], hpos)
+        uvz = h[..., :3] / jnp.maximum(h[..., 3:4], 1e-9)
+        sel = cascade == i
+        u = jnp.where(sel, (uvz[..., 0] * 0.5 + 0.5) * size, u)
+        v = jnp.where(sel, (0.5 - uvz[..., 1] * 0.5) * size, v)
+        z = jnp.where(sel, uvz[..., 2], z)
     # reverse-Z: lenient compare (z + bias >= occ) prevents self-shadow acne
-    z = uvz[..., 2] + cfg.bias_constant
+    z = z + cfg.bias_constant
 
     inside = (u >= 1) & (u < size - 1) & (v >= 1) & (v < size - 1)
 
-    # PCF 3x3: point is lit if its depth >= occluder depth (reverse-Z:
-    # bigger = closer; map stores nearest caster)
-    lit_acc = jnp.zeros_like(z)
-    taps = 0
-    r = cfg.pcf_radius
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            ui = jnp.clip(u.astype(jnp.int32) + dx, 0, size - 1)
-            vi = jnp.clip(v.astype(jnp.int32) + dy, 0, size - 1)
-            occ = shadow_maps[cascade, vi, ui]
-            lit_acc = lit_acc + jnp.where(z >= occ, 1.0, 0.0)
-            taps += 1
-    lit = lit_acc / taps
+    # single shadow-map tap + screen-space 3x3 smoothing of the binary
+    # factor: per-pixel gathers cost ~15ms each at 1080p on TPU, so the PCF
+    # softening moves from light space (9 gathers) to screen space (8 dense
+    # shifted adds, ~free) — visually equivalent for small radii
+    maps_flat = shadow_maps.reshape(-1)
+    flat = cascade * (size * size)         + jnp.clip(v.astype(jnp.int32), 0, size - 1) * size         + jnp.clip(u.astype(jnp.int32), 0, size - 1)
+    occ = maps_flat[flat]
+    lit = jnp.where(z >= occ, 1.0, 0.0)
+    lit = jnp.where(inside & in_range, lit, 1.0)
 
-    # facing away from the light is fully shadowed by shading anyway
-    return jnp.where(inside & in_range, lit, 1.0)
+    r = cfg.pcf_radius
+    if r > 0:
+        acc = jnp.zeros_like(lit)
+        n = 0
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                h_, w_ = lit.shape
+                pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0)))
+                sh = jnp.pad(lit, pad, mode="edge")[
+                    max(-dy, 0):max(-dy, 0) + h_, max(-dx, 0):max(-dx, 0) + w_]
+                acc = acc + sh
+                n += 1
+        lit = acc / n
+    return lit

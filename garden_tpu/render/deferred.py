@@ -96,7 +96,8 @@ class DeferredRenderer:
             clip, scene["indices"], tri_valid & ~translucent, w, h,
             cfg.tile_size, cfg.max_tris_per_tile,
         )
-        g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos, world_nrm)
+        g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos, world_nrm,
+                                  constants=constants)
 
         # shadows (CSM cascades; casters are not frustum-culled)
         shadow = None

@@ -45,7 +45,8 @@ class ForwardRenderer:
             clip, scene["indices"], scene["tri_valid"], w, h,
             cfg.tile_size, cfg.max_tris_per_tile,
         )
-        g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos, world_nrm)
+        g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos, world_nrm,
+                          constants=constants)
         hdr = lighting.resolve(g, constants)
         ldr = tonemap.tone_map(hdr, jnp.float32(exposure))
         out = {

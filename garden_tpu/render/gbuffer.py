@@ -1,16 +1,22 @@
 """Deferred G-buffer reconstruction from the visibility buffer.
 
 Rebuild of the reference's G-buffer contents (DeferredRenderSystem layout,
-include/garden/system/render/deferred.hpp:20-26,79-92: base color+material,
-metallic/roughness/AO/shadow, encoded normal+reflectance, depth) — here the
-raster stage only wrote (tri id, barycentrics, depth), and this pass gathers
-vertex/material attributes per pixel (visibility-buffer deferred shading).
-Perspective-correct interpolation uses the per-vertex 1/w from setup.
+include/garden/system/render/deferred.hpp:20-26,79-92) — the raster stage
+only wrote (tri id, barycentrics, depth); this pass reconstructs per-pixel
+shading inputs (visibility-buffer deferred shading).
+
+TPU shape: per-pixel gathers are the expensive op (measured ~5-15ms per
+gather at 1080p), so the pass does exactly ONE: all per-triangle shading
+data (3 vertex normals, 3 uvs, material row, instance id) is packed into a
+(T, 32) record at frame start (cheap 16K-row gathers) and fetched per pixel
+in a single row gather. World position is NOT gathered at all — it
+reconstructs from the depth buffer and the inverse view-projection, the
+classic deferred trick.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 
@@ -18,40 +24,89 @@ from garden_tpu.core import math3d as m3
 
 Array = jnp.ndarray
 
+REC_WIDTH = 32
+
+
+def pack_triangle_records(scene: Dict[str, Array], world_normals: Array) -> Array:
+    """(T, 32) per-triangle shading records: [n0 n1 n2 (9) | uv0 uv1 uv2 (6)
+    | material row (10) | instance (1) | pad]."""
+    idx = scene["indices"]                       # (T, 3)
+    n = world_normals[idx]                       # (T, 3, 3)
+    uv = scene["uvs"][idx]                       # (T, 3, 2)
+    inst = jnp.maximum(scene["tri_instance"], 0)
+    mat_id = scene["inst_material"][inst]
+    mat = scene["materials"][mat_id]             # (T, 10)
+    rec = jnp.concatenate(
+        [
+            n.reshape(-1, 9),
+            uv.reshape(-1, 6),
+            mat,
+            scene["tri_instance"].astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+    pad = REC_WIDTH - rec.shape[-1]
+    return jnp.pad(rec, ((0, 0), (0, pad)))
+
+
+def reconstruct_position(depth: Array, constants: Dict[str, Array]) -> Array:
+    """World position from reverse-Z depth + inverse view-projection."""
+    h, w = depth.shape
+    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    ndc = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)
+    clip = jnp.concatenate(
+        [ndc, jnp.maximum(depth, 1e-9)[..., None],
+         jnp.ones(ndc.shape[:-1] + (1,))], axis=-1)
+    world = m3.einsum("ij,hwj->hwi", constants["inv_view_proj"], clip)
+    return world[..., :3] / jnp.maximum(world[..., 3:4], 1e-9)
+
 
 def shade_gbuffer(
     vis: Dict[str, Array],
     setup: Dict[str, Array],
     scene: Dict[str, Array],
-    world_positions: Array,   # (V, 3) transformed vertex positions
+    world_positions: Array,   # (V, 3) kept for API compat (unused)
     world_normals: Array,     # (V, 3)
+    constants: Optional[Dict[str, Array]] = None,
+    records: Optional[Array] = None,
 ) -> Dict[str, Array]:
-    """Gather per-pixel attributes -> G-buffer planes (H, W, C)."""
+    """Reconstruct per-pixel attributes -> G-buffer planes (H, W, C)."""
     tri = jnp.maximum(vis["tri_id"], 0)          # (H, W)
     visible = vis["tri_id"] >= 0
-    idx = scene["indices"][tri]                  # (H, W, 3)
+
+    if records is None:
+        records = pack_triangle_records(scene, world_normals)
+    rec = records[tri]                           # (H, W, 32): the ONE gather
 
     b0 = vis["b0"]
     b1 = vis["b1"]
     b2 = 1.0 - b0 - b1
 
     # perspective-correct barycentrics: w_i = screen bary * (1/w_i), renorm
-    inv_w = setup["inv_w"][tri]                  # (H, W, 3)
+    inv_w = setup["inv_w"][tri]                  # second (cheap, (T,3)) gather
     pw = jnp.stack([b0, b1, b2], axis=-1) * inv_w
     pw = pw / jnp.maximum(jnp.sum(pw, axis=-1, keepdims=True), 1e-12)
 
-    def interp(attr: Array) -> Array:
-        """attr: (V, C) -> (H, W, C)"""
-        vals = attr[idx]                          # (H, W, 3, C)
-        return jnp.sum(vals * pw[..., None], axis=-2)
+    normal = m3.normalize(
+        rec[..., 0:3] * pw[..., 0:1]
+        + rec[..., 3:6] * pw[..., 1:2]
+        + rec[..., 6:9] * pw[..., 2:3]
+    )
+    uv = (rec[..., 9:11] * pw[..., 0:1]
+          + rec[..., 11:13] * pw[..., 1:2]
+          + rec[..., 13:15] * pw[..., 2:3])
 
-    position = interp(world_positions)
-    normal = m3.normalize(interp(world_normals))
-    uv = interp(scene["uvs"])
+    if constants is not None:
+        position = reconstruct_position(vis["depth"], constants)
+        position = jnp.where(visible[..., None], position, 0.0)
+    else:  # fallback: interpolate gathered vertex positions
+        idx = scene["indices"][tri]
+        vals = world_positions[idx]
+        position = jnp.sum(vals * pw[..., None], axis=-2)
 
-    inst = scene["tri_instance"][tri]             # (H, W)
-    mat_id = scene["inst_material"][jnp.maximum(inst, 0)]
-    mat = scene["materials"][mat_id]              # (H, W, 10)
+    mat = rec[..., 15:25]
+    inst = rec[..., 25].astype(jnp.int32)
 
     return {
         "visible": visible,

@@ -2,10 +2,15 @@
 
 Rebuild of HbaoRenderSystem (include/garden/system/render/hbao.hpp:39,
 source/system/render/hbao.cpp + shaders/hbao.frag): screen-space AO written
-into the PBR lighting AO buffer, here returned as an (H, W) factor. The
-sampling pattern is a fixed spiral of taps whose screen radius shrinks with
-view depth; occlusion falls off with distance (classic HBAO horizon test,
-simplified to VPU-friendly gathers on fixed offsets per tap ring).
+into the PBR lighting AO buffer, here returned as an (H, W) factor.
+
+TPU formulation: the classic per-pixel jittered taps are dynamic gathers,
+which lower to the slow generic-gather path (measured ~580ms at 1080p).
+Instead the taps use FIXED pixel offsets per ring — each tap is one
+edge-padded shift of the position buffer, a pure dense op — and the world-
+space falloff term keeps far-apart samples from occluding, which is what the
+depth-scaled radius bought. 2 rings x 8 directions = 16 shifted adds ~= a
+couple of ms, zero gathers.
 """
 
 from __future__ import annotations
@@ -14,14 +19,21 @@ import math
 from typing import Dict
 
 import jax.numpy as jnp
-import numpy as np
 
 from garden_tpu.core import math3d as m3
 
 Array = jnp.ndarray
 
 N_DIRS = 8
-N_STEPS = 2
+RING_RADII = (4, 11)  # fixed pixel radii (screen-space rings)
+
+
+def _shift2(x: Array, dy: int, dx: int) -> Array:
+    h, w = x.shape[0], x.shape[1]
+    pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))) + \
+        tuple(((0, 0),) * (x.ndim - 2))
+    xp = jnp.pad(x, pad, mode="edge")
+    return xp[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
 
 
 def compute_hbao(
@@ -31,33 +43,22 @@ def compute_hbao(
     camera_pos: Array,
     radius: float = 1.0,
     intensity: float = 1.0,
-    base_pixel_step: float = 8.0,
+    base_pixel_step: float = 8.0,  # kept for API compat; rings are fixed
 ) -> Array:
     """AO factor (H, W), 1 = unoccluded."""
-    h, w = visible.shape
-    dist = m3.length(position - camera_pos)
-
-    yy = jnp.arange(h, dtype=jnp.int32)
-    xx = jnp.arange(w, dtype=jnp.int32)
-    py, px = jnp.meshgrid(yy, xx, indexing="ij")
-
-    # screen-space step shrinks with distance (projective foreshortening)
-    step_px = jnp.clip(base_pixel_step * 10.0 / jnp.maximum(dist, 1e-3), 1.0, 32.0)
-
-    occlusion = jnp.zeros_like(dist)
+    occlusion = jnp.zeros(visible.shape, jnp.float32)
     total = 0
     for d in range(N_DIRS):
-        ang = 2.0 * math.pi * d / N_DIRS
-        dx, dy = math.cos(ang), math.sin(ang)
-        for s in range(1, N_STEPS + 1):
-            r = step_px * s / N_STEPS
-            sx = jnp.clip(px + (dx * r).astype(jnp.int32), 0, w - 1)
-            sy = jnp.clip(py + (dy * r).astype(jnp.int32), 0, h - 1)
-            sample_pos = position[sy, sx]
-            sample_vis = visible[sy, sx]
+        ang = 2.0 * math.pi * (d + 0.5) / N_DIRS
+        ux, uy = math.cos(ang), math.sin(ang)
+        for r_px in RING_RADII:
+            dy = int(round(uy * r_px))
+            dx = int(round(ux * r_px))
+            sample_pos = _shift2(position, dy, dx)
+            sample_vis = _shift2(visible, dy, dx)
             delta = sample_pos - position
             dlen = m3.length(delta)
-            # horizon: sample above the tangent plane occludes
+            # horizon test: sample above the tangent plane occludes
             sin_h = m3.dot(delta, normal) / jnp.maximum(dlen, 1e-6)
             falloff = jnp.clip(1.0 - dlen / radius, 0.0, 1.0)
             occ = jnp.clip(sin_h - 0.1, 0.0, 1.0) * falloff

@@ -159,45 +159,88 @@ def bin_triangles(
     return tile_tris, counts
 
 
+TRI_BLOCK = 8  # triangles processed per kernel iteration (sublane batch)
+
+
 def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
                    *, tile: int, tiles_x: int):
+    """Visibility raster, 8 triangles per iteration.
+
+    Pixels live flattened in the lane axis as (1, tile*tile); each iteration
+    loads a (8, 16) record block, evaluates edge functions for all 8
+    triangles as (8, tile*tile) VPU ops, tournament-reduces them to the
+    per-pixel nearest candidate, and merges once into the running buffers.
+    Scalar loads and loop management amortize 8x vs the per-triangle loop
+    (measured ~14x overhead in that form)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile_idx = ty * tiles_x + tx
+    n_px = tile * tile
     # tpu.iota must be integer-typed; cast after
-    ix = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32)
-    px = (tx * tile + 0.5) + ix
-    py = (ty * tile + 0.5) + iy
+    ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
+    col = (ixf % tile).astype(jnp.float32)
+    row = (ixf // tile).astype(jnp.float32)
+    px = (tx * tile + 0.5) + col            # (1, n_px)
+    py = (ty * tile + 0.5) + row
 
     depth_ref[:] = jnp.zeros((tile, tile), jnp.float32)
     id_ref[:] = jnp.full((tile, tile), -1, jnp.int32)
     b0_ref[:] = jnp.zeros((tile, tile), jnp.float32)
     b1_ref[:] = jnp.zeros((tile, tile), jnp.float32)
 
-    def body(c, _):
-        d = data_ref[0, c]  # (16,) [coords..., tri_id as f32]
-        x0, y0, x1, y1, x2, y2 = d[0], d[1], d[2], d[3], d[4], d[5]
-        z0, z1, z2, inv_area = d[6], d[7], d[8], d[9]
+    def body(cb, _):
+        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (8, 16)
+        x0 = d[:, 0:1]
+        y0 = d[:, 1:2]
+        x1 = d[:, 2:3]
+        y1 = d[:, 3:4]
+        x2 = d[:, 4:5]
+        y2 = d[:, 5:6]
+        z0 = d[:, 6:7]
+        z1 = d[:, 7:8]
+        z2 = d[:, 8:9]
+        inv_area = d[:, 9:10]
+        tri_id = d[:, 10:11]
         # edge functions: front faces are CW after the y-flip, so interior
-        # pixels have e_i >= 0 and e0+e1+e2 = -area > 0
+        # pixels have e_i >= 0 and e0+e1+e2 = -area > 0.  (8, n_px) each.
         e0 = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
         e1 = (px - x2) * (y0 - y2) - (py - y2) * (x0 - x2)
         e2 = (px - x0) * (y1 - y0) - (py - y0) * (x1 - x0)
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         b0 = e0 * inv_area
         b1 = e1 * inv_area
-        b2 = e2 * inv_area
-        z = b0 * z0 + b1 * z1 + b2 * z2
-        keep = inside & (z > depth_ref[:]) & (z <= 1.0)
-        tri_id = d[10].astype(jnp.int32)
-        depth_ref[:] = jnp.where(keep, z, depth_ref[:])
-        id_ref[:] = jnp.where(keep, tri_id, id_ref[:])
-        b0_ref[:] = jnp.where(keep, b0, b0_ref[:])
-        b1_ref[:] = jnp.where(keep, b1, b1_ref[:])
+        z = b0 * z0 + b1 * z1 + (1.0 - b0 - b1) * z2
+        # padded/invalid slots have inv_area == 0 -> z == z2 but tri_id < 0
+        cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
+        zc = jnp.where(cand, z, 0.0)
+
+        # tournament-reduce the 8 candidates to 1 per pixel
+        def merge(za, ia, ba, bb, zb, ib, b2a, b2b):
+            take_b = zb > za
+            return (jnp.where(take_b, zb, za), jnp.where(take_b, ib, ia),
+                    jnp.where(take_b, b2a, ba), jnp.where(take_b, b2b, bb))
+
+        zs, ids, b0s, b1s = zc, jnp.broadcast_to(tri_id, zc.shape), b0, b1
+        k = TRI_BLOCK
+        while k > 1:
+            h = k // 2
+            zs_a, zs_b = zs[:h], zs[h:k]
+            zs, ids, b0s, b1s = merge(
+                zs_a, ids[:h], b0s[:h], b1s[:h],
+                zs_b, ids[h:k], b0s[h:k], b1s[h:k])
+            k = h
+
+        z_new = zs.reshape(tile, tile)
+        keep = z_new > depth_ref[:]
+        depth_ref[:] = jnp.where(keep, z_new, depth_ref[:])
+        id_ref[:] = jnp.where(keep, ids.reshape(tile, tile).astype(jnp.int32),
+                              id_ref[:])
+        b0_ref[:] = jnp.where(keep, b0s.reshape(tile, tile), b0_ref[:])
+        b1_ref[:] = jnp.where(keep, b1s.reshape(tile, tile), b1_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, count_ref[tile_idx, 0], body, 0)
+    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
 def rasterize_visibility(
@@ -213,6 +256,9 @@ def rasterize_visibility(
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_tiles = tiles_x * tiles_y
+    if tile_tris.shape[1] % TRI_BLOCK:
+        pad = TRI_BLOCK - tile_tris.shape[1] % TRI_BLOCK
+        tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
     c = tile_tris.shape[1]
 
     # per-tile gathered triangle data (tiles, C, 16): 16-float records

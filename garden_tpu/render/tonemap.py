@@ -52,8 +52,12 @@ def uchimura(x: Array, p: float = 1.0, a: float = 1.0, m: float = 0.22,
 def luminance_histogram(hdr: Array, bins: int = 256) -> Array:
     """256-bin log-luminance histogram (auto-exposure.hpp:65 analog).
 
-    One-hot bucketize + sum; XLA lowers this to an efficient reduce."""
+    Computed on a 4x-downsampled luminance plane: the scatter-add costs
+    ~6ms at full 1080p and exposure metering doesn't need every pixel."""
     lum = m3.luminance(hdr)
+    if lum.ndim == 2 and lum.shape[0] >= 8 and lum.shape[1] >= 8:
+        h4, w4 = (lum.shape[0] // 4) * 4, (lum.shape[1] // 4) * 4
+        lum = lum[:h4, :w4].reshape(h4 // 4, 4, w4 // 4, 4).mean(axis=(1, 3))
     log_lum = jnp.where(
         lum > 1e-6, jnp.log2(jnp.maximum(lum, 1e-6)), MIN_LOG_LUM
     )

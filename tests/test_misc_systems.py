@@ -66,3 +66,41 @@ def test_app_info(tmp_path):
     path = s.cache_path("pipelines.bin")
     assert os.path.isdir(str(tmp_path / "cache"))
     assert path.endswith("pipelines.bin")
+
+
+def test_quality_presets():
+    from garden_tpu.core.config import render_quality
+    potato = render_quality("potato")
+    ultra = render_quality("ultra", width=640)
+    assert not potato.use_shadows and potato.render_scale == 0.5
+    assert ultra.use_clouds and ultra.shadow.map_size == 2048
+    assert ultra.width == 640
+
+
+def test_contact_events():
+    import numpy as np
+    from garden_tpu.systems.events import ContactEvents
+    ev = ContactEvents()
+    t1 = np.full((4, 3), -1); t1[0, 0] = 1; t1[1, 0] = 0
+    out = ev.process(t1)
+    assert out["entered"] == [(0, 1)] and out["exited"] == []
+    out = ev.process(t1)
+    assert out["stayed"] == [(0, 1)] and out["entered"] == []
+    t2 = np.full((4, 3), -1)
+    out = ev.process(t2)
+    assert out["exited"] == [(0, 1)]
+
+
+def test_fpv_controller():
+    from garden_tpu.systems.controller import FpvController
+    from garden_tpu.systems.input import InputSystem
+    inp = InputSystem()
+    fpv = FpvController(position=(0, 0, 0), yaw=0.0)
+    inp.push_key_down("w")
+    inp.swap()
+    fpv.process(inp, 1.0)
+    # default forward is -z
+    assert fpv.position[2] < -5.0
+    inp.push_cursor(100, 0); inp.swap(); inp.push_cursor(200, 0); inp.swap()
+    fpv.process(inp, 0.0)
+    assert fpv.yaw != 0.0
