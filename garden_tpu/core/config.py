@@ -34,7 +34,7 @@ class PhysicsConfig:
     solver_iterations: int = 10         # velocity solver iterations
     position_iterations: int = 2
     baumgarte: float = 0.2
-    speculative_margin: float = 0.02    # speculative contact distance
+    speculative_margin: float = 0.08    # speculative contact distance
     penetration_slop: float = 0.005
     gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0)
     cell_size: float = 2.0              # broadphase uniform-grid cell edge

@@ -162,6 +162,8 @@ def find_candidates(
         & layer_table[layer[:, None], layer[gidx_b]]
     )
 
-    cand_idx = jnp.concatenate([grid_idx, gidx_b], axis=1)
-    valid = jnp.concatenate([grid_valid, gvalid_b], axis=1)
+    # globals FIRST: contact compaction keeps the first valid slots, and
+    # dropping a ground-plane contact in a dense pile means tunneling
+    cand_idx = jnp.concatenate([gidx_b, grid_idx], axis=1)
+    valid = jnp.concatenate([gvalid_b, grid_valid], axis=1)
     return cand_idx.astype(jnp.int32), valid

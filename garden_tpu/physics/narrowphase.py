@@ -80,14 +80,16 @@ def sphere_sphere(pa, ra, pb, rb, margin):
     n = jnp.where(dist[..., None] < 1e-9,
                   jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), n.shape), n)
     pen = ra + rb - dist
-    point = pa + n * (ra - 0.5 * pen)[..., None]
+    # clamp the lever arm for deep penetrations (contact point stays on the
+    # body surface even if centers overlap)
+    point = pa + n * (ra - 0.5 * jnp.clip(pen, 0.0, ra))[..., None]
     return _one_point(pa.shape[:-1], point, n, pen, pen > -margin)
 
 
 def sphere_plane(pa, ra, n_w, d_w, margin):
     s = m3.dot(n_w, pa) + d_w
     pen = ra - s
-    point = pa - n_w * (ra - 0.5 * pen)[..., None]
+    point = pa - n_w * (ra - 0.5 * jnp.clip(pen, 0.0, ra))[..., None]
     # normal A(sphere) -> B(plane) is down into the plane
     return _one_point(pa.shape[:-1], point, -n_w, pen, pen > -margin)
 
@@ -212,7 +214,7 @@ def box_plane(pa, qa, half_a, n_w, d_w, margin):
     m["point"] = point
     m["normal"] = jnp.broadcast_to((-n_w)[..., None, :], point.shape)
     m["pen"] = top_pen
-    m["valid"] = top_pen > -margin
+    m["valid"] = top_pen > -jnp.asarray(margin)[..., None]
     return m
 
 
@@ -254,7 +256,7 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     dist = m3.einsum("...kj,...j->...k", axes, d)  # signed center distance
     overlap = r_a + r_b - jnp.abs(dist)  # (..., 6)
 
-    separated = jnp.any(overlap < -margin, axis=-1)
+    separated = jnp.any(overlap < -jnp.asarray(margin)[..., None], axis=-1)
     best = jnp.argmin(overlap, axis=-1)  # minimal-overlap face axis
     axis = jnp.take_along_axis(axes, best[..., None, None], axis=-2)[..., 0, :]
     sign = jnp.sign(jnp.take_along_axis(dist, best[..., None], -1))[..., 0]
@@ -279,7 +281,7 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     m["pen"] = top_pen
     m["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
     m["normal"] = jnp.broadcast_to(n[..., None, :], m["normal"].shape)
-    m["valid"] = (top_pen > -margin) & ~separated[..., None]
+    m["valid"] = (top_pen > -jnp.asarray(margin)[..., None]) & ~separated[..., None]
     return m
 
 

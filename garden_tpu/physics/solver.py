@@ -149,8 +149,18 @@ def solve_velocity(
 
     vn0 = m3.dot(rel_vel(bodies["linvel"], bodies["angvel"]), normal)
     bounce = jnp.where(vn0 < -restitution_threshold, -restitution * vn0, 0.0)
-    bias = (baumgarte / dt) * jnp.maximum(pen - slop, 0.0)
-    target_vn = jnp.maximum(bounce, bias)
+    # penetration recovery velocity, capped (Jolt caps recovery speed so
+    # deep impact-frame penetrations don't launch bodies)
+    bias = jnp.minimum((baumgarte / dt) * jnp.maximum(pen - slop, 0.0), 2.0)
+    # speculative contacts (pen < 0): allow closing exactly to touching
+    # (target approach speed = pen/dt < 0) — unless the material bounces,
+    # in which case restitution applies from the pre-solve approach speed.
+    # The Jolt speculative-margin semantics (physics.hpp:874-881).
+    target_vn = jnp.where(
+        pen > 0.0,
+        jnp.maximum(bounce, bias),
+        jnp.where(bounce > 0.0, bounce, pen / dt),
+    )
 
     def apply(linvel, angvel, impulse):
         """Row-reduce impulses (N, S, 3) applied at the contact points.
@@ -246,7 +256,11 @@ def solve_position(
     corr = jnp.zeros_like(pen)
     for _ in range(iterations):  # unrolled (see solve_velocity note)
         sep = pen - corr
-        lam = jnp.where(responsive, beta * jnp.maximum(sep - slop, 0.0) / k, 0.0)
+        # cap positional pushout per iteration: impact-frame penetrations
+        # resolve over a few steps instead of teleporting
+        lam = jnp.where(
+            responsive,
+            jnp.minimum(beta * jnp.maximum(sep - slop, 0.0), 0.1) / k, 0.0)
         # own body moves along -normal (away from partner)
         dpos = -jnp.sum(lam[..., None] * normal, axis=1) * inv_mass[:, None] * lin_factor
         pos = pos + dpos

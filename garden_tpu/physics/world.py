@@ -167,11 +167,15 @@ class PhysicsWorld:
             "prev_quat": jnp.array(self._b["quat"]),
             "shapes": self.shapes.device_arrays(),
             "layer_table": jnp.asarray(default_layer_table()),
-            # persistent contact impulses for warm starting, fixed slot layout
+            # persistent contact impulses for warm starting, fixed slot
+            # layout; `partner` records each slot's pair identity so stale
+            # impulses never misfire onto a different contact (slot churn
+            # during impacts otherwise injects momentum -> popcorn)
             "warm": {
                 "n": jnp.zeros(c, jnp.float32),
                 "t1": jnp.zeros(c, jnp.float32),
                 "t2": jnp.zeros(c, jnp.float32),
+                "partner": jnp.full(c, -1, jnp.int32),
             },
             "accum": jnp.float32(0.0),
             "lag_time": jnp.float32(0.0),
@@ -202,8 +206,14 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     stype = shapes_t["type"][b["shape"]]
     params = shapes_t["params"][b["shape"]]
 
+    # speculative margin scales with speed (Jolt's velocity-based
+    # speculative contact distance): fast bodies see their contacts one
+    # step early, so the solver can land them exactly instead of tunneling
+    h = 1.0 / config.simulation_rate
+    speed = jnp.linalg.norm(b["linvel"], axis=-1)
+    margin = config.speculative_margin + speed * h * 1.1
     aabb_min, aabb_max = broadphase.body_aabbs(
-        b["pos"], b["quat"], stype, params, margin=config.speculative_margin
+        b["pos"], b["quat"], stype, params, margin=margin[:, None]
     )
     dynamic = b["motion"] == DYNAMIC
     cand_idx, cand_valid = broadphase.find_candidates(
@@ -222,10 +232,11 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     pair_j = cand_idx.reshape(-1)
     pair_valid = cand_valid.reshape(-1)
 
+    pair_margin = jnp.maximum(margin[pair_i], margin[pair_j])
     man = narrowphase.generate_contacts(
         b["pos"], b["quat"], stype, params,
         pair_i, pair_j, pair_valid,
-        margin=config.speculative_margin,
+        margin=pair_margin,
         present_types=present_types,
     )
     # re-orient: manifold normals point A->B in canonical (type-sorted)
@@ -290,6 +301,10 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     contacts = collide(state, config, present_types)
     rows = jnp.arange(b["pos"].shape[0], dtype=jnp.int32)[:, None]
     warm_compact = {k: v[rows, contacts["slot"]] for k, v in state["warm"].items()}
+    # invalidate impulses whose slot now holds a different pair
+    same_pair = warm_compact.pop("partner") == contacts["partner"]
+    warm_compact = {k: jnp.where(same_pair, v, 0.0)
+                    for k, v in warm_compact.items()}
     linvel, angvel, warm_c = solver.solve_velocity(
         b, contacts, dt,
         iterations=config.solver_iterations,
@@ -297,11 +312,16 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         slop=config.penetration_slop,
         warm=warm_compact,
     )
-    # persist impulses back into the full slot layout for warm starting
+    # persist impulses + pair identity back into the full slot layout
+    warm_c["partner"] = jnp.where(contacts["valid"], contacts["partner"], -1)
     warm = {
-        k: jnp.zeros_like(state["warm"][k]).at[rows, contacts["slot"]].set(v)
+        k: jnp.zeros_like(state["warm"][k]).at[rows, contacts["slot"]].set(
+            v if k != "partner" else v)
         for k, v in warm_c.items()
     }
+    warm["partner"] = jnp.full_like(
+        state["warm"]["partner"], -1).at[rows, contacts["slot"]].set(
+        warm_c["partner"])
 
     # joint constraints (Fixed/Point, physics.hpp:368-373)
     if "constraints" in state:
