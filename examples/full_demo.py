@@ -56,7 +56,7 @@ def main():
                              rng.uniform(-6, 6)),
                    friction=0.5, restitution=0.2)
 
-    rcfg = RenderConfig(width=640, height=384, tile_size=64,
+    rcfg = RenderConfig(width=640, height=384, tile_size=128,
                         max_triangles=8192, max_vertices=8192,
                         max_tris_per_tile=256, max_instances=n_dyn + 2,
                         use_clouds=True)
