@@ -77,6 +77,8 @@ class RenderConfig:
     use_atmosphere: bool = True
     use_clouds: bool = False
     use_oit: bool = True
+    # Hi-Z occlusion culling against the previous frame's depth pyramid
+    use_occlusion_culling: bool = False
     # internal render scale (the DLSS/upscaling hook, graphics.hpp:139
     # useUpscaling/scaledFrameSize): <1 renders smaller and upsamples
     render_scale: float = 1.0

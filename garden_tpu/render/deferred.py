@@ -21,7 +21,9 @@ from garden_tpu.core.config import RenderConfig
 from garden_tpu.render import bloom as bloom_mod
 from garden_tpu.render import csm as csm_mod
 from garden_tpu.render import fxaa as fxaa_mod
+from garden_tpu.render import hiz as hiz_mod
 from garden_tpu.render import oit as oit_mod
+from garden_tpu.render import sprites as sprites_mod
 from garden_tpu.render import gbuffer, hbao, lighting, mesh, raster, tonemap
 
 Array = jnp.ndarray
@@ -39,9 +41,19 @@ class DeferredRenderer:
         return self.scene_host.device_arrays()
 
     def initial_frame_state(self) -> Dict[str, Array]:
-        return {
-            "avg_luminance": jnp.float32(0.18),
-        }
+        state = {"avg_luminance": jnp.float32(0.18)}
+        if self.config.use_occlusion_culling:
+            # previous frame's Hi-Z pyramid (empty depth = nothing occludes)
+            scale = self.config.render_scale
+            if scale != 1.0:
+                w = max(int(self.config.width * scale) // self.config.tile_size,
+                        1) * self.config.tile_size
+                h = max(int(self.config.height * scale) // self.config.tile_size,
+                        1) * self.config.tile_size
+            else:
+                w, h = self.config.width, self.config.height
+            state["prev_depth"] = jnp.zeros((h, w), jnp.float32)
+        return state
 
     # -- culling (PreDeferredRender: mesh.cpp:331-553 fan-out analog) --------
 
@@ -74,6 +86,8 @@ class DeferredRenderer:
         inst_matrices: Array,          # (I, 4, 4)
         constants: Dict[str, Array],
         frame_state: Dict[str, Array],
+        ui_atlas: Optional[Array] = None,
+        ui_sprites: Optional[Dict[str, Array]] = None,
     ) -> Dict[str, Array]:
         cfg = self.config
         # internal render scale (the DLSS/upscaling hook, graphics.hpp:139):
@@ -88,6 +102,27 @@ class DeferredRenderer:
         # PreDeferredRender: vertex transform + frustum cull
         world_pos, world_nrm = mesh.transform_vertices(scene, inst_matrices)
         tri_valid = self.cull_instances(scene, inst_matrices, constants)
+
+        # Hi-Z occlusion culling against the PREVIOUS frame's depth pyramid
+        # (HizRenderSystem's consumer role, hiz.cpp:104-173; one-frame-stale
+        # reprojection-free variant)
+        if cfg.use_occlusion_culling:
+            corners = jnp.stack([
+                jnp.stack([
+                    jnp.where(jnp.array([bool(k & 1), bool(k & 2), bool(k & 4)]),
+                              scene["inst_aabb_max"], scene["inst_aabb_min"]
+                              )[..., i] for i in range(3)
+                ], axis=-1) for k in range(8)
+            ], axis=-2)
+            wc = m3.einsum("iab,ikb->ika", inst_matrices[:, :3, :3], corners) \
+                + inst_matrices[:, None, :3, 3]
+            wmin = jnp.min(wc, axis=1)
+            wmax = jnp.max(wc, axis=1)
+            pyramid = hiz_mod.build_pyramid(frame_state["prev_depth"])
+            occluded = hiz_mod.occlusion_cull(
+                wmin, wmax, constants["view_proj"], pyramid, w, h)
+            ti = scene["tri_instance"]
+            tri_valid = tri_valid & ~occluded[jnp.maximum(ti, 0)]
 
         # G-buffer raster (visibility buffer); translucents go to OIT
         translucent = scene["tri_translucent"]
@@ -197,6 +232,14 @@ class DeferredRenderer:
         if cfg.use_fxaa:
             ldr = fxaa_mod.apply_fxaa(ldr)
 
+        # UI pass after LdrRender (deferred.cpp:723-775): sprites + text
+        if ui_atlas is not None and ui_sprites is not None:
+            ldr = sprites_mod.composite_sprites(ldr, ui_atlas, ui_sprites)
+
+        new_frame_state = {"avg_luminance": avg_lum}
+        if cfg.use_occlusion_culling:
+            new_frame_state["prev_depth"] = vis["depth"]
+
         return {
             "image": tonemap.to_uint8(ldr),
             "hdr": hdr,
@@ -205,5 +248,5 @@ class DeferredRenderer:
             "gbuffer": g,
             "shadow": shadow,
             "ao": ao,
-            "frame_state": {"avg_luminance": avg_lum},
+            "frame_state": new_frame_state,
         }

@@ -90,7 +90,9 @@ def occlusion_cull(
             jnp.minimum(mip[ty0, tx0], mip[ty0, tx1]),
             jnp.minimum(mip[ty1, tx0], mip[ty1, tx1]),
         )
-        occ_lv = z_near < far  # even nearest point is behind everything there
+        # epsilon margin so an occluder never culls itself (its own nearest
+        # depth equals the stored depth up to interpolation jitter)
+        occ_lv = z_near * 1.02 + 1e-4 < far
         occluded = jnp.where(level == lv, occ_lv, occluded)
 
     return occluded & ~behind
