@@ -275,3 +275,50 @@ class SceneSerializer:
             )
 
         self.register("rigidbody", ser_rigidbody, de_rigidbody)
+
+        # -- simple field-mapped components (animation/spawner/character/ui) --
+
+        def make_simple(name: str, fields: Dict[str, str],
+                        adder=None):
+            """Register a component whose fields map 1:1 to scene keys."""
+
+            def ser(w: World, e: int) -> Optional[Dict[str, Any]]:
+                s = w._stores.get(name)
+                if s is None or not s["has"][e]:
+                    return None
+                out = {}
+                for field, key in fields.items():
+                    v = s[field][e]
+                    arr = np.asarray(v)
+                    out[key] = arr.tolist() if arr.ndim else arr.item()
+                return out
+
+            def de(w: World, e: int, d: Dict[str, Any], ctx: SceneContext) -> None:
+                if name not in w._stores:
+                    return
+                kwargs = {f: d[k] for f, k in fields.items() if k in d}
+                w.add_component(e, name, **kwargs)
+
+            self.register(name, ser, de)
+
+        make_simple("animation", {
+            "track": "track", "time": "time", "playing": "isPlaying",
+            "looped": "isLooped", "speed": "speed",
+        })
+        make_simple("spawner", {
+            "mode": "mode", "delay": "delay", "max_count": "maxCount",
+            "is_active": "isActive",
+        })
+        make_simple("character", {
+            "max_slope_cos": "maxSlopeCos", "control_accel": "controlAccel",
+        })
+        make_simple("ui_transform", {
+            "position": "position", "size": "size", "anchor": "anchor",
+            "visible": "isVisible",
+        })
+        make_simple("ui_button", {"enabled": "isEnabled"})
+        make_simple("ui_checkbox", {"checked": "isChecked"})
+        make_simple("network", {
+            "client_uid": "clientUID", "entity_uid": "entityUID",
+            "is_client_owned": "isClientOwned",
+        })

@@ -121,3 +121,52 @@ def test_noise_kernels():
     assert f.std() > 0.05
     hm = np.asarray(noise.terrain_heightmap(32))
     assert hm.shape == (32, 32) and np.isfinite(hm).all() and hm.std() > 0.5
+
+
+def test_scene_roundtrip_gameplay_components(tmp_path):
+    from garden_tpu.systems.animation import AnimationSystem
+    from garden_tpu.systems.spawner import SpawnerSystem
+    from garden_tpu.systems.ui import UiButtonSystem, UiCheckboxSystem, UiTransformSystem
+
+    cfg = EngineConfig(capacity=16,
+                       physics=PhysicsConfig(max_bodies=16, grid_dim=8))
+
+    def mk():
+        eng = Engine(cfg)
+        eng.create_system(TransformSystem())
+        eng.create_system(LinkSystem())
+        eng.create_system(AnimationSystem(max_tracks=4, max_keyframes=4))
+        eng.create_system(SpawnerSystem())
+        eng.create_system(UiTransformSystem())
+        eng.create_system(UiButtonSystem())
+        eng.create_system(UiCheckboxSystem())
+        eng.initialize()
+        return eng
+
+    eng = mk()
+    w = eng.world
+    e = w.create_entity()
+    w.add_component(e, "transform")
+    w.add_component(e, "animation", track=2, speed=1.5, looped=False)
+    w.add_component(e, "spawner", delay=0.7, max_count=5)
+    u = w.create_entity()
+    w.add_component(u, "transform")
+    w.add_component(u, "ui_transform", position=[10, 20], size=[80, 30],
+                    anchor=1)
+    w.add_component(u, "ui_checkbox", checked=True)
+
+    path = str(tmp_path / "gameplay.scene")
+    SceneSerializer(w).store_scene(path)
+
+    eng2 = mk()
+    created = SceneSerializer(eng2.world).load_scene(path)
+    assert len(created) == 2
+    s = eng2.world._stores
+    anim_e = [x for x in created if s["animation"]["has"][x]][0]
+    assert int(s["animation"]["track"][anim_e]) == 2
+    assert abs(float(s["animation"]["speed"][anim_e]) - 1.5) < 1e-6
+    assert not s["animation"]["looped"][anim_e]
+    assert abs(float(s["spawner"]["delay"][anim_e]) - 0.7) < 1e-6
+    ui_e = [x for x in created if s["ui_transform"]["has"][x]][0]
+    np.testing.assert_allclose(s["ui_transform"]["size"][ui_e], [80, 30])
+    assert s["ui_checkbox"]["checked"][ui_e]
