@@ -104,8 +104,11 @@ class PackWriter:
 
     def finish(self) -> None:
         if self._w:
-            _NATIVE.gpk_writer_finish(self._w)
+            rc = _NATIVE.gpk_writer_finish(self._w)
             self._w = None
+            if rc < 0:
+                # e.g. index write hit a full disk: the archive is truncated
+                raise IOError(f"pack finish failed: {rc}")
             return
         # python fallback: identical format
         with open(self.path, "wb") as f:

@@ -97,6 +97,9 @@ class PhysicsWorld:
             "linear_factor": np.ones((n, 3), np.float32),
             "angular_factor": np.ones((n, 3), np.float32),
             "entity": np.full((n,), -1, np.int32),  # ECS backref
+            # per-body ground-support slope threshold (cos of max slope;
+            # CharacterVirtual's maxSlopeAngle, character.hpp:56-64)
+            "ground_cos": np.full((n,), 0.7071, np.float32),
         }
         self._count = 0
 
@@ -116,6 +119,7 @@ class PhysicsWorld:
         linear_factor=(1.0, 1.0, 1.0),
         angular_factor=(1.0, 1.0, 1.0),
         entity: int = -1,
+        ground_cos: float = 0.7071,
     ) -> int:
         if self._count >= self.config.max_bodies:
             raise RuntimeError("body capacity exhausted")
@@ -135,6 +139,7 @@ class PhysicsWorld:
         b["entity"][i] = entity
         b["linear_factor"][i] = linear_factor
         b["angular_factor"][i] = angular_factor
+        b["ground_cos"][i] = ground_cos
         stype = int(self.shapes.types[shape])
         if layer is None:
             layer = LAYER_MOVING if motion == DYNAMIC else LAYER_NON_MOVING
@@ -384,9 +389,12 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         b = dict(b, pos=pos, quat=quat)
 
     # ground support: any contact whose normal (row->partner) points down
-    # within ~45 degrees, i.e. the partner supports this body from below
+    # within the body's slope limit (default ~45 degrees; characters
+    # override via max_slope_cos), i.e. the partner supports it from below
     grounded = jnp.any(
-        contacts["valid"] & (contacts["normal"][..., 1] < -0.7071), axis=1
+        contacts["valid"]
+        & (contacts["normal"][..., 1] < -b["ground_cos"][:, None]),
+        axis=1,
     )
     # touching-partner summary for host-side contact events
     # (body listeners "Entered/Exited", physics.cpp:1043-1105)

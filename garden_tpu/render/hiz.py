@@ -20,8 +20,18 @@ from garden_tpu.core import math3d as m3
 Array = jnp.ndarray
 
 
-def build_pyramid(depth: Array, levels: int = 6) -> List[Array]:
-    """Reverse-Z min-pyramid (level 0 = full res)."""
+def full_levels(height: int, width: int) -> int:
+    """Levels needed so the coarsest mip covers the full frame (a screen
+    rect of any size then maps to a non-clamped level)."""
+    return max(int(jnp.ceil(jnp.log2(max(height, width)))), 0) + 1
+
+
+def build_pyramid(depth: Array, levels: int | None = None) -> List[Array]:
+    """Reverse-Z min-pyramid (level 0 = full res). By default builds enough
+    levels to cover the whole frame so occlusion_cull never has to test a
+    rect wider than the sampled 2x2 texel footprint."""
+    if levels is None:
+        levels = full_levels(*depth.shape)
     mips = [depth]
     d = depth
     for _ in range(levels - 1):
@@ -74,8 +84,12 @@ def occlusion_cull(
     # pick the level where the rect spans <= 2 texels
     span = jnp.maximum(x1 - x0, y1 - y0)
     n_levels = len(pyramid)
-    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32),
-                     0, n_levels - 1)
+    want = jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32)
+    level = jnp.clip(want, 0, n_levels - 1)
+    # conservative fallback for shallow pyramids: if the wanted level was
+    # clamped, the rect spans more texels than the 2x2 corner samples cover
+    # and interior texels could hide a farther depth — never cull then
+    samplable = want <= n_levels - 1
 
     occluded = jnp.zeros(aabb_min.shape[0], bool)
     for lv, mip in enumerate(pyramid):
@@ -95,4 +109,4 @@ def occlusion_cull(
         occ_lv = z_near * 1.02 + 1e-4 < far
         occluded = jnp.where(level == lv, occ_lv, occluded)
 
-    return occluded & ~behind
+    return occluded & samplable & ~behind

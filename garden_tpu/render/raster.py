@@ -256,6 +256,16 @@ def rasterize_visibility(
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_tiles = tiles_x * tiles_y
+    if not _interpret() and n_tiles > 1 and tile % 128:
+        # TPU Pallas: a non-full output block's last dim must be a multiple
+        # of 128 lanes. Catch the illegal layout at trace time with a clear
+        # message instead of an XLA lowering error (shipped as a round-1 bug:
+        # entry() at tile_size=32 failed to lower on hardware).
+        raise ValueError(
+            f"rasterize_visibility: tile={tile} is not TPU-legal for a "
+            f"{height}x{width} frame ({tiles_y}x{tiles_x} tiles). Use "
+            f"tile_size=128 (or a single tile covering the whole frame)."
+        )
     if tile_tris.shape[1] % TRI_BLOCK:
         pad = TRI_BLOCK - tile_tris.shape[1] % TRI_BLOCK
         tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)

@@ -301,14 +301,74 @@ class SceneSerializer:
 
             self.register(name, ser, de)
 
-        make_simple("animation", {
-            "track": "track", "time": "time", "playing": "isPlaying",
-            "looped": "isLooped", "speed": "speed",
-        })
-        make_simple("spawner", {
-            "mode": "mode", "delay": "delay", "max_count": "maxCount",
-            "is_active": "isActive",
-        })
+        # animation: the track field is an index into AnimationSystem's
+        # in-process arrays — serialize the track's stable asset name instead
+        # (the reference serializes animation paths, resource.hpp:485)
+        def ser_animation(w: World, e: int) -> Optional[Dict[str, Any]]:
+            s = w._stores.get("animation")
+            if s is None or not s["has"][e]:
+                return None
+            out: Dict[str, Any] = {
+                "time": float(s["time"][e]),
+                "isPlaying": bool(s["playing"][e]),
+                "isLooped": bool(s["looped"][e]),
+                "speed": float(s["speed"][e]),
+            }
+            anim = w.systems.get("AnimationSystem")
+            track = int(s["track"][e])
+            if anim is not None and track >= 0:
+                name = anim.track_name(track)
+                if name is not None:
+                    out["animation"] = name
+            return out
+
+        def de_animation(w: World, e: int, d: Dict[str, Any],
+                         ctx: SceneContext) -> None:
+            if "animation" not in w._stores:
+                return
+            anim = w.systems.get("AnimationSystem")
+            track = -1
+            if anim is not None and "animation" in d:
+                t = anim.find_track(d["animation"])
+                if t is not None:
+                    track = t
+            w.add_component(e, "animation", track=track,
+                            time=d.get("time", 0.0),
+                            playing=d.get("isPlaying", True),
+                            looped=d.get("isLooped", True),
+                            speed=d.get("speed", 1.0))
+
+        self.register("animation", ser_animation, de_animation)
+
+        # spawner: include the prefab binding (spawner.hpp's path field);
+        # the factory itself must be registered by the app before load
+        def ser_spawner(w: World, e: int) -> Optional[Dict[str, Any]]:
+            s = w._stores.get("spawner")
+            if s is None or not s["has"][e]:
+                return None
+            out: Dict[str, Any] = {
+                "mode": int(s["mode"][e]), "delay": float(s["delay"][e]),
+                "maxCount": int(s["max_count"][e]),
+                "isActive": bool(s["is_active"][e]),
+            }
+            sp = w.systems.get("SpawnerSystem")
+            if sp is not None and e in sp._spawner_prefab:
+                out["path"] = sp._spawner_prefab[e]
+            return out
+
+        def de_spawner(w: World, e: int, d: Dict[str, Any],
+                       ctx: SceneContext) -> None:
+            if "spawner" not in w._stores:
+                return
+            w.add_component(e, "spawner", mode=d.get("mode", 0),
+                            delay=d.get("delay", 0.0),
+                            max_count=d.get("maxCount", 1),
+                            is_active=d.get("isActive", True))
+            sp = w.systems.get("SpawnerSystem")
+            if sp is not None and "path" in d:
+                sp._spawner_prefab[e] = d["path"]
+
+        self.register("spawner", ser_spawner, de_spawner)
         make_simple("character", {
             "max_slope_cos": "maxSlopeCos", "control_accel": "controlAccel",
         })

@@ -53,6 +53,11 @@ class AnimationSystem(System):
         self._kf_count = np.zeros((max_tracks,), np.int32)
         self._animate_mask = np.zeros((max_tracks, 3), bool)  # pos/rot/scale
         self._count = 0
+        # stable asset identity: scenes serialize track *names* (the
+        # reference serializes animation asset paths, resource.hpp:485),
+        # never raw indices into this process's track arrays
+        self._name_to_track: Dict[str, int] = {}
+        self._track_to_name: Dict[int, str] = {}
 
     def attach(self, world: World) -> None:
         super().attach(world)
@@ -60,8 +65,11 @@ class AnimationSystem(System):
 
     # -- host-side track building ---------------------------------------------
 
-    def add_track(self, keyframes) -> int:
-        """keyframes: list of dicts {time, position?, rotation?, scale?}."""
+    def add_track(self, keyframes, name: Optional[str] = None) -> int:
+        """keyframes: list of dicts {time, position?, rotation?, scale?}.
+        `name` registers a stable identity used by scene serialization."""
+        if name is not None and name in self._name_to_track:
+            return self._name_to_track[name]
         if self._count >= self.max_tracks:
             raise RuntimeError("track capacity exhausted")
         t = self._count
@@ -93,14 +101,34 @@ class AnimationSystem(System):
             self._pos[t, i] = self._pos[t, n - 1]
             self._rot[t, i] = self._rot[t, n - 1]
             self._scale[t, i] = self._scale[t, n - 1]
+        if name is not None:
+            self._name_to_track[name] = t
+            self._track_to_name[t] = name
         return t
 
     def load_animation(self, path: str) -> int:
         """Load a `.anim` JSON keyframe file (resource.hpp:485 format:
-        a list of keyframe objects per transform property)."""
+        a list of keyframe objects per transform property). The path is the
+        track's stable identity; loading the same path twice dedups."""
+        if path in self._name_to_track:
+            return self._name_to_track[path]
         with open(path, "r", encoding="utf-8") as f:
             data = json.load(f)
-        return self.add_track(data["keyframes"] if "keyframes" in data else data)
+        return self.add_track(
+            data["keyframes"] if "keyframes" in data else data, name=path)
+
+    def track_name(self, track: int) -> Optional[str]:
+        return self._track_to_name.get(track)
+
+    def find_track(self, name: str) -> Optional[int]:
+        """Resolve a serialized track identity; loads `.anim` files on
+        demand so scenes restore in a fresh process."""
+        t = self._name_to_track.get(name)
+        if t is None and name.endswith(".anim"):
+            import os
+            if os.path.exists(name):
+                t = self.load_animation(name)
+        return t
 
     def device_state(self) -> Dict[str, Array]:
         return {

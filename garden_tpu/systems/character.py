@@ -85,7 +85,12 @@ class CharacterSystem(System):
         target = jnp.where(active, body, capacity)
         linvel = linvel.at[target].set(new_v, mode="drop")
 
-        bodies = dict(bodies, linvel=linvel)
+        # sync the per-character slope limit into the body's ground
+        # threshold so serialized max_slope_cos values take effect
+        ground_cos = bodies["ground_cos"].at[target].set(
+            comp["max_slope_cos"], mode="drop")
+
+        bodies = dict(bodies, linvel=linvel, ground_cos=ground_cos)
         comp = dict(comp, grounded=grounded,
                     jump_impulse=jnp.where(grounded, 0.0, comp["jump_impulse"]))
         return dict(

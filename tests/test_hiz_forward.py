@@ -30,15 +30,23 @@ def test_hiz_pyramid_and_occlusion():
     assert abs(float(pyr[1][0, 0]) - 0.05) < 1e-6 and float(pyr[1][0, 40]) == 0.0
 
     c = _camera(128, 64)
+    # full pyramid (default): covers any screen rect
+    full = hiz.build_pyramid(depth)
+    assert full[-1].shape == (1, 1)
     # box behind the wall (farther => smaller reverse-Z depth), on the left
     aabb_min = jnp.array([[-2.0, -0.5, -8.0]])
     aabb_max = jnp.array([[-0.5, 0.5, -7.0]])
-    occ = hiz.occlusion_cull(aabb_min, aabb_max, c["view_proj"], pyr, 128, 64)
+    occ = hiz.occlusion_cull(aabb_min, aabb_max, c["view_proj"], full, 128, 64)
     assert bool(occ[0])
+    # the shallow 4-level pyramid cannot cover this rect's footprint:
+    # the conservative fallback must refuse to cull
+    occ_shallow = hiz.occlusion_cull(aabb_min, aabb_max, c["view_proj"],
+                                     pyr, 128, 64)
+    assert not bool(occ_shallow[0])
     # box in front of the wall: not occluded
     aabb_min2 = jnp.array([[-1.0, -0.2, 1.5]])
     aabb_max2 = jnp.array([[-0.2, 0.2, 2.0]])
-    occ2 = hiz.occlusion_cull(aabb_min2, aabb_max2, c["view_proj"], pyr, 128, 64)
+    occ2 = hiz.occlusion_cull(aabb_min2, aabb_max2, c["view_proj"], full, 128, 64)
     assert not bool(occ2[0])
 
 

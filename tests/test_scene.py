@@ -145,9 +145,14 @@ def test_scene_roundtrip_gameplay_components(tmp_path):
 
     eng = mk()
     w = eng.world
+    anim_sys = w.systems["AnimationSystem"]
+    # named track: the stable identity that survives serialization
+    track = anim_sys.add_track(
+        [{"time": 0.0, "position": [0, 0, 0]},
+         {"time": 1.0, "position": [1, 0, 0]}], name="bounce")
     e = w.create_entity()
     w.add_component(e, "transform")
-    w.add_component(e, "animation", track=2, speed=1.5, looped=False)
+    w.add_component(e, "animation", track=track, speed=1.5, looped=False)
     w.add_component(e, "spawner", delay=0.7, max_count=5)
     u = w.create_entity()
     w.add_component(u, "transform")
@@ -159,11 +164,19 @@ def test_scene_roundtrip_gameplay_components(tmp_path):
     SceneSerializer(w).store_scene(path)
 
     eng2 = mk()
+    # fresh process analog: the track must be re-registered under the same
+    # name BEFORE the scene loads (or be a loadable .anim path)
+    anim2 = eng2.world.systems["AnimationSystem"]
+    anim2.add_track([{"time": 0.0}], name="other")  # different index order
+    track2 = anim2.add_track(
+        [{"time": 0.0, "position": [0, 0, 0]},
+         {"time": 1.0, "position": [1, 0, 0]}], name="bounce")
     created = SceneSerializer(eng2.world).load_scene(path)
     assert len(created) == 2
     s = eng2.world._stores
     anim_e = [x for x in created if s["animation"]["has"][x]][0]
-    assert int(s["animation"]["track"][anim_e]) == 2
+    # resolved by name, not by the stored-process index
+    assert int(s["animation"]["track"][anim_e]) == track2
     assert abs(float(s["animation"]["speed"][anim_e]) - 1.5) < 1e-6
     assert not s["animation"]["looped"][anim_e]
     assert abs(float(s["spawner"]["delay"][anim_e]) - 0.7) < 1e-6
