@@ -26,8 +26,19 @@ def main():
                        max_triangles=8192, max_vertices=8192,
                        max_tris_per_tile=256, max_instances=16)
     scene = rmesh.SceneBuffers(cfg.max_vertices, cfg.max_triangles,
-                               cfg.max_instances)
-    red = scene.add_material(rmesh.Material(base_color=(0.8, 0.15, 0.1), roughness=0.35))
+                               cfg.max_instances, max_textures=2,
+                               texture_size=64)
+    # checkerboard base-color texture (the ResourceSystem image-load path)
+    check = np.zeros((64, 64, 4), np.float32)
+    check[..., 3] = 1.0
+    cells = (np.add.outer(np.arange(64) // 8,
+                          np.arange(64) // 8) % 2).astype(bool)
+    check[cells] = (0.9, 0.9, 0.85, 1.0)
+    check[~cells] = (0.15, 0.2, 0.5, 1.0)
+    tex = scene.add_texture(check)
+    red = scene.add_material(rmesh.Material(base_color=(1.0, 1.0, 1.0),
+                                            roughness=0.35,
+                                            base_texture=tex))
     gold = scene.add_material(rmesh.Material(base_color=(1.0, 0.77, 0.34),
                                              metallic=1.0, roughness=0.3))
     grey = scene.add_material(rmesh.Material(base_color=(0.45, 0.45, 0.48), roughness=0.85))

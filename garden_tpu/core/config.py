@@ -55,6 +55,11 @@ class ShadowConfig:
     bias_constant: float = 0.0012
     bias_normal: float = 0.05
     pcf_radius: int = 1
+    # shadow-factor resolve decimation: the per-pixel shadow-map lookup is a
+    # random gather (~30ns/element on TPU); resolving every Nth pixel and
+    # bilinearly upsampling the factor costs ~1px of edge softness that the
+    # PCF smoothing blurs anyway. 1 = full-resolution resolve.
+    resolve_step: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

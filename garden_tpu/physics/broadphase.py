@@ -44,9 +44,11 @@ NEIGHBOR_OFFSETS = [
 
 
 def body_aabbs(pos: Array, quat: Array, stype: Array, params: Array,
-               margin: float = 0.0) -> Tuple[Array, Array]:
+               margin: float = 0.0, hull_ext: Array = None,
+               comp_ext: Array = None) -> Tuple[Array, Array]:
     """World AABBs for all bodies, expanded by the speculative margin."""
-    lmin, lmax = sh.local_aabb(stype, params)
+    lmin, lmax = sh.local_aabb(stype, params, hull_ext=hull_ext,
+                               comp_ext=comp_ext)
     wmin, wmax = m3.aabb_transform(lmin, lmax, pos, quat)
     return wmin - margin, wmax + margin
 

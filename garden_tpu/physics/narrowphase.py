@@ -219,27 +219,35 @@ def box_plane(pa, qa, half_a, n_w, d_w, margin):
 
 
 def _top4(x: Array) -> Tuple[Array, Array]:
-    return jax.lax.top_k(x, MAX_POINTS)
+    """top_k(4) that tolerates fewer than 4 candidates: pads with -inf
+    (reported invalid downstream) and clamps indices into valid range."""
+    n = x.shape[-1]
+    if n < MAX_POINTS:
+        pad = jnp.full(x.shape[:-1] + (MAX_POINTS - n,), -jnp.inf, x.dtype)
+        x = jnp.concatenate([x, pad], axis=-1)
+    val, idx = jax.lax.top_k(x, MAX_POINTS)
+    return val, jnp.minimum(idx, n - 1)
 
 
 def box_box(pa, qa, half_a, pb, qb, half_b, margin):
-    """Face-SAT manifold: minimal-overlap axis over the 6 face normals, then
-    per-corner penetrations past the opposing face plane, deepest 4 kept.
+    """Full-SAT box manifold: 6 face normals + 9 edge-cross axes.
 
-    Edge-edge separating axes are not generated (a known approximation —
-    stacking and face/vertex-resting configurations, the reference's primary
-    workloads, are covered; edge-cross cases resolve via the nearest face
-    axis instead).
+    Minimal-overlap axis over all 15 separating-axis candidates (Jolt/Bullet
+    convention, slight bias toward face axes for manifold stability). Face
+    case: per-corner penetrations past the opposing face plane, deepest 4
+    kept. Edge case: single contact at the closest point between the two
+    supporting edges (the configuration round-1 lacked; oblique box stacks
+    interpenetrated without it).
     """
     shape = pa.shape[:-1]
     ra = m3.quat_to_mat3(qa)  # columns are A's axes
     rb = m3.quat_to_mat3(qb)
     d = pb - pa
 
-    # candidate axes: world-space face normals of A and B -> (..., 6, 3)
-    axes = jnp.concatenate(
-        [jnp.swapaxes(ra, -1, -2), jnp.swapaxes(rb, -1, -2)], axis=-2
-    )
+    # candidate face axes: world-space face normals of A and B -> (..., 6, 3)
+    a_cols = jnp.swapaxes(ra, -1, -2)   # (..., 3, 3) rows = A's axes
+    b_cols = jnp.swapaxes(rb, -1, -2)
+    axes = jnp.concatenate([a_cols, b_cols], axis=-2)
 
     def proj_radius(rot, half, axis):
         # sum_i half_i * |dot(col_i(rot), axis)| ; rot cols are box axes
@@ -256,15 +264,37 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     dist = m3.einsum("...kj,...j->...k", axes, d)  # signed center distance
     overlap = r_a + r_b - jnp.abs(dist)  # (..., 6)
 
-    separated = jnp.any(overlap < -jnp.asarray(margin)[..., None], axis=-1)
-    best = jnp.argmin(overlap, axis=-1)  # minimal-overlap face axis
-    axis = jnp.take_along_axis(axes, best[..., None, None], axis=-2)[..., 0, :]
-    sign = jnp.sign(jnp.take_along_axis(dist, best[..., None], -1))[..., 0]
+    # edge-cross axes: a_i x b_j -> (..., 9, 3), degenerate (parallel) pairs
+    # get +inf overlap so they never win
+    ecross = jnp.cross(a_cols[..., :, None, :], b_cols[..., None, :, :])
+    ecross = ecross.reshape(shape + (9, 3))
+    elen = m3.length(ecross)
+    edeg = elen < 1e-6
+    eaxes = ecross / jnp.maximum(elen, 1e-9)[..., None]
+    er_a = proj_radius(ra, half_a, eaxes)
+    er_b = proj_radius(rb, half_b, eaxes)
+    edist = m3.einsum("...kj,...j->...k", eaxes, d)
+    eoverlap = jnp.where(edeg, jnp.inf, er_a + er_b - jnp.abs(edist))
+
+    all_overlap = jnp.concatenate([overlap, eoverlap], axis=-1)  # (..., 15)
+    separated = jnp.any(all_overlap < -jnp.asarray(margin)[..., None], axis=-1)
+
+    best_face = jnp.argmin(overlap, axis=-1)
+    face_overlap = jnp.take_along_axis(overlap, best_face[..., None], -1)[..., 0]
+    best_edge = jnp.argmin(eoverlap, axis=-1)
+    edge_overlap = jnp.take_along_axis(eoverlap, best_edge[..., None], -1)[..., 0]
+    # face bias (Bullet's rel/abs tolerance): only take the edge axis when
+    # it is clearly more separating, avoiding face<->edge flip jitter
+    use_edge = edge_overlap < face_overlap * 0.95 - 0.01
+
+    # ---- face-axis manifold --------------------------------------------
+    axis = jnp.take_along_axis(axes, best_face[..., None, None], axis=-2)[..., 0, :]
+    sign = jnp.sign(jnp.take_along_axis(dist, best_face[..., None], -1))[..., 0]
     sign = jnp.where(sign == 0.0, 1.0, sign)
     n = axis * sign[..., None]  # unit normal pointing A -> B
 
-    rn_a = jnp.take_along_axis(r_a, best[..., None], -1)[..., 0]
-    rn_b = jnp.take_along_axis(r_b, best[..., None], -1)[..., 0]
+    rn_a = jnp.take_along_axis(r_a, best_face[..., None], -1)[..., 0]
+    rn_b = jnp.take_along_axis(r_b, best_face[..., None], -1)[..., 0]
 
     corners_a = _box_corners_world(pa, qa, half_a)  # (..., 8, 3)
     corners_b = _box_corners_world(pb, qb, half_b)
@@ -277,12 +307,464 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     point = jnp.concatenate([corners_b, corners_a], axis=-2)
 
     top_pen, top_idx = _top4(pen)
+    face_point = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
+
+    # ---- edge-axis contact ---------------------------------------------
+    en = jnp.take_along_axis(eaxes, best_edge[..., None, None], axis=-2)[..., 0, :]
+    esign = jnp.sign(jnp.take_along_axis(edist, best_edge[..., None], -1))[..., 0]
+    esign = jnp.where(esign == 0.0, 1.0, esign)
+    en = en * esign[..., None]  # A -> B
+    ei = best_edge // 3         # edge direction index on A
+    ej = best_edge % 3          # edge direction index on B
+    dir_a = jnp.take_along_axis(a_cols, ei[..., None, None], axis=-2)[..., 0, :]
+    dir_b = jnp.take_along_axis(b_cols, ej[..., None, None], axis=-2)[..., 0, :]
+    # supporting edge midpoint on A: extreme corner along +n in the two
+    # axes != ei; on B: extreme along -n in axes != ej
+    sup_a = jnp.zeros_like(pa)
+    sup_b = jnp.zeros_like(pb)
+    for k in range(3):
+        ak = a_cols[..., k, :]
+        bk = b_cols[..., k, :]
+        sa = jnp.sign(m3.dot(ak, en))
+        sa = jnp.where(sa == 0.0, 1.0, sa)
+        sb = jnp.sign(m3.dot(bk, -en))
+        sb = jnp.where(sb == 0.0, 1.0, sb)
+        sup_a = sup_a + jnp.where((ei == k)[..., None], 0.0,
+                                  (sa * half_a[..., k])[..., None] * ak)
+        sup_b = sup_b + jnp.where((ej == k)[..., None], 0.0,
+                                  (sb * half_b[..., k])[..., None] * bk)
+    ha_i = jnp.take_along_axis(half_a, ei[..., None], -1)[..., 0]
+    hb_j = jnp.take_along_axis(half_b, ej[..., None], -1)[..., 0]
+    ea0 = pa + sup_a - dir_a * ha_i[..., None]
+    ea1 = pa + sup_a + dir_a * ha_i[..., None]
+    eb0 = pb + sup_b - dir_b * hb_j[..., None]
+    eb1 = pb + sup_b + dir_b * hb_j[..., None]
+    ca, cb = _closest_segment_segment(ea0, ea1, eb0, eb1)
+    edge_point = 0.5 * (ca + cb)
+
+    # ---- merge ----------------------------------------------------------
     m = _empty_manifold(shape)
+    ue = use_edge[..., None]
+    m["pen"] = jnp.where(
+        ue,
+        jnp.concatenate([edge_overlap[..., None],
+                         jnp.full(shape + (MAX_POINTS - 1,), -jnp.inf)], -1),
+        top_pen,
+    )
+    m["point"] = jnp.where(ue[..., None],
+                           edge_point[..., None, :], face_point)
+    m["normal"] = jnp.where(ue[..., None], en[..., None, :],
+                            jnp.broadcast_to(n[..., None, :], m["normal"].shape))
+    m["valid"] = (m["pen"] > -jnp.asarray(margin)[..., None]) & ~separated[..., None]
+    return m
+
+
+# -- convex hull kernels -------------------------------------------------------
+#
+# Hulls are point clouds + outward face normals from the ShapeTable side pools
+# (ConvexHullShape analog, physics.hpp:103-153). The contact strategy mirrors
+# the box path: SAT over both hulls' face normals, then vertices past the
+# opposing support plane. Edge-cross axes are not enumerated for general hulls
+# (up to 32x32 crosses); face-axis SAT covers resting/stacking configurations.
+
+
+def _hull_world(p, q, params, tables):
+    """World-space hull data for a batch of pairs: verts (..., HV, 3) with
+    validity, face normals (..., HF, 3) with validity."""
+    hidx = params[..., 0].astype(jnp.int32)
+    verts_l = tables["hull_verts"][hidx]          # (..., HV, 3)
+    vvalid = tables["hull_vert_valid"][hidx]
+    faces_l = tables["hull_face_n"][hidx]
+    fvalid = tables["hull_face_valid"][hidx]
+    rot = m3.quat_to_mat3(q)
+    verts_w = m3.einsum("...ij,...kj->...ki", rot, verts_l) + p[..., None, :]
+    faces_w = m3.einsum("...ij,...kj->...ki", rot, faces_l)
+    return verts_w, vvalid, faces_w, fvalid
+
+
+def _cloud_cloud(pts_a, va, axes_a, fa, pts_b, vb, axes_b, fb, d_ab, margin):
+    """Generic convex-cloud SAT manifold. pts/axes are world-space with
+    validity masks; d_ab = pb - pa fixes the normal orientation A -> B."""
+    axes = jnp.concatenate([axes_a, axes_b], axis=-2)       # (..., F, 3)
+    avalid = jnp.concatenate([fa, fb], axis=-1)
+
+    def project(pts, valid, axes):
+        # (..., F, P) dot products; invalid verts excluded from min/max
+        dots = m3.einsum("...fi,...pi->...fp", axes, pts)
+        big = jnp.float32(1e30)
+        lo = jnp.min(jnp.where(valid[..., None, :], dots, big), axis=-1)
+        hi = jnp.max(jnp.where(valid[..., None, :], dots, -big), axis=-1)
+        return lo, hi
+
+    lo_a, hi_a = project(pts_a, va, axes)
+    lo_b, hi_b = project(pts_b, vb, axes)
+    overlap = jnp.minimum(hi_a, hi_b) - jnp.maximum(lo_a, lo_b)
+    overlap = jnp.where(avalid, overlap, jnp.inf)
+
+    separated = jnp.any(overlap < -jnp.asarray(margin)[..., None], axis=-1)
+    best = jnp.argmin(overlap, axis=-1)
+    best_overlap = jnp.take_along_axis(overlap, best[..., None], -1)[..., 0]
+    axis = jnp.take_along_axis(axes, best[..., None, None], axis=-2)[..., 0, :]
+    sign = jnp.sign(m3.dot(axis, d_ab))
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    n = axis * sign[..., None]                                # A -> B
+
+    # support planes along n: A's far side toward B, B's far side toward A
+    sup_a = jnp.max(jnp.where(va, m3.einsum("...pi,...i->...p", pts_a, n), -1e30), axis=-1)
+    sup_b = jnp.min(jnp.where(vb, m3.einsum("...pi,...i->...p", pts_b, n), 1e30), axis=-1)
+    # verts of B past A's support plane (B in front of A along n)
+    pen_b = sup_a[..., None] - m3.einsum("...pi,...i->...p", pts_b, n)
+    pen_b = jnp.where(vb, pen_b, -jnp.inf)
+    # verts of A past B's support plane
+    pen_a = m3.einsum("...pi,...i->...p", pts_a, n) - sup_b[..., None]
+    pen_a = jnp.where(va, pen_a, -jnp.inf)
+    pen = jnp.concatenate([pen_b, pen_a], axis=-1)
+    # penetration of each point capped at the SAT overlap (vertices deep past
+    # the plane on a shallow-overlap axis otherwise overstate depth)
+    pen = jnp.minimum(pen, best_overlap[..., None])
+    point = jnp.concatenate([pts_b, pts_a], axis=-2)
+
+    top_pen, top_idx = _top4(pen)
+    m = _empty_manifold(pts_a.shape[:-2])
     m["pen"] = top_pen
     m["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
     m["normal"] = jnp.broadcast_to(n[..., None, :], m["normal"].shape)
     m["valid"] = (top_pen > -jnp.asarray(margin)[..., None]) & ~separated[..., None]
     return m
+
+
+def _box_cloud(p, q, half):
+    """Box as a point cloud: 8 world corners + 3 face axes, all valid."""
+    corners = _box_corners_world(p, q, half)
+    axes = jnp.swapaxes(m3.quat_to_mat3(q), -1, -2)  # (..., 3, 3) rows = axes
+    shape = p.shape[:-1]
+    return (corners, jnp.ones(shape + (8,), bool),
+            axes, jnp.ones(shape + (3,), bool))
+
+
+def hull_hull(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
+    va_pts, va, fa_n, fa = _hull_world(pa, qa, prm_a, tables)
+    vb_pts, vb, fb_n, fb = _hull_world(pb, qb, prm_b, tables)
+    return _cloud_cloud(va_pts, va, fa_n, fa, vb_pts, vb, fb_n, fb,
+                        pb - pa, margin)
+
+
+def box_hull(pa, qa, half_a, pb, qb, prm_b, tables, margin):
+    a_pts, av, a_axes, af = _box_cloud(pa, qa, half_a)
+    b_pts, bv, b_axes, bf = _hull_world(pb, qb, prm_b, tables)
+    return _cloud_cloud(a_pts, av, a_axes, af, b_pts, bv, b_axes, bf,
+                        pb - pa, margin)
+
+
+def sphere_hull(pa, ra, pb, qb, prm_b, tables, margin):
+    """Face-region contact: deepest face plane of the hull vs the sphere
+    center (exact when the closest feature is a face; edge/vertex regions
+    resolve via the nearest face plane)."""
+    verts_w, vv, faces_w, fv = _hull_world(pb, qb, prm_b, tables)
+    # world support offset per face: d_f = max over verts of dot(n_f, v)
+    dots = m3.einsum("...fi,...pi->...fp", faces_w, verts_w)
+    d_f = jnp.max(jnp.where(vv[..., None, :], dots, -1e30), axis=-1)
+    s_f = m3.einsum("...fi,...i->...f", faces_w, pa) - d_f  # signed dist
+    s_f = jnp.where(fv, s_f, -jnp.inf)
+    best = jnp.argmax(s_f, axis=-1)
+    s = jnp.take_along_axis(s_f, best[..., None], -1)[..., 0]
+    n = jnp.take_along_axis(faces_w, best[..., None, None], -2)[..., 0, :]
+    pen = ra - s
+    point = pa - n * (ra - 0.5 * jnp.clip(pen, 0.0, ra))[..., None]
+    # normal A(sphere) -> B(hull) = -n (into the hull)
+    return _one_point(pa.shape[:-1], point, -n, pen, pen > -margin)
+
+
+def capsule_hull(pa, qa, ra, hha, pb, qb, prm_b, tables, margin):
+    """Two endpoint spheres against the hull (2-point manifold)."""
+    e0, e1 = _capsule_segment(pa, qa, hha)
+    m0 = sphere_hull(e0, ra, pb, qb, prm_b, tables, margin)
+    m1 = sphere_hull(e1, ra, pb, qb, prm_b, tables, margin)
+    m = _empty_manifold(pa.shape[:-1])
+    for i, src in enumerate((m0, m1)):
+        m["point"] = m["point"].at[..., i, :].set(src["point"][..., 0, :])
+        m["normal"] = m["normal"].at[..., i, :].set(src["normal"][..., 0, :])
+        m["pen"] = m["pen"].at[..., i].set(src["pen"][..., 0])
+        m["valid"] = m["valid"].at[..., i].set(src["valid"][..., 0])
+    return m
+
+
+def hull_plane(pa, qa, prm_a, n_w, d_w, tables, margin):
+    """Hull vertices below the plane, deepest 4 (box_plane generalized)."""
+    verts_w, vv, _, _ = _hull_world(pa, qa, prm_a, tables)
+    s = m3.einsum("...pi,...i->...p", verts_w, n_w) + d_w[..., None]
+    pen = jnp.where(vv, -s, -jnp.inf)
+    top_pen, top_idx = _top4(pen)
+    point = jnp.take_along_axis(verts_w, top_idx[..., None], axis=-2)
+    m = _empty_manifold(pa.shape[:-1])
+    m["point"] = point
+    m["normal"] = jnp.broadcast_to((-n_w)[..., None, :], point.shape)
+    m["pen"] = top_pen
+    m["valid"] = top_pen > -jnp.asarray(margin)[..., None]
+    return m
+
+
+# -- heightfield kernels --------------------------------------------------------
+#
+# The heightfield (HeightFieldShape analog) is sampled under candidate points
+# of the other body: each sample picks the 2-triangle cell beneath the point
+# and produces a plane contact against that triangle (exact for contact
+# features above the cell; no side-wall contacts, same as Jolt's active-edge
+# default behavior for walkable terrain).
+
+
+def _hf_plane_at(p_l, params_b, tables):
+    """Local surface plane under local point p_l: (normal_l, point-on-plane,
+    inside-grid mask). Grid is centered on the local origin, spacing `cell`."""
+    shp = p_l.shape[:-1]
+    hidx = jnp.broadcast_to(params_b[..., 0].astype(jnp.int32), shp)
+    cell = jnp.broadcast_to(params_b[..., 1], shp)
+    nx = jnp.broadcast_to(params_b[..., 2], shp)
+    nz = jnp.broadcast_to(params_b[..., 3], shp)
+    gx = p_l[..., 0] / cell + (nx - 1.0) * 0.5
+    gz = p_l[..., 2] / cell + (nz - 1.0) * 0.5
+    inside = (gx >= 0.0) & (gx <= nx - 1.0) & (gz >= 0.0) & (gz <= nz - 1.0)
+    ix = jnp.clip(jnp.floor(gx), 0.0, nx - 2.0).astype(jnp.int32)
+    iz = jnp.clip(jnp.floor(gz), 0.0, nz - 2.0).astype(jnp.int32)
+    fx = jnp.clip(gx - ix, 0.0, 1.0)
+    fz = jnp.clip(gz - iz, 0.0, 1.0)
+    h = tables["hf_heights"]
+    h00 = h[hidx, iz, ix]
+    h10 = h[hidx, iz, ix + 1]
+    h01 = h[hidx, iz + 1, ix]
+    h11 = h[hidx, iz + 1, ix + 1]
+    # two triangles per cell split along fx + fz = 1 (mesh.heightfield order)
+    lower = fx + fz <= 1.0
+    nrm1 = jnp.stack([-(h10 - h00), cell, -(h01 - h00)], axis=-1)
+    nrm2 = jnp.stack([-(h11 - h01), cell, -(h11 - h10)], axis=-1)
+    n_l = m3.normalize(jnp.where(lower[..., None], nrm1, nrm2))
+    x0 = (ix.astype(jnp.float32) - (nx - 1.0) * 0.5) * cell
+    z0 = (iz.astype(jnp.float32) - (nz - 1.0) * 0.5) * cell
+    p1 = jnp.stack([x0, h00, z0], axis=-1)
+    p2 = jnp.stack([x0 + cell, h11, z0 + cell], axis=-1)
+    p_on = jnp.where(lower[..., None], p1, p2)
+    return n_l, p_on, inside
+
+
+def _points_vs_heightfield(points_w, pvalid, radius, pb, qb, prm_b, tables,
+                           margin):
+    """Plane contacts for a batch of candidate points (..., P, 3) against the
+    heightfield body at (pb, qb). radius: per-point sphere radius (0 for
+    corners/verts). Returns top-4 manifold; normals point A -> B (down into
+    the terrain)."""
+    rot = m3.quat_to_mat3(qb)
+    p_l = m3.einsum("...ji,...pj->...pi", rot, points_w - pb[..., None, :])
+    n_l, p_on, inside = _hf_plane_at(p_l, prm_b[..., None, :], tables)
+    pen = radius - m3.dot(n_l, p_l - p_on)
+    pen = jnp.where(pvalid & inside, pen, -jnp.inf)
+    n_w = m3.einsum("...ij,...pj->...pi", rot, n_l)
+    # contact point on the body surface (sphere-offset along the normal)
+    point = points_w - n_w * radius[..., None]
+    top_pen, top_idx = _top4(pen)
+    m = _empty_manifold(points_w.shape[:-2])
+    m["pen"] = top_pen
+    m["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
+    m["normal"] = -jnp.take_along_axis(n_w, top_idx[..., None], axis=-2)
+    m["valid"] = top_pen > -jnp.asarray(margin)[..., None]
+    return m
+
+
+def sphere_heightfield(pa, ra, pb, qb, prm_b, tables, margin):
+    pts = pa[..., None, :]
+    return _points_vs_heightfield(
+        pts, jnp.ones(pts.shape[:-1], bool), ra[..., None],
+        pb, qb, prm_b, tables, margin)
+
+
+def capsule_heightfield(pa, qa, ra, hha, pb, qb, prm_b, tables, margin):
+    e0, e1 = _capsule_segment(pa, qa, hha)
+    pts = jnp.stack([e0, e1], axis=-2)
+    return _points_vs_heightfield(
+        pts, jnp.ones(pts.shape[:-1], bool),
+        jnp.broadcast_to(ra[..., None], pts.shape[:-1]),
+        pb, qb, prm_b, tables, margin)
+
+
+def box_heightfield(pa, qa, half_a, pb, qb, prm_b, tables, margin):
+    pts = _box_corners_world(pa, qa, half_a)
+    return _points_vs_heightfield(
+        pts, jnp.ones(pts.shape[:-1], bool), jnp.zeros(pts.shape[:-1]),
+        pb, qb, prm_b, tables, margin)
+
+
+def hull_heightfield(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
+    pts, pvalid, _, _ = _hull_world(pa, qa, prm_a, tables)
+    return _points_vs_heightfield(
+        pts, pvalid, jnp.zeros(pts.shape[:-1]), pb, qb, prm_b, tables, margin)
+
+
+# -- compound kernels ------------------------------------------------------------
+#
+# A compound is up to MAX_CHILDREN convex children (sphere/box/capsule) with
+# local offsets (StaticCompoundShape analog). Contact = union of per-child
+# manifolds, deepest 4 kept. Compound children are statically unrolled;
+# compound-vs-compound pairs are not generated (documented limitation — the
+# reference supports them via Jolt's recursive dispatch).
+
+
+def _convex_pair(ta, pa, qa, prm_a, tb, pb, qb, prm_b, margin, present):
+    """Contact manifold between two convex primitives whose types are runtime
+    values in {SPHERE, BOX, CAPSULE}: evaluates the possible kernels and
+    selects per pair. `present`: static set bounding the kernel set."""
+    kernels = []
+
+    def add(cond, fn):
+        kernels.append((cond, fn()))
+
+    types = present & {sh.SPHERE, sh.BOX, sh.CAPSULE}
+    if sh.SPHERE in types:
+        add((ta == sh.SPHERE) & (tb == sh.SPHERE),
+            lambda: sphere_sphere(pa, prm_a[..., 0], pb, prm_b[..., 0], margin))
+    if sh.SPHERE in types and sh.BOX in types:
+        add((ta == sh.SPHERE) & (tb == sh.BOX),
+            lambda: sphere_box(pa, prm_a[..., 0], pb, qb, prm_b[..., :3], margin))
+        add((ta == sh.BOX) & (tb == sh.SPHERE),
+            lambda: _flip(sphere_box(pb, prm_b[..., 0], pa, qa,
+                                     prm_a[..., :3], margin)))
+    if sh.SPHERE in types and sh.CAPSULE in types:
+        add((ta == sh.SPHERE) & (tb == sh.CAPSULE),
+            lambda: _flip(capsule_sphere(pb, qb, prm_b[..., 0], prm_b[..., 1],
+                                         pa, prm_a[..., 0], margin)))
+        add((ta == sh.CAPSULE) & (tb == sh.SPHERE),
+            lambda: capsule_sphere(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                                   pb, prm_b[..., 0], margin))
+    if sh.BOX in types:
+        add((ta == sh.BOX) & (tb == sh.BOX),
+            lambda: box_box(pa, qa, prm_a[..., :3], pb, qb, prm_b[..., :3], margin))
+    if sh.BOX in types and sh.CAPSULE in types:
+        add((ta == sh.BOX) & (tb == sh.CAPSULE),
+            lambda: _flip(capsule_box(pb, qb, prm_b[..., 0], prm_b[..., 1],
+                                      pa, qa, prm_a[..., :3], margin)))
+        add((ta == sh.CAPSULE) & (tb == sh.BOX),
+            lambda: capsule_box(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                                pb, qb, prm_b[..., :3], margin))
+    if sh.CAPSULE in types:
+        add((ta == sh.CAPSULE) & (tb == sh.CAPSULE),
+            lambda: capsule_capsule(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                                    pb, qb, prm_b[..., 0], prm_b[..., 1], margin))
+
+    out = _empty_manifold(pa.shape[:-1])
+    for field in ("point", "normal", "pen", "valid"):
+        acc = out[field]
+        for cond, man in kernels:
+            c = cond
+            while c.ndim < acc.ndim:
+                c = c[..., None]
+            acc = jnp.where(c, man[field], acc)
+        out[field] = acc
+    return out
+
+
+def _merge_top4(manifolds):
+    """Merge several manifolds into one, keeping the 4 deepest valid points."""
+    pen = jnp.concatenate(
+        [jnp.where(m["valid"], m["pen"], -jnp.inf) for m in manifolds], axis=-1)
+    point = jnp.concatenate([m["point"] for m in manifolds], axis=-2)
+    normal = jnp.concatenate([m["normal"] for m in manifolds], axis=-2)
+    valid = jnp.concatenate([m["valid"] for m in manifolds], axis=-1)
+    top_pen, top_idx = _top4(pen)
+    out = _empty_manifold(pen.shape[:-1])
+    out["pen"] = top_pen
+    out["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
+    out["normal"] = jnp.take_along_axis(normal, top_idx[..., None], axis=-2)
+    out["valid"] = jnp.take_along_axis(valid, top_idx, axis=-1)
+    return out
+
+
+def _compound_children_world(pb, qb, prm_b, tables):
+    """World pose + type/params of each compound child slot."""
+    cidx = prm_b[..., 0].astype(jnp.int32)
+    ctype = tables["comp_type"][cidx]            # (..., K)
+    cparams = tables["comp_params"][cidx]        # (..., K, 4)
+    cpos_l = tables["comp_pos"][cidx]
+    cquat_l = tables["comp_quat"][cidx]
+    cpos_w = pb[..., None, :] + m3.quat_rotate(
+        jnp.broadcast_to(qb[..., None, :], cquat_l.shape), cpos_l)
+    cquat_w = m3.quat_mul(
+        jnp.broadcast_to(qb[..., None, :], cquat_l.shape), cquat_l)
+    return ctype, cparams, cpos_w, cquat_w
+
+
+def convex_compound(ta, pa, qa, prm_a, pb, qb, prm_b, tables, margin, present):
+    """Convex primitive A vs compound B: per-child _convex_pair, merged."""
+    ctype, cparams, cpos_w, cquat_w = _compound_children_world(
+        pb, qb, prm_b, tables)
+    mans = []
+    for k in range(sh.MAX_CHILDREN):
+        man = _convex_pair(ta, pa, qa, prm_a,
+                           ctype[..., k], cpos_w[..., k, :],
+                           cquat_w[..., k, :], cparams[..., k, :],
+                           margin, present)
+        man["valid"] = man["valid"] & (ctype[..., k] != sh.EMPTY)[..., None]
+        mans.append(man)
+    return _merge_top4(mans)
+
+
+def compound_plane(pa, qa, prm_a, n_w, d_w, tables, margin, present):
+    """Compound A vs plane B: per-child plane kernel, merged."""
+    ctype, cparams, cpos_w, cquat_w = _compound_children_world(
+        pa, qa, prm_a, tables)
+    mans = []
+    for k in range(sh.MAX_CHILDREN):
+        tk = ctype[..., k]
+        pk, qk, prmk = cpos_w[..., k, :], cquat_w[..., k, :], cparams[..., k, :]
+        parts = []
+        if sh.SPHERE in present:
+            parts.append((tk == sh.SPHERE,
+                          sphere_plane(pk, prmk[..., 0], n_w, d_w, margin)))
+        if sh.BOX in present:
+            parts.append((tk == sh.BOX,
+                          box_plane(pk, qk, prmk[..., :3], n_w, d_w, margin)))
+        if sh.CAPSULE in present:
+            parts.append((tk == sh.CAPSULE,
+                          capsule_plane(pk, qk, prmk[..., 0], prmk[..., 1],
+                                        n_w, d_w, margin)))
+        man = _empty_manifold(pa.shape[:-1])
+        for field in ("point", "normal", "pen", "valid"):
+            acc = man[field]
+            for cond, m_ in parts:
+                c = cond
+                while c.ndim < acc.ndim:
+                    c = c[..., None]
+                acc = jnp.where(c, m_[field], acc)
+            man[field] = acc
+        mans.append(man)
+    return _merge_top4(mans)
+
+
+def compound_heightfield(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
+    """Compound A vs heightfield B: sample under child centers + box corners
+    approximated by each child's support points (sphere centers / capsule
+    endpoints / box corners)."""
+    ctype, cparams, cpos_w, cquat_w = _compound_children_world(
+        pa, qa, prm_a, tables)
+    mans = []
+    for k in range(sh.MAX_CHILDREN):
+        tk = ctype[..., k]
+        pk, qk, prmk = cpos_w[..., k, :], cquat_w[..., k, :], cparams[..., k, :]
+        sphere_m = sphere_heightfield(pk, prmk[..., 0], pb, qb, prm_b,
+                                      tables, margin)
+        box_m = box_heightfield(pk, qk, prmk[..., :3], pb, qb, prm_b,
+                                tables, margin)
+        cap_m = capsule_heightfield(pk, qk, prmk[..., 0], prmk[..., 1],
+                                    pb, qb, prm_b, tables, margin)
+        man = _empty_manifold(pa.shape[:-1])
+        for field in ("point", "normal", "pen", "valid"):
+            acc = man[field]
+            for cond, m_ in ((tk == sh.SPHERE, sphere_m),
+                             (tk == sh.BOX, box_m), (tk == sh.CAPSULE, cap_m)):
+                c = cond
+                while c.ndim < acc.ndim:
+                    c = c[..., None]
+                acc = jnp.where(c, m_[field], acc)
+            man[field] = acc
+        mans.append(man)
+    return _merge_top4(mans)
 
 
 # -- dispatch -----------------------------------------------------------------
@@ -293,6 +775,7 @@ def generate_contacts(
     pair_i: Array, pair_j: Array, pair_valid: Array,
     margin: float,
     present_types: frozenset = None,
+    tables: Dict[str, Array] = None,
 ) -> Dict[str, Array]:
     """Contact manifolds for candidate pairs.
 
@@ -355,6 +838,59 @@ def generate_contacts(
     if have(sh.CAPSULE, sh.PLANE):
         add((ta == sh.CAPSULE) & (tb == sh.PLANE),
             lambda: capsule_plane(pa, qa, prm_a[..., 0], prm_a[..., 1], n_w, d_w, margin))
+
+    # hull pairs (ConvexHullShape, physics.hpp:103-153)
+    if have(sh.SPHERE, sh.HULL):
+        add((ta == sh.SPHERE) & (tb == sh.HULL),
+            lambda: sphere_hull(pa, prm_a[..., 0], pb, qb, prm_b, tables, margin))
+    if have(sh.BOX, sh.HULL):
+        add((ta == sh.BOX) & (tb == sh.HULL),
+            lambda: box_hull(pa, qa, prm_a[..., :3], pb, qb, prm_b, tables, margin))
+    if have(sh.CAPSULE, sh.HULL):
+        add((ta == sh.CAPSULE) & (tb == sh.HULL),
+            lambda: capsule_hull(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                                 pb, qb, prm_b, tables, margin))
+    if have(sh.HULL):
+        add((ta == sh.HULL) & (tb == sh.HULL),
+            lambda: hull_hull(pa, qa, prm_a, pb, qb, prm_b, tables, margin))
+    if have(sh.HULL, sh.PLANE):
+        add((ta == sh.HULL) & (tb == sh.PLANE),
+            lambda: hull_plane(pa, qa, prm_a, n_w, d_w, tables, margin))
+
+    # heightfield pairs (HeightFieldShape)
+    if have(sh.SPHERE, sh.HEIGHTFIELD):
+        add((ta == sh.SPHERE) & (tb == sh.HEIGHTFIELD),
+            lambda: sphere_heightfield(pa, prm_a[..., 0], pb, qb, prm_b,
+                                       tables, margin))
+    if have(sh.BOX, sh.HEIGHTFIELD):
+        add((ta == sh.BOX) & (tb == sh.HEIGHTFIELD),
+            lambda: box_heightfield(pa, qa, prm_a[..., :3], pb, qb, prm_b,
+                                    tables, margin))
+    if have(sh.CAPSULE, sh.HEIGHTFIELD):
+        add((ta == sh.CAPSULE) & (tb == sh.HEIGHTFIELD),
+            lambda: capsule_heightfield(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                                        pb, qb, prm_b, tables, margin))
+    if have(sh.HULL, sh.HEIGHTFIELD):
+        add((ta == sh.HULL) & (tb == sh.HEIGHTFIELD),
+            lambda: hull_heightfield(pa, qa, prm_a, pb, qb, prm_b, tables,
+                                     margin))
+
+    # compound pairs (StaticCompoundShape / decorated shapes)
+    if have(sh.COMPOUND):
+        present = present_types or frozenset(
+            (sh.SPHERE, sh.BOX, sh.CAPSULE))
+        add(((ta == sh.SPHERE) | (ta == sh.BOX) | (ta == sh.CAPSULE))
+            & (tb == sh.COMPOUND),
+            lambda: convex_compound(ta, pa, qa, prm_a, pb, qb, prm_b,
+                                    tables, margin, present))
+        if have(sh.PLANE):
+            add((ta == sh.COMPOUND) & (tb == sh.PLANE),
+                lambda: compound_plane(pa, qa, prm_a, n_w, d_w, tables,
+                                       margin, present))
+        if have(sh.HEIGHTFIELD):
+            add((ta == sh.COMPOUND) & (tb == sh.HEIGHTFIELD),
+                lambda: compound_heightfield(pa, qa, prm_a, pb, qb, prm_b,
+                                             tables, margin))
 
     out = _empty_manifold(pair_i.shape)
     for field in ("point", "normal", "pen", "valid"):

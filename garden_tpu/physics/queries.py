@@ -1,14 +1,22 @@
-"""Ray and point queries against the body arrays.
+"""Ray and shape queries against the body arrays.
 
 Rebuild of the narrow-phase query API the reference exposes (PhysicsSystem
-ray/shape casts via Jolt's NarrowPhaseQuery, physics.hpp castRay section).
-Vectorized: one ray is tested against every body analytically and the
-nearest hit wins — at fixed capacities this is faster on TPU than any tree.
+ray AND shape casts via Jolt's NarrowPhaseQuery, physics.hpp castRay/castShape
+sections). Vectorized: one query is tested against every body analytically
+and the nearest hit wins — at fixed capacities this is faster on TPU than a
+tree walk.
+
+Supported:
+- `cast_ray`: exact sphere/box/plane/capsule/hull hits with surface normals;
+  heightfields via fixed-count raymarch refinement.
+- `cast_sphere`: swept-sphere cast (the CharacterVirtual walk-stairs /
+  stick-to-floor primitive, character.cpp:265-272) against sphere/box/
+  plane/capsule, exact by Minkowski inflation.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax.numpy as jnp
 
@@ -56,6 +64,94 @@ def _ray_plane(o, d, n, dist):
     return jnp.where((jnp.abs(denom) > 1e-9) & (t > 0), t, NO_HIT)
 
 
+def _ray_capsule(o, d, p0, p1, radius):
+    """Exact ray vs capsule: infinite-cylinder intersection clamped to the
+    segment span, plus the two sphere caps."""
+    axis = p1 - p0
+    ll = m3.dot(axis, axis)
+    u = axis / jnp.sqrt(jnp.maximum(ll, 1e-12))[..., None]
+    oc = o - p0
+    # components perpendicular to the axis
+    d_perp = d - u * m3.dot(d, u)[..., None]
+    oc_perp = oc - u * m3.dot(oc, u)[..., None]
+    a = m3.dot(d_perp, d_perp)
+    b = m3.dot(d_perp, oc_perp)
+    c = m3.dot(oc_perp, oc_perp) - radius * radius
+    disc = b * b - a * c
+    safe_a = jnp.maximum(a, 1e-12)
+    t_cyl = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / safe_a
+    # point on axis at the cylinder hit must lie within the segment
+    s = m3.dot(oc + d * t_cyl[..., None], u)
+    seg_len = jnp.sqrt(jnp.maximum(ll, 1e-12))
+    cyl_ok = (disc >= 0) & (a > 1e-12) & (t_cyl > 0) & (s >= 0) & (s <= seg_len)
+    t_cyl = jnp.where(cyl_ok, t_cyl, NO_HIT)
+    t0 = _ray_sphere(o, d, p0, radius)
+    t1 = _ray_sphere(o, d, p1, radius)
+    return jnp.minimum(t_cyl, jnp.minimum(t0, t1))
+
+
+def _ray_hull(o, d, pos, quat, params, tables):
+    """Ray vs convex polytope: generalized slab test over face planes."""
+    verts_w, vv, faces_w, fv = _hull_world_rows(pos, quat, params, tables)
+    dots = m3.einsum("...fi,...pi->...fp", faces_w, verts_w)
+    d_f = jnp.max(jnp.where(vv[..., None, :], dots, -1e30), axis=-1)
+    no = m3.einsum("...fi,...i->...f", faces_w, o)
+    nd = m3.einsum("...fi,...i->...f", faces_w, d)
+    # entering planes (nd < 0) give t_near, exiting give t_far
+    t_plane = (d_f - no) / jnp.where(jnp.abs(nd) < 1e-9,
+                                     jnp.where(nd < 0, -1e-9, 1e-9), nd)
+    t_near = jnp.max(jnp.where(fv & (nd < 0), t_plane, -NO_HIT), axis=-1)
+    t_far = jnp.min(jnp.where(fv & (nd > 0), t_plane, NO_HIT), axis=-1)
+    # a ray starting outside any face with nd >= 0 never enters that plane
+    outside_parallel = jnp.any(fv & (jnp.abs(nd) <= 1e-9) & (no > d_f), axis=-1)
+    hit = (t_near <= t_far) & (t_near > 0) & ~outside_parallel
+    return jnp.where(hit, t_near, NO_HIT)
+
+
+def _hull_world_rows(pos, quat, params, tables):
+    hidx = params[..., 0].astype(jnp.int32) % tables["hull_verts"].shape[0]
+    verts_l = tables["hull_verts"][hidx]
+    vvalid = tables["hull_vert_valid"][hidx]
+    faces_l = tables["hull_face_n"][hidx]
+    fvalid = tables["hull_face_valid"][hidx]
+    rot = m3.quat_to_mat3(quat)
+    verts_w = m3.einsum("...ij,...kj->...ki", rot, verts_l) + pos[..., None, :]
+    faces_w = m3.einsum("...ij,...kj->...ki", rot, faces_l)
+    return verts_w, vvalid, faces_w, fvalid
+
+
+def _ray_heightfield(o, d, pos, quat, params, tables, steps: int = 32,
+                     max_t: float = 100.0):
+    """Fixed-count raymarch against the height grid: finds the first sample
+    below the surface and refines by one bisection round."""
+    from garden_tpu.physics.narrowphase import _hf_plane_at
+    rot = m3.quat_to_mat3(quat)
+    o_l = m3.einsum("...ji,...j->...i", rot, o - pos)
+    d_l = m3.einsum("...ji,...j->...i", rot, d)
+
+    def below(t):
+        p = o_l + d_l * t[..., None]
+        n_l, p_on, inside = _hf_plane_at(p, params, tables)
+        return (m3.dot(n_l, p - p_on) < 0.0) & inside, inside
+
+    ts = jnp.linspace(0.0, max_t, steps)
+    t_hit = jnp.full(o_l.shape[:-1], NO_HIT)
+    prev_t = jnp.zeros(o_l.shape[:-1])
+    found = jnp.zeros(o_l.shape[:-1], bool)
+    for i in range(steps):
+        t = jnp.broadcast_to(ts[i], o_l.shape[:-1])
+        b, _ = below(t)
+        first = b & ~found
+        # bisect once between prev and t
+        mid = 0.5 * (prev_t + t)
+        bm, _ = below(mid)
+        t_ref = jnp.where(bm, mid, t)
+        t_hit = jnp.where(first, t_ref, t_hit)
+        found = found | b
+        prev_t = t
+    return t_hit
+
+
 def cast_ray(state: Dict[str, Any], origin: Array, direction: Array,
              max_distance: float = 1e6) -> RayHit:
     """Nearest-hit raycast against all alive bodies."""
@@ -72,18 +168,18 @@ def cast_ray(state: Dict[str, Any], origin: Array, direction: Array,
     n_w = m3.quat_rotate(b["quat"], params[..., :3])
     d_w = params[..., 3] - m3.dot(n_w, b["pos"])
     t_plane = _ray_plane(o, d, n_w, d_w)
-    # capsule approximated by its bounding sphere then refined as sphere at
-    # the closest segment point
-    a0 = b["pos"] - m3.quat_rotate(b["quat"], jnp.broadcast_to(
-        jnp.array([0.0, 1.0, 0.0]), b["pos"].shape)) * params[..., 1:2]
-    a1 = 2.0 * b["pos"] - a0
-    # project origin ray onto segment midpoint for an approximate hit
-    t_cap_s = _ray_sphere(o, d, b["pos"], params[..., 0] + params[..., 1])
+    axis = m3.quat_rotate(b["quat"], jnp.broadcast_to(
+        jnp.array([0.0, 1.0, 0.0]), b["pos"].shape))
+    a0 = b["pos"] - axis * params[..., 1:2]
+    a1 = b["pos"] + axis * params[..., 1:2]
+    t_cap = _ray_capsule(o, d, a0, a1, params[..., 0])
+    t_hull = _ray_hull(o, d, b["pos"], b["quat"], params, shapes_t)
+    t_hf = _ray_heightfield(o, d, b["pos"], b["quat"], params, shapes_t)
 
     t = jnp.select(
         [stype == sh.SPHERE, stype == sh.BOX, stype == sh.PLANE,
-         stype == sh.CAPSULE],
-        [t_sphere, t_box, t_plane, t_cap_s],
+         stype == sh.CAPSULE, stype == sh.HULL, stype == sh.HEIGHTFIELD],
+        [t_sphere, t_box, t_plane, t_cap, t_hull, t_hf],
         default=jnp.full_like(t_sphere, NO_HIT),
     )
     t = jnp.where(b["has"] & (t <= max_distance), t, NO_HIT)
@@ -92,12 +188,114 @@ def cast_ray(state: Dict[str, Any], origin: Array, direction: Array,
     t_best = t[best]
     hit = t_best < NO_HIT
     point = origin + m3.normalize(direction) * t_best
-    # normal at hit
+
+    # surface normal at the hit point, per shape type
     center = b["pos"][best]
+    # box: face whose local |coord| is closest to its half extent
+    p_l = m3.einsum("ji,j->i", rot[best], point - center)
+    h_l = params[best, :3]
+    depth = jnp.abs(h_l) - jnp.abs(p_l)
+    face = jnp.argmin(depth)
+    n_box_l = jnp.zeros(3).at[face].set(jnp.sign(p_l[face]))
+    n_box = m3.einsum("ij,j->i", rot[best], n_box_l)
+    # capsule: from nearest segment point
+    seg = _closest_on_segment_single(a0[best], a1[best], point)
+    n_cap = m3.normalize(point - seg)
+    # hull: deepest face plane at the hit
+    verts_w, vv, faces_w, fv = _hull_world_rows(
+        b["pos"][best], b["quat"][best], params[best], shapes_t)
+    dots = m3.einsum("fi,pi->fp", faces_w, verts_w)
+    d_f = jnp.max(jnp.where(vv[None, :], dots, -1e30), axis=-1)
+    s_f = jnp.where(fv, m3.einsum("fi,i->f", faces_w, point) - d_f, -jnp.inf)
+    n_hull = faces_w[jnp.argmax(s_f)]
+    # heightfield: local surface plane under the hit
+    from garden_tpu.physics.narrowphase import _hf_plane_at
+    hfp_l = m3.einsum("ji,j->i", rot[best], point - center)
+    n_hf_l, _, _ = _hf_plane_at(hfp_l, params[best], shapes_t)
+    n_hf = m3.einsum("ij,j->i", rot[best], n_hf_l)
+
     n_hit = jnp.select(
-        [stype[best] == sh.SPHERE, stype[best] == sh.PLANE],
-        [m3.normalize(point - center), n_w[best]],
+        [stype[best] == sh.SPHERE, stype[best] == sh.PLANE,
+         stype[best] == sh.BOX, stype[best] == sh.CAPSULE,
+         stype[best] == sh.HULL, stype[best] == sh.HEIGHTFIELD],
+        [m3.normalize(point - center), n_w[best], n_box, n_cap, n_hull, n_hf],
         default=m3.normalize(point - center),
     )
+    return RayHit(hit=hit, body=jnp.where(hit, best, -1),
+                  distance=t_best, point=point, normal=n_hit)
+
+
+def _closest_on_segment_single(a0, a1, p):
+    d = a1 - a0
+    t = jnp.dot(p - a0, d) / jnp.maximum(jnp.dot(d, d), 1e-12)
+    return a0 + d * jnp.clip(t, 0.0, 1.0)
+
+
+def cast_sphere(state: Dict[str, Any], origin: Array, direction: Array,
+                radius: float, max_distance: float = 1e6,
+                exclude_body: int = -1) -> RayHit:
+    """Swept-sphere cast: nearest time-of-impact against all alive bodies.
+
+    Exact by Minkowski inflation: a sphere of radius r swept along a ray hits
+    shape S exactly when the ray hits S inflated by r (sphere->sphere sum,
+    plane offset, capsule radius sum; boxes get rounded-edge inflation
+    approximated by the inflated slab — conservative by at most r at
+    corners). This is the walk-stairs/stick-to-floor primitive
+    (character.cpp:265-272)."""
+    b = state["bodies"]
+    shapes_t = state["shapes"]
+    stype = shapes_t["type"][b["shape"]]
+    params = shapes_t["params"][b["shape"]]
+    o = jnp.broadcast_to(origin, b["pos"].shape)
+    dirn = m3.normalize(direction)
+    d = jnp.broadcast_to(dirn, b["pos"].shape)
+    r = jnp.float32(radius)
+
+    rot = m3.quat_to_mat3(b["quat"])
+    t_sphere = _ray_sphere(o, d, b["pos"], params[..., 0] + r)
+    t_box = _ray_box(o, d, b["pos"], rot, params[..., :3] + r)
+    n_w = m3.quat_rotate(b["quat"], params[..., :3])
+    d_w = params[..., 3] - m3.dot(n_w, b["pos"])
+    t_plane = _ray_plane(o, d, n_w, d_w + r)
+    axis = m3.quat_rotate(b["quat"], jnp.broadcast_to(
+        jnp.array([0.0, 1.0, 0.0]), b["pos"].shape))
+    a0 = b["pos"] - axis * params[..., 1:2]
+    a1 = b["pos"] + axis * params[..., 1:2]
+    t_cap = _ray_capsule(o, d, a0, a1, params[..., 0] + r)
+    # heightfield: march the sphere center, offset the surface by r along up
+    t_hf = _ray_heightfield(o - jnp.array([0.0, 1.0, 0.0]) * r, d,
+                            b["pos"], b["quat"], params, shapes_t)
+
+    t = jnp.select(
+        [stype == sh.SPHERE, stype == sh.BOX, stype == sh.PLANE,
+         stype == sh.CAPSULE, stype == sh.HEIGHTFIELD],
+        [t_sphere, t_box, t_plane, t_cap, t_hf],
+        default=jnp.full_like(t_sphere, NO_HIT),
+    )
+    idx = jnp.arange(t.shape[0])
+    t = jnp.where(b["has"] & (t <= max_distance) & (idx != exclude_body),
+                  t, NO_HIT)
+
+    best = jnp.argmin(t)
+    t_best = t[best]
+    hit = t_best < NO_HIT
+    center_at_hit = origin + dirn * t_best
+    # contact normal: from the closest point on the (uninflated) shape
+    box_l = m3.einsum("ji,j->i", rot[best], center_at_hit - b["pos"][best])
+    box_cl = jnp.clip(box_l, -params[best, :3], params[best, :3])
+    box_support = m3.einsum("ij,j->i", rot[best], box_cl) + b["pos"][best]
+    support = jnp.select(
+        [(stype[best] == sh.SPHERE)[..., None],
+         (stype[best] == sh.BOX)[..., None]],
+        [b["pos"][best], box_support],
+        default=_closest_on_segment_single(a0[best], a1[best], center_at_hit),
+    )
+    n_generic = m3.normalize(center_at_hit - support)
+    n_hit = jnp.select(
+        [stype[best] == sh.PLANE, stype[best] == sh.HEIGHTFIELD],
+        [n_w[best], jnp.array([0.0, 1.0, 0.0])],
+        default=n_generic,
+    )
+    point = center_at_hit - n_hit * radius
     return RayHit(hit=hit, body=jnp.where(hit, best, -1),
                   distance=t_best, point=point, normal=n_hit)

@@ -146,11 +146,10 @@ class PhysicsWorld:
             if is_sensor:
                 layer = LAYER_SENSOR
         b["layer"][i] = layer
-        b["is_global"][i] = stype == sh.PLANE
+        b["is_global"][i] = stype in (sh.PLANE, sh.HEIGHTFIELD)
         if motion == DYNAMIC:
             # host-side numpy: 10K add_body calls must not dispatch device ops
-            mass, inertia = sh.mass_properties_np(
-                stype, self.shapes.params[shape], self.shapes.density[shape])
+            mass, inertia = self.shapes.body_mass_properties(shape)
             if mass_override is not None:
                 inertia = inertia * (mass_override / mass)
                 mass = mass_override
@@ -217,8 +216,13 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     h = 1.0 / config.simulation_rate
     speed = jnp.linalg.norm(b["linvel"], axis=-1)
     margin = config.speculative_margin + speed * h * 1.1
+    hull_ext = shapes_t["hull_ext"][params[:, 0].astype(jnp.int32)
+                                    % shapes_t["hull_ext"].shape[0]]
+    comp_ext = shapes_t["comp_ext"][params[:, 0].astype(jnp.int32)
+                                    % shapes_t["comp_ext"].shape[0]]
     aabb_min, aabb_max = broadphase.body_aabbs(
-        b["pos"], b["quat"], stype, params, margin=margin[:, None]
+        b["pos"], b["quat"], stype, params, margin=margin[:, None],
+        hull_ext=hull_ext, comp_ext=comp_ext,
     )
     dynamic = b["motion"] == DYNAMIC
     cand_idx, cand_valid = broadphase.find_candidates(
@@ -243,6 +247,7 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
         pair_i, pair_j, pair_valid,
         margin=pair_margin,
         present_types=present_types,
+        tables=shapes_t,
     )
     # re-orient: manifold normals point A->B in canonical (type-sorted)
     # order; the row layout wants row-body -> partner

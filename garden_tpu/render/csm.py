@@ -104,6 +104,15 @@ def resolve_shadow(
     size = cfg.map_size
     c_count = shadow_maps.shape[0]
 
+    # decimated resolve: the shadow-map lookup gather dominates; sample
+    # every Nth pixel and bilinearly upsample the factor at the end
+    step = max(int(getattr(cfg, "resolve_step", 1)), 1)
+    full_shape = position.shape[:2]
+    if step > 1:
+        position = position[::step, ::step]
+        normal = normal[::step, ::step]
+        view_depth = view_depth[::step, ::step]
+
     # cascade selection by view distance
     cascade = jnp.zeros_like(view_depth, dtype=jnp.int32)
     for i in range(1, c_count):
@@ -155,4 +164,7 @@ def resolve_shadow(
                 acc = acc + sh
                 n += 1
         lit = acc / n
+    if step > 1:
+        import jax
+        lit = jax.image.resize(lit, full_shape, "linear")
     return lit

@@ -36,14 +36,20 @@ class DeferredRenderer:
     def __init__(self, config: RenderConfig, scene: mesh.SceneBuffers):
         self.config = config
         self.scene_host = scene
+        # trace-time pass gating on scene content (the reference's anyOIT /
+        # anyRefraction flags, deferred.hpp:122-123): an OIT pass over a
+        # scene with no translucent triangles costs a full bin+raster for
+        # nothing (~66ms at 1080p/123K tris)
+        self.any_translucent = bool(scene.tri_translucent_mask().any())
 
     def device_scene(self) -> Dict[str, Array]:
         return self.scene_host.device_arrays()
 
     def initial_frame_state(self) -> Dict[str, Array]:
         state = {"avg_luminance": jnp.float32(0.18)}
-        if self.config.use_occlusion_culling:
-            # previous frame's Hi-Z pyramid (empty depth = nothing occludes)
+        if self.config.use_occlusion_culling or self.config.use_velocity:
+            # previous frame's depth (Hi-Z source / disocclusion reference;
+            # empty depth = nothing occludes, everything disoccluded)
             scale = self.config.render_scale
             if scale != 1.0:
                 w = max(int(self.config.width * scale) // self.config.tile_size,
@@ -53,6 +59,8 @@ class DeferredRenderer:
             else:
                 w, h = self.config.width, self.config.height
             state["prev_depth"] = jnp.zeros((h, w), jnp.float32)
+        if self.config.use_velocity:
+            state["prev_view_proj"] = jnp.eye(4, dtype=jnp.float32)
         return state
 
     # -- culling (PreDeferredRender: mesh.cpp:331-553 fan-out analog) --------
@@ -88,6 +96,7 @@ class DeferredRenderer:
         frame_state: Dict[str, Array],
         ui_atlas: Optional[Array] = None,
         ui_sprites: Optional[Dict[str, Array]] = None,
+        prev_inst_matrices: Optional[Array] = None,
     ) -> Dict[str, Array]:
         cfg = self.config
         # internal render scale (the DLSS/upscaling hook, graphics.hpp:139):
@@ -131,8 +140,55 @@ class DeferredRenderer:
             clip, scene["indices"], tri_valid & ~translucent, w, h,
             cfg.tile_size, cfg.max_tris_per_tile,
         )
-        g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos, world_nrm,
-                                  constants=constants)
+
+        # velocity inputs: previous-frame vertex screen positions ride in
+        # the shading record (deferred.cpp:463-489 velocity pass analog)
+        records = None
+        if cfg.use_velocity:
+            prev_inst = (prev_inst_matrices if prev_inst_matrices is not None
+                         else inst_matrices)
+            prev_vp = frame_state.get("prev_view_proj", constants["view_proj"])
+            prev_world, _ = mesh.transform_vertices(scene, prev_inst)
+            pclip = m3.apply_mat4_h(prev_vp, prev_world)
+            pw_safe = jnp.maximum(pclip[..., 3:4], 1e-6)
+            pndc = pclip[..., :3] / pw_safe
+            prev_screen = jnp.stack(
+                [(pndc[..., 0] * 0.5 + 0.5) * w,
+                 (0.5 - pndc[..., 1] * 0.5) * h], axis=-1)
+            records = gbuffer.pack_triangle_records(scene, world_nrm,
+                                                    prev_screen=prev_screen)
+        g = gbuffer.shade_gbuffer(
+            vis, setup, scene, world_pos, world_nrm,
+            constants=constants, records=records,
+            with_velocity=cfg.use_velocity,
+            textures=scene.get("textures") if self.scene_host.any_textured
+            else None)
+
+        # disocclusion mask (deferred.cpp:491-526): pixels whose reprojected
+        # previous-frame depth disagrees with the current surface (newly
+        # revealed geometry, for temporal effects). Needs occlusion culling's
+        # prev_depth plane; resolved at quarter density (gather cost).
+        disocclusion = None
+        if cfg.use_velocity and "prev_depth" in frame_state:
+            step_d = 2
+            vel_d = g["velocity"][::step_d, ::step_d]
+            depth_d = vis["depth"][::step_d, ::step_d]
+            hd, wd = depth_d.shape
+            py = (jnp.arange(hd, dtype=jnp.float32)[:, None] + 0.5) * step_d \
+                - vel_d[..., 1]
+            px = (jnp.arange(wd, dtype=jnp.float32)[None, :] + 0.5) * step_d \
+                - vel_d[..., 0]
+            prev_d = frame_state["prev_depth"]
+            ph, pw_ = prev_d.shape
+            iy = jnp.clip(py.astype(jnp.int32), 0, ph - 1)
+            ix = jnp.clip(px.astype(jnp.int32), 0, pw_ - 1)
+            sampled = prev_d[iy, ix]
+            # reverse-Z: large relative change = disoccluded
+            rel = jnp.abs(sampled - depth_d) / jnp.maximum(depth_d, 1e-6)
+            dis = (rel > 0.1) | (px < 0) | (px >= pw_) | (py < 0) | (py >= ph)
+            import jax as _jax
+            disocclusion = _jax.image.resize(
+                dis.astype(jnp.float32), vis["depth"].shape, "nearest")
 
         # shadows (CSM cascades; casters are not frustum-culled)
         shadow = None
@@ -180,7 +236,14 @@ class DeferredRenderer:
             refl = m3.reflect(-jnp.broadcast_to(
                 m3.normalize(constants["camera_pos"] - g["position"]),
                 g["normal"].shape), g["normal"])
-            spec_amb = atm.sky_radiance(refl, to_light, steps=4)
+            # roughness-prefiltered environment approximation: sharp sky
+            # sample for mirrors, SH irradiance (fully-blurred sky) for
+            # rough — the ibl-specular mip-chain behavior without per-pixel
+            # mip gathers; weighted by the split-sum DFG in lighting.resolve
+            spec_sharp = atm.sky_radiance(refl, to_light, steps=4)
+            spec_rough = atm.sh_irradiance(refl, sh)
+            r = jnp.clip(g["roughness"], 0.0, 1.0)[..., None]
+            spec_amb = spec_sharp * (1.0 - r) + spec_rough * r
             hdr = lighting.resolve(
                 g, constants, shadow=shadow, ao=ao,
                 ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
@@ -189,8 +252,9 @@ class DeferredRenderer:
             hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao)
 
         # OIT pass: translucent triangles accumulate over the opaque HDR
-        # (OitRenderSystem composite, oit.hpp:38)
-        if cfg.use_oit:
+        # (OitRenderSystem composite, oit.hpp:38); skipped entirely when the
+        # scene has no translucent content (anyOIT, deferred.hpp:122-123)
+        if cfg.use_oit and self.any_translucent:
             tsetup = raster.setup_triangles(
                 clip, scene["indices"], tri_valid & translucent, w, h)
             ttiles, tcounts = raster.bin_triangles(
@@ -237,8 +301,10 @@ class DeferredRenderer:
             ldr = sprites_mod.composite_sprites(ldr, ui_atlas, ui_sprites)
 
         new_frame_state = {"avg_luminance": avg_lum}
-        if cfg.use_occlusion_culling:
+        if cfg.use_occlusion_culling or cfg.use_velocity:
             new_frame_state["prev_depth"] = vis["depth"]
+        if cfg.use_velocity:
+            new_frame_state["prev_view_proj"] = constants["view_proj"]
 
         return {
             "image": tonemap.to_uint8(ldr),
@@ -248,5 +314,7 @@ class DeferredRenderer:
             "gbuffer": g,
             "shadow": shadow,
             "ao": ao,
+            "velocity": g.get("velocity"),
+            "disocclusion": disocclusion,
             "frame_state": new_frame_state,
         }

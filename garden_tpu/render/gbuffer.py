@@ -27,24 +27,31 @@ Array = jnp.ndarray
 REC_WIDTH = 32
 
 
-def pack_triangle_records(scene: Dict[str, Array], world_normals: Array) -> Array:
+def pack_triangle_records(scene: Dict[str, Array], world_normals: Array,
+                          prev_screen: Optional[Array] = None) -> Array:
     """(T, 32) per-triangle shading records: [n0 n1 n2 (9) | uv0 uv1 uv2 (6)
-    | material row (10) | instance (1) | pad]."""
+    | material row (10) | instance (1) | prev screen xy x3 (6)].
+
+    prev_screen: (V, 2) previous-frame screen positions per vertex. Riding
+    them in the record makes per-pixel velocity a barycentric interpolation
+    — no extra per-pixel gathers (the velocity pass analog of
+    deferred.cpp:463-489)."""
     idx = scene["indices"]                       # (T, 3)
     n = world_normals[idx]                       # (T, 3, 3)
     uv = scene["uvs"][idx]                       # (T, 3, 2)
     inst = jnp.maximum(scene["tri_instance"], 0)
     mat_id = scene["inst_material"][inst]
-    mat = scene["materials"][mat_id]             # (T, 10)
-    rec = jnp.concatenate(
-        [
-            n.reshape(-1, 9),
-            uv.reshape(-1, 6),
-            mat,
-            scene["tri_instance"].astype(jnp.float32)[:, None],
-        ],
-        axis=-1,
-    )
+    mat = scene["materials"][mat_id]             # (T, 11)
+    parts = [
+        n.reshape(-1, 9),
+        uv.reshape(-1, 6),
+        mat[:, :9],                              # props (alpha is OIT-only)
+        mat[:, 10:11],                           # base-texture index
+        scene["tri_instance"].astype(jnp.float32)[:, None],
+    ]
+    if prev_screen is not None:
+        parts.append(prev_screen[idx].reshape(-1, 6))
+    rec = jnp.concatenate(parts, axis=-1)
     pad = REC_WIDTH - rec.shape[-1]
     return jnp.pad(rec, ((0, 0), (0, pad)))
 
@@ -70,6 +77,8 @@ def shade_gbuffer(
     world_normals: Array,     # (V, 3)
     constants: Optional[Dict[str, Array]] = None,
     records: Optional[Array] = None,
+    with_velocity: bool = False,
+    textures: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Reconstruct per-pixel attributes -> G-buffer planes (H, W, C)."""
     tri = jnp.maximum(vis["tri_id"], 0)          # (H, W)
@@ -105,19 +114,53 @@ def shade_gbuffer(
         vals = world_positions[idx]
         position = jnp.sum(vals * pw[..., None], axis=-2)
 
-    mat = rec[..., 15:25]
+    mat = rec[..., 15:24]
+    tex_id = rec[..., 24].astype(jnp.int32)
     inst = rec[..., 25].astype(jnp.int32)
 
-    return {
+    base_color = mat[..., 0:3]
+    if textures is not None and textures.shape[0] > 0:
+        # base-color texture sample (resource.cpp image loads feeding the
+        # deferred.hpp:20 base-color target): nearest-texel, one row gather;
+        # untextured pixels keep the flat material color
+        s = textures.shape[1]
+        uvw = uv - jnp.floor(uv)                     # wrap
+        tx = jnp.clip((uvw[..., 0] * s).astype(jnp.int32), 0, s - 1)
+        ty = jnp.clip((uvw[..., 1] * s).astype(jnp.int32), 0, s - 1)
+        flat = jnp.clip(tex_id, 0, textures.shape[0] - 1) * (s * s) \
+            + ty * s + tx
+        texel = textures.reshape(-1, 4)[flat]        # (H, W, 4)
+        base_color = jnp.where((tex_id >= 0)[..., None],
+                               base_color * texel[..., :3], base_color)
+
+    g = {
         "visible": visible,
         "depth": vis["depth"],
         "position": position,
         "normal": normal,
         "uv": uv,
-        "base_color": mat[..., 0:3],
+        "base_color": base_color,
         "metallic": mat[..., 3],
         "roughness": mat[..., 4],
         "emissive": mat[..., 5:8],
         "reflectance": mat[..., 8],
         "instance": jnp.where(visible, inst, -1),
     }
+    if with_velocity:
+        # previous-frame screen position interpolated from the record
+        # (RG16F velocity plane, deferred.hpp:79-92 / deferred.cpp:463-489).
+        # Screen positions are affine in screen space, so SCREEN barycentrics
+        # are the right weights here (perspective-corrected weights would
+        # reintroduce the perspective divide and bias static pixels).
+        prev_xy = (rec[..., 26:28] * b0[..., None]
+                   + rec[..., 28:30] * b1[..., None]
+                   + rec[..., 30:32] * b2[..., None])
+        h, w = vis["depth"].shape
+        cur_x = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+        cur_y = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+        vel = jnp.stack(
+            [jnp.broadcast_to(cur_x, vis["depth"].shape) - prev_xy[..., 0],
+             jnp.broadcast_to(cur_y, vis["depth"].shape) - prev_xy[..., 1]],
+            axis=-1)
+        g["velocity"] = jnp.where(visible[..., None], vel, 0.0)
+    return g

@@ -97,12 +97,14 @@ def resolve(
         amb = brdf.ambient(g["normal"], g["base_color"], g["metallic"],
                            sky_up, ground_dn)
     if specular_ambient is not None:
+        # split-sum IBL: env radiance x analytic DFG (the dfgLUT +
+        # ibl-specular weighting, pbr-lighting.hpp:65 / render/ibl.py)
+        from garden_tpu.render import ibl
         nov = jnp.maximum(m3.dot(g["normal"], v), 1e-4)
         f0 = brdf.f0_from_material(g["base_color"], g["metallic"],
                                    g["reflectance"])
-        fres = brdf.f_schlick(nov, f0)
-        smooth = (1.0 - g["roughness"][..., None]) ** 2
-        amb = amb + specular_ambient * fres * smooth
+        amb = amb + specular_ambient * ibl.specular_env_brdf(
+            f0, nov, g["roughness"])
     if ao is not None:
         amb = amb * ao[..., None]
 

@@ -134,7 +134,10 @@ def heightfield(heights: np.ndarray, cell: float = 1.0) -> Mesh:
 @dataclasses.dataclass(frozen=True)
 class Material:
     """PBR material (the reference's G-buffer material model,
-    deferred.hpp:20-26: base color, metallic/roughness/AO, emissive)."""
+    deferred.hpp:20-26: base color, metallic/roughness/AO, emissive).
+    base_texture indexes the scene's texture array (-1 = flat color), the
+    base-color sampling path of the sprite/model pipelines
+    (resource.cpp image loads -> deferred.hpp:20 base-color target)."""
 
     base_color: Tuple[float, float, float] = (0.8, 0.8, 0.8)
     metallic: float = 0.0
@@ -142,6 +145,7 @@ class Material:
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     reflectance: float = 0.5
     alpha: float = 1.0  # < 1 routes the instance through the OIT pass
+    base_texture: int = -1
 
 
 class SceneBuffers:
@@ -149,7 +153,8 @@ class SceneBuffers:
     per-frame instance data (the MeshRenderSystem combined-buffer analog)."""
 
     def __init__(self, max_vertices: int, max_triangles: int,
-                 max_instances: int, max_materials: int = 64):
+                 max_instances: int, max_materials: int = 64,
+                 texture_size: int = 256, max_textures: int = 0):
         self.max_vertices = max_vertices
         self.max_triangles = max_triangles
         self.max_instances = max_instances
@@ -158,7 +163,15 @@ class SceneBuffers:
         self.uvs = np.zeros((max_vertices, 2), np.float32)
         self.indices = np.zeros((max_triangles, 3), np.int32)
         self.tri_valid = np.zeros((max_triangles,), bool)
-        self.materials = np.zeros((max_materials, 10), np.float32)
+        # material rows: [base3, metallic, roughness, emissive3, reflectance,
+        # alpha, base_texture]
+        self.materials = np.zeros((max_materials, 11), np.float32)
+        self.materials[:, 10] = -1.0
+        # texture array (bindless-texture analog): fixed-size RGBA slots
+        self.texture_size = texture_size
+        self.textures = np.zeros((max_textures, texture_size, texture_size, 4),
+                                 np.float32)
+        self._tex = 0
         self._mesh_ranges: List[Tuple[int, int, int, int]] = []  # v0, nv, t0, nt
         self._v = 0
         self._t = 0
@@ -195,8 +208,33 @@ class SceneBuffers:
         self.materials[m, 5:8] = mat.emissive
         self.materials[m, 8] = mat.reflectance
         self.materials[m, 9] = mat.alpha
+        self.materials[m, 10] = mat.base_texture
         self._m += 1
         return m
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """Register an RGBA image into the texture array (resized to the
+        fixed slot size). Returns the texture index for Material.base_texture."""
+        if self._tex >= self.textures.shape[0]:
+            raise RuntimeError("texture capacity exhausted")
+        s = self.texture_size
+        img = np.asarray(image, np.float32)
+        if img.ndim == 2:
+            img = np.stack([img] * 3 + [np.ones_like(img)], axis=-1)
+        if img.shape[-1] == 3:
+            img = np.concatenate(
+                [img, np.ones(img.shape[:2] + (1,), np.float32)], axis=-1)
+        if img.shape[:2] != (s, s):
+            from garden_tpu.assets.images import resize_image
+            img = resize_image(img, (s, s))
+        t = self._tex
+        self._tex += 1
+        self.textures[t] = img
+        return t
+
+    @property
+    def any_textured(self) -> bool:
+        return bool((self.materials[: self._m, 10] >= 0).any())
 
     def add_instance(self, mesh: Mesh, mesh_id_hint: Optional[int] = None,
                      material: int = 0, entity: int = -1) -> int:
@@ -249,6 +287,7 @@ class SceneBuffers:
             "inst_aabb_max": jnp.asarray(self.inst_aabb_max),
             "inst_valid": jnp.asarray(np.arange(self.max_instances) < self._i),
             "materials": jnp.asarray(self.materials),
+            "textures": jnp.asarray(self.textures),
         }
 
 

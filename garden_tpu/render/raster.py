@@ -32,6 +32,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -129,9 +130,19 @@ def bin_triangles(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, FOOT * FOOT)
     ).reshape(-1)
 
-    order = jnp.argsort(key)
-    key_sorted = key[order]
-    tri_sorted = tri_of_pair[order]
+    # ONE single-operand sort of (key << bits | tri): applying an argsort
+    # permutation is two 2M-element random gathers (~60ms at 123K tris on
+    # TPU, the round-1 frame's hottest single cost); the packed sort gets
+    # key and payload ordered together for the sort's own ~4ms
+    tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
+    key_bits = max(int(np.ceil(np.log2(n_tiles + 2))), 1)
+    if tri_bits + key_bits <= 31:
+        packed = jnp.sort((key << tri_bits) | tri_of_pair)
+        key_sorted = packed >> tri_bits
+        tri_sorted = packed & ((1 << tri_bits) - 1)
+    else:  # huge scenes: variadic sort (no permutation gathers either)
+        key_sorted, tri_sorted = jax.lax.sort(
+            (key, tri_of_pair), num_keys=1)
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(key_sorted, tile_ids, side="left")
@@ -274,21 +285,24 @@ def rasterize_visibility(
     # per-tile gathered triangle data (tiles, C, 16): 16-float records
     # [x0 y0 x1 y1 x2 y2 z0 z1 z2 inv_area tri_id pad...]; the triangle id
     # rides in the float record (exact for ids < 2^24) so the kernel needs
-    # no second indexed input
-    safe = jnp.maximum(tile_tris, 0)
-    zeros = jnp.zeros_like(setup["inv_area"][safe])
-    data = jnp.stack(
+    # no second indexed input. Records are packed densely FIRST so the
+    # per-tile fetch is ONE contiguous row gather (11 separate field gathers
+    # cost ~10x more: TPU random gathers pay per element, not per byte).
+    t_count = setup["valid"].shape[0]
+    records = jnp.concatenate(
         [
-            setup["sx"][safe, 0], setup["sy"][safe, 0],
-            setup["sx"][safe, 1], setup["sy"][safe, 1],
-            setup["sx"][safe, 2], setup["sy"][safe, 2],
-            setup["z"][safe, 0], setup["z"][safe, 1], setup["z"][safe, 2],
-            setup["inv_area"][safe],
-            tile_tris.astype(jnp.float32),
-            zeros, zeros, zeros, zeros, zeros,
+            jnp.stack([setup["sx"][:, 0], setup["sy"][:, 0],
+                       setup["sx"][:, 1], setup["sy"][:, 1],
+                       setup["sx"][:, 2], setup["sy"][:, 2],
+                       setup["z"][:, 0], setup["z"][:, 1], setup["z"][:, 2],
+                       setup["inv_area"]], axis=-1),
+            jnp.zeros((t_count, 6), jnp.float32),
         ],
         axis=-1,
-    )  # (tiles, C, 16)
+    )  # (T, 16)
+    safe = jnp.maximum(tile_tris, 0)
+    data = records[safe]                                    # (tiles, C, 16)
+    data = data.at[:, :, 10].set(tile_tris.astype(jnp.float32))
 
     grid = (tiles_y, tiles_x)
     out_block = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),

@@ -235,6 +235,41 @@ class SceneSerializer:
             elif stype == sh.PLANE:
                 shape_data["normal"] = [float(v) for v in params[:3]]
                 shape_data["distance"] = float(params[3])
+            elif stype == sh.HULL:
+                h = int(params[0])
+                nv = int(shapes.hull_vert_valid[h].sum())
+                shape_data["points"] = [
+                    [float(v) for v in p] for p in shapes.hull_verts[h, :nv]]
+                shape_data["convexRadius"] = float(params[1])
+            elif stype == sh.HEIGHTFIELD:
+                f, cell = int(params[0]), float(params[1])
+                nx, nz = int(params[2]), int(params[3])
+                shape_data["cellSize"] = cell
+                shape_data["heights"] = [
+                    [float(v) for v in row]
+                    for row in shapes.hf_heights[f, :nz, :nx]]
+            elif stype == sh.COMPOUND:
+                c = int(params[0])
+                kids = []
+                for k in range(sh.MAX_CHILDREN):
+                    ct = int(shapes.comp_type[c, k])
+                    if ct == sh.EMPTY:
+                        continue
+                    cp = shapes.comp_params[c, k]
+                    kid: Dict[str, Any] = {
+                        "shapeType": sh.SHAPE_NAMES[ct],
+                        "position": [float(v) for v in shapes.comp_pos[c, k]],
+                        "rotation": [float(v) for v in shapes.comp_quat[c, k]],
+                    }
+                    if ct == sh.SPHERE:
+                        kid["radius"] = float(cp[0])
+                    elif ct == sh.BOX:
+                        kid["halfExtent"] = [float(v) for v in cp[:3]]
+                    else:
+                        kid["radius"] = float(cp[0])
+                        kid["halfHeight"] = float(cp[1])
+                    kids.append(kid)
+                shape_data["children"] = kids
             return {
                 **shape_data,
                 "motionType": ["static", "kinematic", "dynamic"][int(bd["motion"][b])],
@@ -260,6 +295,30 @@ class SceneSerializer:
             elif st == "plane":
                 shape = shapes.plane(tuple(d.get("normal", (0, 1, 0))),
                                      d.get("distance", 0.0))
+            elif st == "hull":
+                import numpy as _np
+                shape = shapes.hull(_np.asarray(d["points"], _np.float32),
+                                    d.get("convexRadius", 0.05))
+            elif st == "heightfield":
+                import numpy as _np
+                shape = shapes.heightfield(
+                    _np.asarray(d["heights"], _np.float32),
+                    d.get("cellSize", 1.0))
+            elif st == "compound":
+                kids = []
+                for kid in d.get("children", []):
+                    kt = kid.get("shapeType", "box")
+                    if kt == "sphere":
+                        ks = shapes.sphere(kid.get("radius", 0.5))
+                    elif kt == "capsule":
+                        ks = shapes.capsule(kid.get("radius", 0.3),
+                                            kid.get("halfHeight", 0.5))
+                    else:
+                        ks = shapes.box(tuple(kid.get("halfExtent",
+                                                      (0.5, 0.5, 0.5))))
+                    kids.append((ks, tuple(kid.get("position", (0, 0, 0))),
+                                 tuple(kid.get("rotation", (0, 0, 0, 1)))))
+                shape = shapes.compound(kids)
             else:
                 shape = shapes.box(tuple(d.get("halfExtent", (0.5, 0.5, 0.5))),
                                    d.get("convexRadius", 0.05))
@@ -378,6 +437,53 @@ class SceneSerializer:
         })
         make_simple("ui_button", {"enabled": "isEnabled"})
         make_simple("ui_checkbox", {"checked": "isChecked"})
+        make_simple("ui_scissor", {"enabled": "isEnabled"})
+        make_simple("ui_trigger", {"enabled": "isEnabled"})
+
+        # label/input carry host-side text (stable content, like spawner
+        # prefab paths) plus their device fields
+        def ser_ui_label(w: World, e: int) -> Optional[Dict[str, Any]]:
+            s = w._stores.get("ui_label")
+            if s is None or not s["has"][e]:
+                return None
+            sys_ = w.systems.get("UiLabelSystem")
+            return {
+                "text": sys_.text(e) if sys_ else "",
+                "color": [float(v) for v in s["color"][e]],
+                "scale": float(s["scale"][e]),
+            }
+
+        def de_ui_label(w: World, e: int, d: Dict[str, Any],
+                        ctx: SceneContext) -> None:
+            w.add_component(e, "ui_label", color=d.get("color", [1, 1, 1, 1]),
+                            scale=d.get("scale", 1.0))
+            sys_ = w.systems.get("UiLabelSystem")
+            if sys_ is not None:
+                sys_.set_text(e, d.get("text", ""))
+
+        self.register("ui_label", ser_ui_label, de_ui_label)
+
+        def ser_ui_input(w: World, e: int) -> Optional[Dict[str, Any]]:
+            s = w._stores.get("ui_input")
+            if s is None or not s["has"][e]:
+                return None
+            sys_ = w.systems.get("UiInputSystem")
+            return {
+                "text": sys_.text(e) if sys_ else "",
+                "maxLength": int(s["max_length"][e]),
+                "isEnabled": bool(s["enabled"][e]),
+            }
+
+        def de_ui_input(w: World, e: int, d: Dict[str, Any],
+                        ctx: SceneContext) -> None:
+            w.add_component(e, "ui_input",
+                            max_length=d.get("maxLength", 64),
+                            enabled=d.get("isEnabled", True))
+            sys_ = w.systems.get("UiInputSystem")
+            if sys_ is not None:
+                sys_.set_text(e, d.get("text", ""))
+
+        self.register("ui_input", ser_ui_input, de_ui_input)
         make_simple("network", {
             "client_uid": "clientUID", "entity_uid": "entityUID",
             "is_client_owned": "isClientOwned",

@@ -128,3 +128,256 @@ class UiButtonSystem(System):
 
 class UiCheckboxSystem(System):
     component = UI_CHECKBOX
+
+
+UI_LABEL = ComponentDef(
+    "ui_label",
+    {
+        "color": Field((4,), jnp.float32, 1.0),
+        "scale": Field((), jnp.float32, 1.0),
+    },
+)
+
+UI_INPUT = ComponentDef(
+    "ui_input",
+    {
+        "focused": Field((), jnp.bool_, False),
+        "cursor": Field((), jnp.int32, 0),       # caret position
+        "max_length": Field((), jnp.int32, 64),
+        "enabled": Field((), jnp.bool_, True),
+    },
+)
+
+UI_SCISSOR = ComponentDef(
+    "ui_scissor",
+    {"enabled": Field((), jnp.bool_, True)},
+)
+
+UI_TRIGGER = ComponentDef(
+    "ui_trigger",
+    {
+        "inside": Field((), jnp.bool_, False),
+        "enabled": Field((), jnp.bool_, True),
+    },
+)
+
+
+class UiLabelSystem(System):
+    """Text labels rendered through the FontAtlas into the UI sprite pass
+    (UiLabelSystem, reference system/ui/ 625 LoC). Text strings are host
+    state (like spawner prefab paths); color/scale are device fields."""
+
+    component = UI_LABEL
+
+    def __init__(self) -> None:
+        self._text: Dict[int, str] = {}
+
+    def set_text(self, entity: int, text: str) -> None:
+        self._text[entity] = text
+
+    def text(self, entity: int) -> str:
+        return self._text.get(entity, "")
+
+    def emit(self, batch, font, frame_size: Tuple[float, float]) -> None:
+        """Append label sprites to the batch (text mesh building)."""
+        w = self.world
+        t = w._stores.get("ui_transform")
+        l = w._stores.get("ui_label")
+        if t is None or l is None:
+            return
+        rects = resolve_rects(t, *frame_size)
+        scissor = _active_scissor(w, rects)
+        for e in range(w.capacity):
+            if not (w._alive[e] and t["has"][e] and l["has"][e]
+                    and t["visible"][e]):
+                continue
+            x, y, _, hh = rects[e]
+            mark = batch._count
+            font.draw(batch, self._text.get(e, ""), x, y,
+                      color=tuple(np.asarray(l["color"][e])),
+                      scale=float(l["scale"][e]))
+            _clip_batch(batch, mark, scissor)
+
+
+class UiInputSystem(System):
+    """Single-line text input: focus via click, append/backspace editing,
+    caret (UiInputSystem, reference system/ui/ 436 LoC)."""
+
+    component = UI_INPUT
+
+    def __init__(self) -> None:
+        self._text: Dict[int, str] = {}
+        self._on_submit: Dict[int, Callable[[int, str], None]] = {}
+
+    def set_text(self, entity: int, text: str) -> None:
+        self._text[entity] = text
+
+    def text(self, entity: int) -> str:
+        return self._text.get(entity, "")
+
+    def on_submit(self, entity: int, fn: Callable[[int, str], None]) -> None:
+        self._on_submit[entity] = fn
+
+    def process_click(self, cursor: Tuple[float, float],
+                      frame_size: Tuple[float, float]) -> None:
+        """Focus the input under the cursor, blur the rest."""
+        w = self.world
+        t = w._stores.get("ui_transform")
+        s = w._stores.get("ui_input")
+        if t is None or s is None:
+            return
+        rects = resolve_rects(t, *frame_size)
+        cx, cy = cursor
+        for e in range(w.capacity):
+            if not (w._alive[e] and t["has"][e] and s["has"][e]
+                    and s["enabled"][e]):
+                continue
+            x, y, ww, hh = rects[e]
+            s["focused"][e] = (x <= cx < x + ww and y <= cy < y + hh)
+            if s["focused"][e]:
+                s["cursor"][e] = len(self._text.get(e, ""))
+
+    def process_text(self, chars: str) -> None:
+        """Type characters into the focused input (InputSystem's char
+        accumulation -> UiInput, input.hpp:93 Char events)."""
+        w = self.world
+        s = w._stores.get("ui_input")
+        if s is None:
+            return
+        for e in range(w.capacity):
+            if not (w._alive[e] and s["has"][e] and s["focused"][e]):
+                continue
+            txt = self._text.get(e, "")
+            cur = int(s["cursor"][e])
+            for ch in chars:
+                if ch == "\b":
+                    if cur > 0:
+                        txt = txt[:cur - 1] + txt[cur:]
+                        cur -= 1
+                elif ch == "\n":
+                    cb = self._on_submit.get(e)
+                    if cb:
+                        cb(e, txt)
+                elif len(txt) < int(s["max_length"][e]):
+                    txt = txt[:cur] + ch + txt[cur:]
+                    cur += 1
+            self._text[e] = txt
+            s["cursor"][e] = cur
+
+    def emit(self, batch, font, frame_size: Tuple[float, float]) -> None:
+        """Text + caret sprites for focused inputs."""
+        w = self.world
+        t = w._stores.get("ui_transform")
+        s = w._stores.get("ui_input")
+        if t is None or s is None:
+            return
+        rects = resolve_rects(t, *frame_size)
+        scissor = _active_scissor(w, rects)
+        for e in range(w.capacity):
+            if not (w._alive[e] and t["has"][e] and s["has"][e]):
+                continue
+            x, y, ww, hh = rects[e]
+            mark = batch._count
+            txt = self._text.get(e, "")
+            font.draw(batch, txt, x + 2, y)
+            if bool(s["focused"][e]):
+                cx = x + 2 + font.measure(txt[: int(s["cursor"][e])])
+                from garden_tpu.render.sprites import Sprite
+                batch.push(Sprite(cx, y, 1.5, max(hh - 4, 8),
+                                  (0, 0, 1, 1), (1, 1, 1, 1)))
+            _clip_batch(batch, mark, scissor)
+
+
+class UiScissorSystem(System):
+    """Clip child-widget sprites to the scissor entity's rect
+    (UiScissorSystem analog). The first enabled scissor clips everything
+    emitted by labels/inputs; nesting is not modeled (single clip rect,
+    like one scissor state per draw in the reference UI pass)."""
+
+    component = UI_SCISSOR
+
+
+class UiTriggerSystem(System):
+    """Cursor-region triggers with Enter/Exit callbacks
+    (UiTriggerSystem hit testing)."""
+
+    component = UI_TRIGGER
+
+    def __init__(self) -> None:
+        self._on_enter: Dict[int, Callable[[int], None]] = {}
+        self._on_exit: Dict[int, Callable[[int], None]] = {}
+
+    def on_enter(self, entity: int, fn: Callable[[int], None]) -> None:
+        self._on_enter[entity] = fn
+
+    def on_exit(self, entity: int, fn: Callable[[int], None]) -> None:
+        self._on_exit[entity] = fn
+
+    def process(self, cursor: Tuple[float, float],
+                frame_size: Tuple[float, float]) -> List[Tuple[int, str]]:
+        """Hit test; fires Enter/Exit transitions. Returns events."""
+        w = self.world
+        t = w._stores.get("ui_transform")
+        g = w._stores.get("ui_trigger")
+        if t is None or g is None:
+            return []
+        rects = resolve_rects(t, *frame_size)
+        cx, cy = cursor
+        events: List[Tuple[int, str]] = []
+        for e in range(w.capacity):
+            if not (w._alive[e] and t["has"][e] and g["has"][e]
+                    and g["enabled"][e]):
+                continue
+            x, y, ww, hh = rects[e]
+            inside = x <= cx < x + ww and y <= cy < y + hh
+            was = bool(g["inside"][e])
+            g["inside"][e] = inside
+            if inside and not was:
+                events.append((e, "enter"))
+                cb = self._on_enter.get(e)
+                if cb:
+                    cb(e)
+            elif was and not inside:
+                events.append((e, "exit"))
+                cb = self._on_exit.get(e)
+                if cb:
+                    cb(e)
+        return events
+
+
+def _active_scissor(world, rects: np.ndarray) -> Optional[np.ndarray]:
+    """First enabled scissor entity's rect, or None."""
+    s = world._stores.get("ui_scissor")
+    t = world._stores.get("ui_transform")
+    if s is None or t is None:
+        return None
+    for e in range(world.capacity):
+        if world._alive[e] and s["has"][e] and s["enabled"][e] and t["has"][e]:
+            return rects[e]
+    return None
+
+
+def _clip_batch(batch, start: int, scissor: Optional[np.ndarray]) -> None:
+    """Clip sprites [start, count) to the scissor rect in place (the
+    vkCmdSetScissor analog for the host-built sprite list)."""
+    if scissor is None:
+        return
+    sx, sy, sw, sh = scissor
+    for i in range(start, batch._count):
+        x, y, w, h = batch._rects[i]
+        x0, y0 = max(x, sx), max(y, sy)
+        x1, y1 = min(x + w, sx + sw), min(y + h, sy + sh)
+        if x1 <= x0 or y1 <= y0:
+            batch._rects[i] = (0, 0, 0, 0)      # fully clipped
+            continue
+        # adjust the atlas region proportionally to the clipped quad
+        rx, ry, rw, rh = batch._regions[i]
+        if w > 0 and h > 0:
+            u0 = (x0 - x) / w
+            v0 = (y0 - y) / h
+            u1 = (x1 - x) / w
+            v1 = (y1 - y) / h
+            batch._regions[i] = (rx + u0 * rw, ry + v0 * rh,
+                                 max((u1 - u0) * rw, 1e-3),
+                                 max((v1 - v0) * rh, 1e-3))
+        batch._rects[i] = (x0, y0, x1 - x0, y1 - y0)

@@ -93,3 +93,41 @@ def test_equi_to_cube_direction_colors():
     # sampling matches the face it came from
     c = sample_cubemap(cube, jnp.array([[0.0, 0.0, 1.0]]))
     np.testing.assert_allclose(np.asarray(c[0]), pz_center, atol=0.2)
+
+
+def test_image_png_roundtrip(tmp_path):
+    """PNG save/load through the host image pipeline (resource.cpp image
+    loading analog)."""
+    from garden_tpu.assets import images
+    img = np.zeros((16, 16, 4), np.float32)
+    img[..., 0] = np.linspace(0, 1, 16)[None, :]
+    img[..., 3] = 1.0
+    p = str(tmp_path / "t.png")
+    images.save_png(p, img)
+    back = images.load_image(p, linearize=False)
+    assert back.shape == (16, 16, 4)
+    np.testing.assert_allclose(back[..., 0], img[..., 0], atol=2 / 255)
+
+
+def test_image_hdr_roundtrip(tmp_path):
+    """Radiance .hdr reader: flat-scanline RGBE encode/decode."""
+    from garden_tpu.assets import images
+    h, w = 8, 8
+    rgb = np.abs(np.random.default_rng(0).normal(1.0, 2.0, (h, w, 3))
+                 ).astype(np.float32) + 0.1
+    # encode RGBE (flat scanlines)
+    maxc = rgb.max(-1)
+    exp = np.ceil(np.log2(maxc)).astype(np.int32)
+    scale = 256.0 / (2.0 ** exp)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = (exp + 128).astype(np.uint8)
+    p = str(tmp_path / "t.hdr")
+    with open(p, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+    back = images.load_hdr(p)
+    assert back.shape == (h, w, 4)
+    # RGBE quantization: ~1% relative
+    np.testing.assert_allclose(back[..., :3], rgb, rtol=0.05, atol=0.05)

@@ -17,9 +17,9 @@ def make_world(cfg=CFG):
     return pw.PhysicsWorld(cfg)
 
 
-def run_steps(state, cfg, n):
+def run_steps(state, cfg, n, types=None):
     h = 1.0 / cfg.simulation_rate
-    stepf = jax.jit(lambda s: pw.step(s, cfg, h))
+    stepf = jax.jit(lambda s: pw.step(s, cfg, h, types))
     for _ in range(n):
         state = stepf(state)
     return state
@@ -178,3 +178,183 @@ def test_simulate_accumulator_and_interpolation():
     y_now = float(state["bodies"]["pos"][0, 1])
     assert 10.0 >= float(pos[0, 1]) >= y_now
     np.testing.assert_allclose(float(pos[0, 1]), 0.5 * (10.0 + y_now), rtol=1e-6)
+
+
+def test_box_box_edge_edge_axis():
+    """Two boxes meeting edge-on must resolve via the edge-cross SAT axis
+    (Jolt manifold semantics; reference steps at physics.cpp:1186-1193).
+    Round-1 lacked edge axes and let this configuration interpenetrate."""
+    from garden_tpu.physics import narrowphase as nph
+
+    # box A axis-aligned; box B rotated 45 deg about X and 45 deg about Z so
+    # its lower edge crosses A's top edge obliquely
+    half = jnp.array([[0.5, 0.5, 0.5]])
+    pa = jnp.array([[0.0, 0.0, 0.0]])
+    qa = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    s, c = np.sin(np.pi / 8), np.cos(np.pi / 8)
+    qx = np.array([s, 0.0, 0.0, c])  # 45deg about X
+    qz = np.array([0.0, 0.0, s, c])  # 45deg about Z
+
+    def qmul(a, b):
+        av, aw = a[:3], a[3]
+        bv, bw = b[:3], b[3]
+        v = aw * bv + bw * av + np.cross(av, bv)
+        return np.array([*v, aw * bw - np.dot(av, bv)])
+
+    qb = jnp.array([qmul(qz, qx)])
+    # drop B until its corner region overlaps A's top edge area slightly
+    pb = jnp.array([[0.0, 1.15, 0.0]])
+    man = nph.box_box(pa, qa, half, pb, qb, half, jnp.array([0.05]))
+    assert bool(man["valid"][0, 0]), "edge-edge overlap must produce a contact"
+    n = np.asarray(man["normal"][0, 0])
+    # normal must point A->B (mostly up) and be a genuine separating direction
+    assert n[1] > 0.5, n
+
+
+def test_oblique_box_stack_no_interpenetration():
+    """A 45-degree-rotated box dropped on an axis-aligned box must come to
+    rest without sinking through (needs edge-edge axes in the manifold)."""
+    w = make_world()
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    b = w.shapes.box((0.5, 0.5, 0.5))
+    w.add_body(b, position=(0, 0.5, 0))
+    s, c = np.sin(np.pi / 4 / 2), np.cos(np.pi / 4 / 2)
+    w.add_body(b, position=(0.0, 1.8, 0.0), rotation=(0.0, s, 0.0, c))
+    state = run_steps(w.device_state(), CFG, 300, types=w.shapes.present_types())
+    pos = np.asarray(state["bodies"]["pos"])
+    assert np.isfinite(pos).all()
+    # the top box must stay above the bottom box's top face region
+    assert pos[2, 1] > 0.9, pos[2]
+    speed = float(jnp.linalg.norm(state["bodies"]["linvel"][2]))
+    assert speed < 0.3, speed
+
+
+def test_box_rests_on_heightfield():
+    """Box dropped on a heightfield slope settles on (not through) the
+    terrain surface; friction holds it on the 11-degree grade
+    (HeightFieldShape analog, physics.hpp:103-153)."""
+    w = make_world()
+    # gentle slope rising along +x: h = 0.2 * x
+    grid = np.fromfunction(lambda z, x: 0.2 * x, (16, 16), dtype=np.float32)
+    hf = w.shapes.heightfield(grid, cell=1.0)
+    w.add_body(hf, motion=pw.STATIC)
+    w.add_body(w.shapes.box((0.5, 0.5, 0.5)), position=(0.0, 5.0, 0.0),
+               friction=0.8)
+    state = run_steps(w.device_state(), CFG, 240,
+                      types=w.shapes.present_types())
+    pos = np.asarray(state["bodies"]["pos"][1])
+    assert np.isfinite(pos).all()
+    # terrain height at the box's xz (grid is centered: x=0 -> gx=7.5)
+    gx = pos[0] / 1.0 + 7.5
+    surf = 0.2 * gx
+    assert abs(pos[0]) < 2.0, pos  # friction held it near the drop point
+    # box must rest about half-extent above the local surface
+    assert surf + 0.3 < pos[1] < surf + 0.8, (pos, surf)
+
+
+def test_sphere_rolls_down_heightfield_slope():
+    """Golden trajectory: on a frictionless slope the sphere slides downhill
+    (-x for a +x-rising field); its x must decrease monotonically once
+    settled."""
+    w = make_world()
+    grid = np.fromfunction(lambda z, x: 0.3 * x, (16, 16), dtype=np.float32)
+    hf = w.shapes.heightfield(grid, cell=1.0)
+    w.add_body(hf, motion=pw.STATIC)
+    w.add_body(w.shapes.sphere(0.5), position=(2.0, 2.0, 0.0), friction=0.0)
+    state = w.device_state()
+    h = 1.0 / CFG.simulation_rate
+    stepf = jax.jit(lambda s: pw.step(s, CFG, h, w.shapes.present_types()))
+    xs = []
+    for _ in range(120):
+        state = stepf(state)
+        xs.append(float(state["bodies"]["pos"][1, 0]))
+    assert xs[-1] < 2.0 - 0.5, xs[-1]  # moved well downhill
+    assert np.isfinite(np.asarray(state["bodies"]["pos"])).all()
+
+
+def test_hull_rests_on_plane():
+    """A convex-hull body (octahedron-ish prism) settles on the ground."""
+    w = make_world()
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    pts = np.array([
+        [-0.5, -0.4, -0.5], [0.5, -0.4, -0.5], [0.5, -0.4, 0.5],
+        [-0.5, -0.4, 0.5], [-0.3, 0.4, -0.3], [0.3, 0.4, -0.3],
+        [0.3, 0.4, 0.3], [-0.3, 0.4, 0.3],
+    ], np.float32)
+    hull = w.shapes.hull(pts)
+    w.add_body(hull, position=(0.0, 1.5, 0.0))
+    state = run_steps(w.device_state(), CFG, 240, types=w.shapes.present_types())
+    pos = np.asarray(state["bodies"]["pos"][1])
+    assert np.isfinite(pos).all()
+    assert 0.25 < pos[1] < 0.6, pos  # resting ~0.4 above ground (COM-centered)
+    speed = float(jnp.linalg.norm(state["bodies"]["linvel"][1]))
+    assert speed < 0.1, speed
+
+
+def test_hull_stack_at_rest():
+    """Two stacked hulls stay stacked (hull-hull SAT manifold)."""
+    w = make_world()
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    pts = np.array([
+        [-0.5, -0.5, -0.5], [0.5, -0.5, -0.5], [0.5, -0.5, 0.5],
+        [-0.5, -0.5, 0.5], [-0.5, 0.5, -0.5], [0.5, 0.5, -0.5],
+        [0.5, 0.5, 0.5], [-0.5, 0.5, 0.5],
+    ], np.float32)  # cube-as-hull
+    hull = w.shapes.hull(pts)
+    w.add_body(hull, position=(0.0, 0.5, 0.0))
+    w.add_body(hull, position=(0.05, 1.55, 0.05))
+    state = run_steps(w.device_state(), CFG, 300, types=w.shapes.present_types())
+    pos = np.asarray(state["bodies"]["pos"])
+    assert np.isfinite(pos).all()
+    assert pos[2, 1] > 1.3, pos[2]  # top hull still stacked
+    speed = float(jnp.linalg.norm(state["bodies"]["linvel"][2]))
+    assert speed < 0.2, speed
+
+
+def test_compound_dumbbell_rests():
+    """Compound of two spheres (dumbbell) rests on the plane on both ends
+    (StaticCompoundShape analog)."""
+    w = make_world()
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    s = w.shapes.sphere(0.3)
+    comp = w.shapes.compound([
+        (s, (-0.5, 0.0, 0.0), (0, 0, 0, 1)),
+        (s, (0.5, 0.0, 0.0), (0, 0, 0, 1)),
+    ])
+    w.add_body(comp, position=(0.0, 1.5, 0.0))
+    state = run_steps(w.device_state(), CFG, 240, types=w.shapes.present_types())
+    pos = np.asarray(state["bodies"]["pos"][1])
+    assert np.isfinite(pos).all()
+    assert 0.2 < pos[1] < 0.45, pos  # resting at sphere radius
+    speed = float(jnp.linalg.norm(state["bodies"]["linvel"][1]))
+    assert speed < 0.1, speed
+
+
+def test_compound_mass_properties():
+    """Compound mass = sum of children; inertia includes parallel-axis."""
+    w = make_world()
+    s = w.shapes.sphere(0.3)
+    comp = w.shapes.compound([
+        (s, (-0.5, 0.0, 0.0), (0, 0, 0, 1)),
+        (s, (0.5, 0.0, 0.0), (0, 0, 0, 1)),
+    ])
+    mass, inertia = w.shapes.body_mass_properties(comp)
+    m1, i1 = sh.mass_properties_np(sh.SPHERE, np.array([0.3, 0, 0, 0]), 1000.0)
+    np.testing.assert_allclose(mass, 2 * m1, rtol=1e-5)
+    # about y: two spheres offset 0.5 in x -> I_y = 2*(i + m*0.25)
+    np.testing.assert_allclose(inertia[1], 2 * (i1[1] + m1 * 0.25), rtol=1e-5)
+    # about x: no offset contribution
+    np.testing.assert_allclose(inertia[0], 2 * i1[0], rtol=1e-5)
+
+
+def test_hull_mass_matches_box():
+    """A cube-as-hull must get box mass/inertia from the polyhedron
+    integrals."""
+    w = make_world()
+    pts = np.array([[sx, sy, sz] for sx in (-0.5, 0.5) for sy in (-0.5, 0.5)
+                    for sz in (-0.5, 0.5)], np.float32)
+    hull = w.shapes.hull(pts)
+    mass, inertia = w.shapes.body_mass_properties(hull)
+    bm, bi = sh.mass_properties_np(sh.BOX, np.array([0.5, 0.5, 0.5, 0]), 1000.0)
+    np.testing.assert_allclose(mass, bm, rtol=1e-4)
+    np.testing.assert_allclose(inertia, bi, rtol=1e-3)

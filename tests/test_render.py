@@ -90,3 +90,108 @@ def test_histogram_and_adaptation():
     # adaptation moves toward the target
     a = tonemap.adapt_exposure(jnp.float32(0.1), jnp.float32(0.5), jnp.float32(0.1))
     assert 0.1 < float(a) < 0.5
+
+
+def test_velocity_and_disocclusion():
+    """Velocity plane: moving instance produces screen-space motion vectors
+    (deferred.cpp:463-489); static pixels have ~zero velocity; disocclusion
+    marks newly revealed regions (deferred.cpp:491-526)."""
+    cfg = dataclasses.replace(small_config(), use_velocity=True,
+                              use_shadows=False, use_hbao=False,
+                              use_atmosphere=False, use_oit=False,
+                              use_auto_exposure=False)
+    scene = build_scene()
+    renderer = DeferredRenderer(cfg, scene)
+    dev = renderer.device_scene()
+    constants = make_constants(cfg)
+
+    mats0 = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats0[0][1, 3] = 0.5
+    mats1 = mats0.copy()
+    mats1[0][0, 3] = 0.4   # cube moved +x between frames
+
+    fs = renderer.initial_frame_state()
+    out0 = renderer.render(dev, jnp.asarray(mats0), constants, fs)
+    out1 = renderer.render(dev, jnp.asarray(mats1), constants,
+                           out0["frame_state"],
+                           prev_inst_matrices=jnp.asarray(mats0))
+    vel = np.asarray(out1["velocity"])
+    assert vel.shape == (cfg.height, cfg.width, 2)
+    g = out1["gbuffer"]
+    inst = np.asarray(g["instance"])
+    cube_px = inst == 0
+    ground_px = inst == 1
+    assert cube_px.sum() > 20
+    # cube moved +x in world -> positive screen-x velocity on its pixels
+    assert vel[..., 0][cube_px].mean() > 1.0, vel[..., 0][cube_px].mean()
+    # static ground pixels: ~zero velocity
+    assert abs(vel[..., 0][ground_px]).mean() < 0.1
+    # disocclusion present and marks some pixels near the cube's old spot
+    dis = np.asarray(out1["disocclusion"])
+    assert dis.shape == (cfg.height, cfg.width)
+    assert dis.max() == 1.0
+
+
+def test_textured_cube_base_color():
+    """Base-color texture sampling: a checkerboard-textured cube shows both
+    checker colors in the rendered G-buffer (ResourceSystem image loads ->
+    base-color target, resource.cpp / deferred.hpp:20)."""
+    cfg = dataclasses.replace(small_config(), use_shadows=False,
+                              use_hbao=False, use_atmosphere=False,
+                              use_oit=False, use_auto_exposure=False)
+    scene = rmesh.SceneBuffers(2048, 2048, 8, max_textures=2, texture_size=64)
+    # checkerboard: red/green 8x8 blocks
+    check = np.zeros((64, 64, 4), np.float32)
+    check[..., 3] = 1.0
+    cells = (np.add.outer(np.arange(64) // 8, np.arange(64) // 8) % 2).astype(bool)
+    check[cells, 0] = 1.0
+    check[~cells, 1] = 1.0
+    tex = scene.add_texture(check)
+    mat = scene.add_material(rmesh.Material(base_color=(1.0, 1.0, 1.0),
+                                            base_texture=tex))
+    scene.add_instance(rmesh.cube(0.5), material=mat)
+    renderer = DeferredRenderer(cfg, scene)
+    dev = renderer.device_scene()
+    constants = make_constants(cfg)
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats[0][1, 3] = 0.5
+    out = renderer.render(dev, jnp.asarray(mats), constants,
+                          renderer.initial_frame_state())
+    g = out["gbuffer"]
+    bc = np.asarray(g["base_color"])
+    vis = np.asarray(g["visible"])
+    assert vis.sum() > 50
+    reds = (bc[..., 0] > 0.5) & (bc[..., 1] < 0.3) & vis
+    greens = (bc[..., 1] > 0.5) & (bc[..., 0] < 0.3) & vis
+    assert reds.sum() > 10 and greens.sum() > 10, (reds.sum(), greens.sum())
+
+
+def test_ibl_dfg_and_prefilter():
+    """DFG analytic fit is monotone/positive; prefiltered chain blurs: the
+    roughest mip approaches the mean radiance (ibl-specular.comp analog)."""
+    from garden_tpu.render import ibl
+    nov = jnp.linspace(0.01, 1.0, 8)
+    for r in (0.05, 0.5, 0.95):
+        s, b = ibl.dfg_approx(nov, jnp.full((8,), r))
+        total = np.asarray(s + b)
+        assert (total >= 0).all() and (total <= 1.2).all(), (r, total)
+    # energy ordering: rougher surfaces get less fresnel-boosted env
+    s_smooth, b_smooth = ibl.dfg_approx(jnp.array([0.5]), jnp.array([0.1]))
+    s_rough, b_rough = ibl.dfg_approx(jnp.array([0.5]), jnp.array([0.9]))
+    assert float((s_smooth + b_smooth)[0]) > float((s_rough + b_rough)[0])
+
+    # prefilter: a single bright texel spreads out over mips
+    env = np.zeros((16, 32, 3), np.float32)
+    env[8, 16] = 100.0
+    mips = ibl.prefilter_latlong(jnp.asarray(env), mip_count=4)
+    peak0 = float(jnp.max(mips[0]))
+    peak3 = float(jnp.max(mips[-1]))
+    assert peak3 < peak0 * 0.2, (peak0, peak3)
+    # sampling: mirror roughness hits the bright spot, rough misses-but-sees
+    dirs = jnp.array([[0.0, 0.0, 0.0]]) + jnp.array(
+        [[np.sin(np.pi * 8.5 / 16) * np.cos(2 * np.pi * 16.5 / 32),
+          np.cos(np.pi * 8.5 / 16),
+          np.sin(np.pi * 8.5 / 16) * np.sin(2 * np.pi * 16.5 / 32)]])
+    sharp = ibl.sample_prefiltered(mips, dirs, jnp.array([0.0]))
+    rough = ibl.sample_prefiltered(mips, dirs, jnp.array([1.0]))
+    assert float(sharp.max()) > float(rough.max()) > 0.0

@@ -183,3 +183,88 @@ def test_scene_roundtrip_gameplay_components(tmp_path):
     ui_e = [x for x in created if s["ui_transform"]["has"][x]][0]
     np.testing.assert_allclose(s["ui_transform"]["size"][ui_e], [80, 30])
     assert s["ui_checkbox"]["checked"][ui_e]
+
+
+def test_scene_roundtrip_new_shapes_and_widgets(tmp_path):
+    """Hull/heightfield/compound rigidbody shapes and label/input widgets
+    survive a scene save/load in a fresh process (reference .scene format,
+    resource.cpp:2357 loadScene)."""
+    from garden_tpu.systems.physics import PhysicsSystem
+    from garden_tpu.systems.ui import (
+        UiInputSystem, UiLabelSystem, UiTransformSystem,
+    )
+
+    cfg = EngineConfig(capacity=16,
+                       physics=PhysicsConfig(max_bodies=16, grid_dim=8))
+
+    def mk():
+        eng = Engine(cfg)
+        eng.create_system(TransformSystem())
+        eng.create_system(LinkSystem())
+        eng.create_system(PhysicsSystem(cfg.physics))
+        eng.create_system(UiTransformSystem())
+        eng.create_system(UiLabelSystem())
+        eng.create_system(UiInputSystem())
+        eng.initialize()
+        return eng
+
+    eng = mk()
+    w = eng.world
+    phys = w.systems["PhysicsSystem"]
+    shapes = phys.physics.shapes
+
+    pts = np.array([[sx, sy, sz] for sx in (-0.5, 0.5) for sy in (-0.4, 0.4)
+                    for sz in (-0.3, 0.3)], np.float32)
+    hull = shapes.hull(pts)
+    e1 = w.create_entity()
+    w.add_component(e1, "transform", position=[0, 2, 0])
+    phys.add_rigidbody(e1, hull, position=(0, 2, 0))
+
+    grid = np.fromfunction(lambda z, x: 0.1 * x, (8, 8), dtype=np.float32)
+    hf = shapes.heightfield(grid, cell=2.0)
+    e2 = w.create_entity()
+    w.add_component(e2, "transform")
+    phys.add_rigidbody(e2, hf, motion=0)
+
+    s0 = shapes.sphere(0.25)
+    comp = shapes.compound([(s0, (-0.4, 0, 0), (0, 0, 0, 1)),
+                            (s0, (0.4, 0, 0), (0, 0, 0, 1))])
+    e3 = w.create_entity()
+    w.add_component(e3, "transform", position=[3, 1, 0])
+    phys.add_rigidbody(e3, comp, position=(3, 1, 0))
+
+    lab = w.create_entity()
+    w.add_component(lab, "transform")
+    w.add_component(lab, "ui_transform", size=[120, 20])
+    w.add_component(lab, "ui_label", scale=1.5)
+    w.systems["UiLabelSystem"].set_text(lab, "Score: 42")
+    inp = w.create_entity()
+    w.add_component(inp, "transform")
+    w.add_component(inp, "ui_transform", size=[150, 22])
+    w.add_component(inp, "ui_input", max_length=32)
+    w.systems["UiInputSystem"].set_text(inp, "player1")
+
+    path = str(tmp_path / "shapes.scene")
+    SceneSerializer(w).store_scene(path)
+
+    eng2 = mk()
+    created = SceneSerializer(eng2.world).load_scene(path)
+    assert len(created) == 5
+    phys2 = eng2.world.systems["PhysicsSystem"]
+    shapes2 = phys2.physics.shapes
+    from garden_tpu.physics import shapes as sh
+    types = sorted(int(t) for t in shapes2.types[: shapes2.count()])
+    assert sh.HULL in types and sh.HEIGHTFIELD in types \
+        and sh.COMPOUND in types
+    # heightfield data round-trips
+    hfi = [i for i in range(shapes2.count())
+           if shapes2.types[i] == sh.HEIGHTFIELD][0]
+    f = int(shapes2.params[hfi, 0])
+    np.testing.assert_allclose(shapes2.hf_heights[f, :8, :8], grid, atol=1e-6)
+    # widget text round-trips
+    s2 = eng2.world._stores
+    lab2 = [x for x in created if s2["ui_label"]["has"][x]][0]
+    assert eng2.world.systems["UiLabelSystem"].text(lab2) == "Score: 42"
+    inp2 = [x for x in created if s2["ui_input"]["has"][x]][0]
+    assert eng2.world.systems["UiInputSystem"].text(inp2) == "player1"
+    assert int(s2["ui_input"]["max_length"][inp2]) == 32

@@ -159,3 +159,39 @@ def test_raycast():
     hit2 = queries.cast_ray(state, jnp.array([0.0, 1.8, 0.0]),
                             jnp.array([0.0, 0.0, -1.0]))
     assert bool(hit2.hit) and int(hit2.body) == 1
+
+
+def test_character_climbs_step():
+    """Walk-stairs: the character climbs a 0.3 m step while walking
+    (CharacterVirtual ExtendedUpdate, character.cpp:265-272)."""
+    eng = make_engine()
+    phys = eng.world.systems["PhysicsSystem"]
+    char = eng.world.systems["CharacterSystem"]
+
+    ground = eng.world.create_entity()
+    eng.world.add_component(ground, "transform")
+    phys.add_rigidbody(ground, phys.physics.shapes.plane((0, 1, 0), 0.0),
+                       motion=0)
+    # a 0.3m-high step (platform) ahead of the character
+    step_e = eng.world.create_entity()
+    eng.world.add_component(step_e, "transform", position=[2.0, 0.15, 0.0])
+    phys.add_rigidbody(step_e, phys.physics.shapes.box((1.0, 0.15, 2.0)),
+                       motion=0, position=(2.0, 0.15, 0.0))
+
+    hero = eng.world.create_entity()
+    eng.world.add_component(hero, "transform", position=[0.0, 1.0, 0.0])
+    char.add_character(hero, step_height=0.45)
+
+    state = eng.device_state()
+    state = eng.run_ticks(state, 60, 1.0 / 60.0)  # settle
+    comp = state["components"]["character"]
+    comp = dict(comp, desired_vel=comp["desired_vel"].at[hero].set(
+        jnp.array([2.0, 0.0, 0.0])))
+    state = dict(state, components=dict(state["components"], character=comp))
+    state = eng.run_ticks(state, 75, 1.0 / 60.0)  # mid-platform at 2 m/s
+    body = int(state["components"]["character"]["body"][hero])
+    pos = np.asarray(state["physics"]["bodies"]["pos"][body])
+    assert np.isfinite(pos).all()
+    # made it onto the platform: x over the step, feet at step height
+    assert pos[0] > 1.2, pos
+    assert pos[1] > 0.3 + 0.85, pos  # capsule center above step surface

@@ -86,3 +86,74 @@ def test_blur_ops():
     img2 = jnp.zeros((32, 32)).at[:, 16:].set(1.0)
     bb = np.asarray(blur.bilateral_blur(img2, depth, radius=2))
     assert bb[16, 14] < 0.1 and bb[16, 18] > 0.9  # edge preserved
+
+
+def test_ui_label_input_scissor_trigger():
+    """Label text sprites, text-input editing with focus + caret, scissor
+    clipping, trigger enter/exit (reference system/ui/ label 625 LoC, input
+    436 LoC, scissor + trigger systems)."""
+    from garden_tpu.systems.ui import (
+        UiInputSystem, UiLabelSystem, UiScissorSystem, UiTriggerSystem,
+    )
+
+    eng = Engine(EngineConfig(capacity=8))
+    eng.create_system(UiTransformSystem())
+    labels = eng.create_system(UiLabelSystem())
+    inputs = eng.create_system(UiInputSystem())
+    eng.create_system(UiScissorSystem())
+    triggers = eng.create_system(UiTriggerSystem())
+    eng.initialize()
+    frame = (640.0, 360.0)
+
+    # label
+    lab = eng.world.create_entity()
+    eng.world.add_component(lab, "ui_transform", position=[10, 10],
+                            size=[200, 20])
+    eng.world.add_component(lab, "ui_label")
+    labels.set_text(lab, "Hello")
+
+    atlas = TextureAtlas(256)
+    font = FontAtlas(atlas)
+    batch = SpriteBatch(atlas, capacity=128)
+    labels.emit(batch, font, frame)
+    assert batch._count == 5  # one sprite per glyph
+
+    # input: click to focus, type, backspace, submit
+    inp = eng.world.create_entity()
+    eng.world.add_component(inp, "ui_transform", position=[10, 40],
+                            size=[150, 22])
+    eng.world.add_component(inp, "ui_input")
+    submitted = []
+    inputs.on_submit(inp, lambda e, s: submitted.append(s))
+    inputs.process_click((20.0, 45.0), frame)
+    assert bool(eng.world._stores["ui_input"]["focused"][inp])
+    inputs.process_text("hiy\b")
+    assert inputs.text(inp) == "hi"
+    inputs.process_text("\n")
+    assert submitted == ["hi"]
+    batch.clear()
+    inputs.emit(batch, font, frame)
+    assert batch._count == 3  # 2 glyphs + caret
+
+    # scissor clips label sprites outside its rect
+    sc = eng.world.create_entity()
+    eng.world.add_component(sc, "ui_transform", position=[0, 0],
+                            size=[30, 100])
+    eng.world.add_component(sc, "ui_scissor")
+    batch.clear()
+    labels.emit(batch, font, frame)
+    rects = batch._rects[: batch._count]
+    assert (rects[:, 0] + rects[:, 2] <= 30.0 + 1e-4).all()
+
+    # trigger enter/exit
+    trg = eng.world.create_entity()
+    eng.world.add_component(trg, "ui_transform", position=[300, 100],
+                            size=[50, 50])
+    eng.world.add_component(trg, "ui_trigger")
+    seen = []
+    triggers.on_enter(trg, lambda e: seen.append("enter"))
+    triggers.on_exit(trg, lambda e: seen.append("exit"))
+    assert triggers.process((310.0, 110.0), frame) == [(trg, "enter")]
+    assert triggers.process((315.0, 120.0), frame) == []   # stay inside
+    assert triggers.process((5.0, 5.0), frame) == [(trg, "exit")]
+    assert seen == ["enter", "exit"]
