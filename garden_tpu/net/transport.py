@@ -136,3 +136,54 @@ class StreamClient:
         if self.writer:
             self.writer.close()
         self.connected = False
+
+
+class DatagramEndpoint:
+    """UDP datagram transport (the nets datagram path the reference's
+    client/server expose alongside streams, network/client.hpp:33 /
+    server.hpp:34: IStreamClient's datagram sends for unreliable state).
+
+    Messages reuse the 1-char-type framing WITHOUT the length prefix (one
+    datagram = one message): [type byte][payload]. Unreliable by contract —
+    suited to NetRigidbody snapshots where the newest state supersedes."""
+
+    def __init__(self) -> None:
+        self.transport: Optional[asyncio.DatagramTransport] = None
+        self.handlers: Dict[str, Callable] = {}
+        self.peer: Optional[tuple] = None
+        self.received = 0
+
+    def register(self, msg_type: str, handler) -> None:
+        assert len(msg_type) == 1
+        self.handlers[msg_type] = handler
+
+    class _Protocol(asyncio.DatagramProtocol):
+        def __init__(self, owner: "DatagramEndpoint") -> None:
+            self.owner = owner
+
+        def connection_made(self, transport) -> None:
+            self.owner.transport = transport
+
+        def datagram_received(self, data: bytes, addr) -> None:
+            if not data:
+                return
+            msg_type = chr(data[0])
+            self.owner.received += 1
+            h = self.owner.handlers.get(msg_type)
+            if h is not None:
+                h(addr, msg_type, data[1:])
+
+    async def bind(self, host: str = "127.0.0.1", port: int = 0) -> tuple:
+        loop = asyncio.get_running_loop()
+        self.transport, _ = await loop.create_datagram_endpoint(
+            lambda: DatagramEndpoint._Protocol(self),
+            local_addr=(host, port))
+        return self.transport.get_extra_info("sockname")
+
+    def send_to(self, addr: tuple, msg_type: str, payload: bytes) -> None:
+        assert self.transport is not None
+        self.transport.sendto(msg_type.encode()[:1] + payload, addr)
+
+    def close(self) -> None:
+        if self.transport is not None:
+            self.transport.close()

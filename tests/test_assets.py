@@ -131,3 +131,99 @@ def test_image_hdr_roundtrip(tmp_path):
     assert back.shape == (h, w, 4)
     # RGBE quantization: ~1% relative
     np.testing.assert_allclose(back[..., :3], rgb, rtol=0.05, atol=0.05)
+
+
+def _make_glb(pos, nrm, uv, idx):
+    """Build a minimal GLB in memory for loader tests."""
+    import json
+    import struct
+    bin_data = (pos.astype(np.float32).tobytes()
+                + nrm.astype(np.float32).tobytes()
+                + uv.astype(np.float32).tobytes()
+                + idx.astype(np.uint16).tobytes())
+    n = pos.shape[0]
+    o_nrm = pos.nbytes
+    o_uv = o_nrm + nrm.nbytes
+    o_idx = o_uv + uv.nbytes
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(bin_data)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": o_nrm, "byteLength": nrm.nbytes},
+            {"buffer": 0, "byteOffset": o_uv, "byteLength": uv.nbytes},
+            {"buffer": 0, "byteOffset": o_idx, "byteLength": idx.nbytes},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": n, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": n, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": n, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123,
+             "count": idx.size, "type": "SCALAR"},
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3}]}],
+    }
+    j = json.dumps(doc).encode()
+    j += b" " * (-len(j) % 4)
+    b = bin_data + b"\0" * (-len(bin_data) % 4)
+    total = 12 + 8 + len(j) + 8 + len(b)
+    out = struct.pack("<4sII", b"glTF", 2, total)
+    out += struct.pack("<II", len(j), 0x4E4F534A) + j
+    out += struct.pack("<II", len(b), 0x004E4942) + b
+    return out
+
+
+def test_gltf_glb_roundtrip():
+    """GLB loader (the modelc any-format converter analog, modelc.cpp)."""
+    from garden_tpu.assets.gltf import load_gltf_bytes
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    idx = np.array([[0, 1, 2], [2, 1, 3]], np.uint16)
+    glb = _make_glb(pos, nrm, uv, idx)
+    meshes = load_gltf_bytes(glb)
+    assert len(meshes) == 1
+    m = meshes[0]
+    np.testing.assert_allclose(m.positions, pos)
+    np.testing.assert_allclose(m.uvs, uv)
+    assert m.indices.shape == (2, 3)
+
+
+def test_async_resource_pipeline(tmp_path):
+    """Background loads + completion-queue drain + dedup + hot reload
+    (ResourceSystem, resource.hpp:119-199, 164-168, 203)."""
+    from garden_tpu.assets import images
+    from garden_tpu.assets.resources import IMAGE, ResourceSystem
+
+    img = np.zeros((8, 8, 4), np.float32)
+    img[..., 1] = 0.5
+    img[..., 3] = 1.0
+    p = tmp_path / "tex.png"
+    images.save_png(str(p), img)
+
+    rs = ResourceSystem(root=str(tmp_path))
+    events = []
+    rs.on_loaded(IMAGE, lambda h: events.append(h.path))
+    h1 = rs.load_image_async("tex.png", linearize=False)
+    h2 = rs.load_image_async("tex.png", linearize=False)
+    assert h1 is h2  # shared-resource dedup
+    h3 = rs.load_bytes_async("tex.png")
+    done = rs.wait_all()
+    assert h1.ready and h1.value.shape == (8, 8, 4)
+    assert h3.ready and isinstance(h3.value, bytes)
+    assert events == ["tex.png"]
+
+    # missing file: error recorded, pipeline survives
+    bad = rs.load_image_async("missing.png")
+    rs.wait_all()
+    assert not bad.ready and "FileNotFoundError" in bad.error
+
+    # hot reload picks up changed content
+    img[..., 1] = 1.0
+    images.save_png(str(p), img)
+    rs.reload("tex.png")
+    rs.wait_all()
+    assert abs(float(h1.value[0, 0, 1]) - 1.0) < 2 / 255
+    rs.shutdown()

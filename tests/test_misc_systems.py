@@ -104,3 +104,26 @@ def test_fpv_controller():
     inp.push_cursor(100, 0); inp.swap(); inp.push_cursor(200, 0); inp.swap()
     fpv.process(inp, 0.0)
     assert fpv.yaw != 0.0
+
+
+def test_encoding_and_file_utils(tmp_path):
+    """base64/utf/file helpers (base64.cpp, utf.cpp, file.cpp analogs)."""
+    from garden_tpu.core import utils
+
+    data = bytes(range(256))
+    assert utils.base64_decode(utils.base64_encode(data)) == data
+    assert utils.base64_decode(
+        utils.base64_encode(data, url_safe=True), url_safe=True) == data
+    # unpadded input tolerated
+    assert utils.base64_decode("aGk") == b"hi"
+
+    s = "héllo \U0001F600 wörld"
+    assert utils.utf16_to_utf8(utils.utf8_to_utf16(s)) == s
+    assert utils.utf32_to_utf8(utils.utf8_to_utf32(s)) == s
+    assert utils.codepoint_count("a\U0001F600") == 2
+
+    p = tmp_path / "nested" / "f.txt"
+    utils.write_text(p, s)
+    assert utils.read_text(p) == s
+    utils.write_bytes(tmp_path / "b.bin", data)
+    assert utils.read_bytes(tmp_path / "b.bin") == data

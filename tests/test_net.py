@@ -87,3 +87,30 @@ def test_client_server_echo():
         assert replies == [b"cba"]
 
     asyncio.run(run())
+
+
+def test_udp_datagram_endpoint():
+    """UDP datagram path (nets datagram sends, network/client.hpp:33):
+    one datagram = one typed message, unreliable transport contract."""
+    import asyncio
+    from garden_tpu.net.transport import DatagramEndpoint
+
+    async def run():
+        server = DatagramEndpoint()
+        got = []
+        server.register("s", lambda addr, t, p: got.append((t, p)))
+        addr = await server.bind()
+        client = DatagramEndpoint()
+        await client.bind()
+        client.send_to(addr, "s", b"\x01\x02\x03")
+        client.send_to(addr, "s", b"hello")
+        for _ in range(100):
+            if len(got) == 2:
+                break
+            await asyncio.sleep(0.01)
+        client.close()
+        server.close()
+        return got
+
+    got = asyncio.run(run())
+    assert got == [("s", b"\x01\x02\x03"), ("s", b"hello")]
