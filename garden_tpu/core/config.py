@@ -82,6 +82,9 @@ class RenderConfig:
     use_atmosphere: bool = True
     use_clouds: bool = False
     use_oit: bool = True
+    # translucent-depth plane for effects that need the nearest non-opaque
+    # surface (the TransDepth pass, deferred.cpp TransDepthRender)
+    use_trans_depth: bool = False
     # Hi-Z occlusion culling against the previous frame's depth pyramid
     use_occlusion_culling: bool = False
     # internal render scale (the DLSS/upscaling hook, graphics.hpp:139

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
 from garden_tpu.core import math3d as m3
@@ -37,10 +38,12 @@ class DeferredRenderer:
         self.config = config
         self.scene_host = scene
         # trace-time pass gating on scene content (the reference's anyOIT /
-        # anyRefraction flags, deferred.hpp:122-123): an OIT pass over a
-        # scene with no translucent triangles costs a full bin+raster for
-        # nothing (~66ms at 1080p/123K tris)
+        # anyRefraction / anyTranslucent flags, deferred.hpp:122-123): an
+        # OIT pass over a scene with no translucent triangles costs a full
+        # bin+raster for nothing (~66ms at 1080p/123K tris)
         self.any_translucent = bool(scene.tri_translucent_mask().any())
+        self.any_sorted = bool(scene.tri_sorted_mask().any())
+        self.any_refract = bool(scene.tri_refract_mask().any())
 
     def device_scene(self) -> Dict[str, Array]:
         return self.scene_host.device_arrays()
@@ -133,11 +136,14 @@ class DeferredRenderer:
             ti = scene["tri_instance"]
             tri_valid = tri_valid & ~occluded[jnp.maximum(ti, 0)]
 
-        # G-buffer raster (visibility buffer); translucents go to OIT
+        # G-buffer raster (visibility buffer); non-opaque render types go to
+        # their own passes (OIT / sorted translucent / refracted,
+        # mesh.hpp:30-40)
         translucent = scene["tri_translucent"]
+        nonopaque = translucent | scene["tri_sorted"] | scene["tri_refract"]
         clip = m3.apply_mat4_h(constants["view_proj"], world_pos)
         vis, setup = raster.render_pass(
-            clip, scene["indices"], tri_valid & ~translucent, w, h,
+            clip, scene["indices"], tri_valid & ~nonopaque, w, h,
             cfg.tile_size, cfg.max_tris_per_tile,
         )
 
@@ -270,6 +276,82 @@ class DeferredRenderer:
                 w, h, cfg.tile_size)
             hdr = oit_mod.composite(hdr, accum, reveal)
 
+        # refraction pass (deferred.cpp:584-604): refracted surfaces sample
+        # a GGX-blurred copy of the opaque HDR with a normal-driven offset
+        if self.any_refract:
+            from garden_tpu.ops import blur as blur_mod
+            rsetup = raster.setup_triangles(
+                clip, scene["indices"], tri_valid & scene["tri_refract"],
+                w, h)
+            rtiles, rcounts = raster.bin_triangles(
+                rsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
+            rvis = raster.rasterize_visibility(rsetup, rtiles, rcounts,
+                                               w, h, cfg.tile_size)
+            rg = gbuffer.shade_gbuffer(rvis, rsetup, scene, world_pos,
+                                       world_nrm, constants=constants)
+            covered = rvis["tri_id"] >= 0
+            # blurred HDR by surface roughness (the GGX blur chain)
+            chain = blur_mod.ggx_blur_chain(hdr, levels=3)
+            lvl = jnp.clip(rg["roughness"] * 2.0, 0.0, 2.0)
+            # normal-driven screen offset (refraction displacement)
+            strength = 48.0
+            ox = rg["normal"][..., 0] * strength
+            oy = -rg["normal"][..., 1] * strength
+            yy = jnp.clip((jnp.arange(h)[:, None] + oy).astype(jnp.int32),
+                          0, h - 1)
+            xx = jnp.clip((jnp.arange(w)[None, :] + ox).astype(jnp.int32),
+                          0, w - 1)
+            flat = (yy * w + xx).reshape(-1)
+            samples = []
+            for c_img in chain:
+                up = c_img if c_img.shape[:2] == (h, w) else \
+                    jax.image.resize(c_img, (h, w, 3), "linear")
+                samples.append(up.reshape(-1, 3)[flat].reshape(h, w, 3))
+            refr = samples[0]
+            for k in range(1, len(samples)):
+                wk = jnp.clip(1.0 - jnp.abs(lvl - k), 0.0, 1.0)[..., None]
+                refr = jnp.where(lvl[..., None] > k - 1,
+                                 samples[k] * wk + refr * (1.0 - wk), refr)
+            tint = rg["base_color"]
+            hdr = jnp.where(covered[..., None], refr * tint, hdr)
+
+        # sorted translucent pass (the Translucent render type): distance-
+        # sorted back-to-front alpha blend over the HDR (mesh.hpp:196-204)
+        if self.any_sorted:
+            ssetup = raster.setup_triangles(
+                clip, scene["indices"], tri_valid & scene["tri_sorted"],
+                w, h)
+            # back-to-front: ascending reverse-Z (far first) by centroid
+            zc = jnp.mean(ssetup["z"], axis=-1)
+            zkey = jnp.where(ssetup["valid"], zc, 2.0)
+            order = jnp.argsort(zkey)
+            t_n = zkey.shape[0]
+            prio = jnp.zeros((t_n,), jnp.int32).at[order].set(
+                jnp.arange(t_n, dtype=jnp.int32))
+            stiles, scounts = raster.bin_triangles(
+                ssetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2,
+                priority=prio)
+            mat_id = scene["inst_material"][
+                jnp.maximum(scene["tri_instance"], 0)]
+            smat = scene["materials"][mat_id]
+            srgba = jnp.concatenate(
+                [smat[:, 0:3] * 0.8 + smat[:, 5:8], smat[:, 9:10]], axis=-1)
+            hdr = raster.rasterize_sorted_blend(
+                ssetup, srgba, stiles, scounts, vis["depth"], hdr,
+                w, h, cfg.tile_size)
+
+        # translucent depth pass (TransDepth render type): nearest
+        # non-opaque surface depth for downstream effects
+        trans_depth = None
+        if cfg.use_trans_depth and (self.any_translucent or self.any_sorted
+                                    or self.any_refract):
+            dsetup = raster.setup_triangles(
+                clip, scene["indices"], tri_valid & nonopaque, w, h)
+            dtiles, dcounts = raster.bin_triangles(
+                dsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
+            trans_depth = raster.rasterize_depth(
+                dsetup, dtiles, dcounts, w, h, cfg.tile_size)
+
         # LdrRender: bloom -> auto exposure -> tone map
         if cfg.use_bloom:
             hdr = bloom_mod.apply_bloom(hdr, cfg.bloom_mip_count)
@@ -289,7 +371,6 @@ class DeferredRenderer:
 
         # upscale to display resolution (DlssRenderSystem's role)
         if scale != 1.0:
-            import jax
             ldr = jax.image.resize(ldr, (cfg.height, cfg.width, 3), "linear")
 
         # AA on the LDR buffer (fxaa.hpp:37), at display resolution
@@ -316,5 +397,6 @@ class DeferredRenderer:
             "ao": ao,
             "velocity": g.get("velocity"),
             "disocclusion": disocclusion,
+            "trans_depth": trans_depth,
             "frame_state": new_frame_state,
         }

@@ -144,8 +144,13 @@ class Material:
     roughness: float = 0.5
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     reflectance: float = 0.5
-    alpha: float = 1.0  # < 1 routes the instance through the OIT pass
+    alpha: float = 1.0  # < 1 routes the instance through a transparency pass
     base_texture: int = -1
+    # transparency routing (the render types of mesh.hpp:30-40:
+    # Opaque / OIT / Translucent(sorted) / Refracted):
+    # "opaque" with alpha < 1 defaults to the OIT pass; "sorted" uses the
+    # back-to-front alpha-blended pass; "refract" samples the blurred HDR
+    blend_mode: str = "opaque"
 
 
 class SceneBuffers:
@@ -164,8 +169,8 @@ class SceneBuffers:
         self.indices = np.zeros((max_triangles, 3), np.int32)
         self.tri_valid = np.zeros((max_triangles,), bool)
         # material rows: [base3, metallic, roughness, emissive3, reflectance,
-        # alpha, base_texture]
-        self.materials = np.zeros((max_materials, 11), np.float32)
+        # alpha, base_texture, blend_mode]
+        self.materials = np.zeros((max_materials, 12), np.float32)
         self.materials[:, 10] = -1.0
         # texture array (bindless-texture analog): fixed-size RGBA slots
         self.texture_size = texture_size
@@ -209,6 +214,8 @@ class SceneBuffers:
         self.materials[m, 8] = mat.reflectance
         self.materials[m, 9] = mat.alpha
         self.materials[m, 10] = mat.base_texture
+        self.materials[m, 11] = {"opaque": 0, "oit": 1, "sorted": 2,
+                                 "refract": 3}[mat.blend_mode]
         self._m += 1
         return m
 
@@ -264,12 +271,32 @@ class SceneBuffers:
         self.inst_aabb_max[inst] = mesh.positions.max(axis=0)
         return inst
 
-    def tri_translucent_mask(self):
+    def _tri_mode_mask(self, want_modes, need_alpha: bool):
         import numpy as _np
-        inst_alpha = self.materials[self.inst_material[:, None], 9][:, 0]
-        translucent_inst = inst_alpha < 1.0
+        mat = self.materials[self.inst_material]
+        sel = _np.isin(mat[:, 11].astype(_np.int32), want_modes)
+        if need_alpha:
+            sel &= mat[:, 9] < 1.0
         ti = _np.maximum(self.tri_instance, 0)
-        return translucent_inst[ti] & (self.tri_instance >= 0)
+        return sel[ti] & (self.tri_instance >= 0)
+
+    def tri_translucent_mask(self):
+        """Triangles routed through OIT: mode 'oit', or 'opaque' materials
+        with alpha < 1 (back-compat default)."""
+        import numpy as _np
+        mat = self.materials[self.inst_material]
+        mode = mat[:, 11].astype(_np.int32)
+        sel = (mode == 1) | ((mode == 0) & (mat[:, 9] < 1.0))
+        ti = _np.maximum(self.tri_instance, 0)
+        return sel[ti] & (self.tri_instance >= 0)
+
+    def tri_sorted_mask(self):
+        """Triangles in the sorted back-to-front translucent pass."""
+        return self._tri_mode_mask([2], need_alpha=False)
+
+    def tri_refract_mask(self):
+        """Triangles in the refraction pass (deferred.cpp:584-604)."""
+        return self._tri_mode_mask([3], need_alpha=False)
 
     def device_arrays(self) -> Dict[str, Array]:
         return {
@@ -279,6 +306,8 @@ class SceneBuffers:
             "indices": jnp.asarray(self.indices),
             "tri_valid": jnp.asarray(self.tri_valid),
             "tri_translucent": jnp.asarray(self.tri_translucent_mask()),
+            "tri_sorted": jnp.asarray(self.tri_sorted_mask()),
+            "tri_refract": jnp.asarray(self.tri_refract_mask()),
             "tri_instance": jnp.asarray(self.tri_instance),
             "vert_instance": jnp.asarray(self.vert_instance),
             "inst_material": jnp.asarray(self.inst_material),

@@ -100,9 +100,15 @@ def bin_triangles(
     tile: int,
     max_per_tile: int,
     max_big: int = 64,
+    priority: Array = None,
 ) -> Tuple[Array, Array]:
     """Returns (tile_tris (tiles, max_big + max_per_tile) int32 padded with
-    -1, counts (tiles,) int32). tiles = tiles_y * tiles_x, row-major."""
+    -1, counts (tiles,) int32). tiles = tiles_y * tiles_x, row-major.
+
+    priority: optional int32[T] ordering key — entries within a tile come
+    out sorted by ascending priority instead of triangle id (the
+    back-to-front translucent sort, mesh.hpp:204; priorities must be a
+    permutation of [0, T))."""
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_tiles = tiles_x * tiles_y
@@ -130,19 +136,23 @@ def bin_triangles(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, FOOT * FOOT)
     ).reshape(-1)
 
-    # ONE single-operand sort of (key << bits | tri): applying an argsort
-    # permutation is two 2M-element random gathers (~60ms at 123K tris on
-    # TPU, the round-1 frame's hottest single cost); the packed sort gets
-    # key and payload ordered together for the sort's own ~4ms
+    # ONE single-operand sort of (key << bits | payload): applying an
+    # argsort permutation is two 2M-element random gathers (~60ms at 123K
+    # tris on TPU, the round-1 frame's hottest single cost); the packed sort
+    # gets key and payload ordered together for the sort's own ~4ms
+    if priority is None:
+        payload = tri_of_pair
+    else:  # emission is per-triangle-row: repeat, don't gather
+        payload = jnp.repeat(priority[:, None], FOOT * FOOT, 1).reshape(-1)
     tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
     key_bits = max(int(np.ceil(np.log2(n_tiles + 2))), 1)
     if tri_bits + key_bits <= 31:
-        packed = jnp.sort((key << tri_bits) | tri_of_pair)
+        packed = jnp.sort((key << tri_bits) | payload)
         key_sorted = packed >> tri_bits
-        tri_sorted = packed & ((1 << tri_bits) - 1)
+        pay_sorted = packed & ((1 << tri_bits) - 1)
     else:  # huge scenes: variadic sort (no permutation gathers either)
-        key_sorted, tri_sorted = jax.lax.sort(
-            (key, tri_of_pair), num_keys=1)
+        key_sorted, pay_sorted = jax.lax.sort(
+            (key, payload), num_keys=1)
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(key_sorted, tile_ids, side="left")
@@ -151,7 +161,13 @@ def bin_triangles(
     gather = start[:, None] + take[None, :]
     ok = gather < end[:, None]
     gather = jnp.clip(gather, 0, key.shape[0] - 1)
-    tile_tris = jnp.where(ok, tri_sorted[gather], -1)  # (tiles, C)
+    tile_pay = pay_sorted[gather]                      # (tiles, C) small gather
+    if priority is not None:
+        # invert the priority permutation at tile-list granularity only
+        inv = jnp.zeros((t,), jnp.int32).at[priority].set(
+            jnp.arange(t, dtype=jnp.int32))
+        tile_pay = inv[jnp.clip(tile_pay, 0, t - 1)]
+    tile_tris = jnp.where(ok, tile_pay, -1)            # (tiles, C)
 
     # big triangles: fixed global list, prepended to every tile
     max_big = min(max_big, t)
@@ -338,6 +354,137 @@ def rasterize_visibility(
         "b0": b0[:height, :width],
         "b1": b1[:height, :width],
     }
+
+
+def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
+                  ro_ref, go_ref, bo_ref, *, tile: int, tiles_x: int):
+    """Ordered alpha-blend raster: triangles composite src-over IN BIN ORDER
+    (back-to-front when binned with a depth priority — the reference's
+    sorted-translucent pass, mesh.hpp:204). Z-tested against the opaque
+    depth plane (reverse-Z: pass when z >= opaque)."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile_idx = ty * tiles_x + tx
+    n_px = tile * tile
+    ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
+    col = (ixf % tile).astype(jnp.float32)
+    row = (ixf // tile).astype(jnp.float32)
+    px = (tx * tile + 0.5) + col
+    py = (ty * tile + 0.5) + row
+
+    ro_ref[:] = r_ref[:]
+    go_ref[:] = g_ref[:]
+    bo_ref[:] = b_ref[:]
+    opaque_z = depth_ref[:].reshape(1, n_px)
+
+    def body(cb, _):
+        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (8, 16)
+        # sequential within the block: order matters for blending
+        for k in range(TRI_BLOCK):
+            x0 = d[k, 0]
+            y0 = d[k, 1]
+            x1 = d[k, 2]
+            y1 = d[k, 3]
+            x2 = d[k, 4]
+            y2 = d[k, 5]
+            z0 = d[k, 6]
+            z1 = d[k, 7]
+            z2 = d[k, 8]
+            inv_area = d[k, 9]
+            tri_id = d[k, 10]
+            cr = d[k, 11]
+            cg = d[k, 12]
+            cb_ = d[k, 13]
+            ca = d[k, 14]
+            e0 = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+            e1 = (px - x2) * (y0 - y2) - (py - y2) * (x0 - x2)
+            e2 = (px - x0) * (y1 - y0) - (py - y0) * (x1 - x0)
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            b0 = e0 * inv_area
+            b1 = e1 * inv_area
+            z = b0 * z0 + b1 * z1 + (1.0 - b0 - b1) * z2
+            hit = inside & (z >= opaque_z) & (z <= 1.0) & (tri_id >= 0.0)
+            a = jnp.where(hit, ca, 0.0).reshape(tile, tile)
+            ro_ref[:] = ro_ref[:] * (1.0 - a) + cr * a
+            go_ref[:] = go_ref[:] * (1.0 - a) + cg * a
+            bo_ref[:] = bo_ref[:] * (1.0 - a) + cb_ * a
+        return 0
+
+    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+
+def rasterize_sorted_blend(
+    setup: Dict[str, Array],
+    tri_rgba: Array,    # (T, 4) premixed color+alpha per triangle
+    tile_tris: Array,
+    counts: Array,
+    opaque_depth: Array,  # (H, W) reverse-Z
+    hdr: Array,           # (H, W, 3) blend destination
+    width: int,
+    height: int,
+    tile: int,
+) -> Array:
+    """Alpha-blend binned triangles over the HDR in bin order (sorted
+    translucent path — the Translucent render type, mesh.hpp:30-40)."""
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // tile)
+    n_tiles = tiles_x * tiles_y
+    if not _interpret() and n_tiles > 1 and tile % 128:
+        raise ValueError(f"rasterize_sorted_blend: tile={tile} not TPU-legal")
+    if tile_tris.shape[1] % TRI_BLOCK:
+        pad = TRI_BLOCK - tile_tris.shape[1] % TRI_BLOCK
+        tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
+    c = tile_tris.shape[1]
+
+    t_count = setup["valid"].shape[0]
+    records = jnp.concatenate(
+        [
+            jnp.stack([setup["sx"][:, 0], setup["sy"][:, 0],
+                       setup["sx"][:, 1], setup["sy"][:, 1],
+                       setup["sx"][:, 2], setup["sy"][:, 2],
+                       setup["z"][:, 0], setup["z"][:, 1], setup["z"][:, 2],
+                       setup["inv_area"]], axis=-1),
+            jnp.zeros((t_count, 1), jnp.float32),   # tri_id slot
+            tri_rgba,
+            jnp.zeros((t_count, 1), jnp.float32),
+        ],
+        axis=-1,
+    )
+    safe = jnp.maximum(tile_tris, 0)
+    data = records[safe]
+    data = data.at[:, :, 10].set(tile_tris.astype(jnp.float32))
+
+    grid = (tiles_y, tiles_x)
+    blk = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+                       memory_space=pltpu.VMEM)
+    h_pad = tiles_y * tile
+    w_pad = tiles_x * tile
+    depth_p = jnp.pad(opaque_depth,
+                      ((0, h_pad - height), (0, w_pad - width)))
+    hdr_p = jnp.pad(hdr, ((0, h_pad - height), (0, w_pad - width), (0, 0)))
+    counts2d = counts.reshape(n_tiles, 1)
+
+    r, g, b = pl.pallas_call(
+        functools.partial(_blend_kernel, tile=tile, tiles_x=tiles_x),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            blk, blk, blk, blk,
+        ],
+        out_specs=(blk, blk, blk),
+        out_shape=(
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(counts2d, data, depth_p, hdr_p[..., 0], hdr_p[..., 1], hdr_p[..., 2])
+    return jnp.stack([r[:height, :width], g[:height, :width],
+                      b[:height, :width]], axis=-1)
 
 
 def rasterize_depth(

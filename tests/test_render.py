@@ -195,3 +195,76 @@ def test_ibl_dfg_and_prefilter():
     sharp = ibl.sample_prefiltered(mips, dirs, jnp.array([0.0]))
     rough = ibl.sample_prefiltered(mips, dirs, jnp.array([1.0]))
     assert float(sharp.max()) > float(rough.max()) > 0.0
+
+
+def test_sorted_translucent_pass():
+    """Back-to-front sorted translucency (Translucent render type,
+    mesh.hpp:30-40, 196-204): two stacked translucent quads in front of a
+    bright opaque wall blend in depth order."""
+    cfg = dataclasses.replace(small_config(), use_shadows=False,
+                              use_hbao=False, use_atmosphere=False,
+                              use_oit=False, use_auto_exposure=False)
+    scene = rmesh.SceneBuffers(2048, 2048, 8)
+    wall = scene.add_material(rmesh.Material(base_color=(0.1, 0.1, 0.1),
+                                             emissive=(1.0, 1.0, 1.0)))
+    red = scene.add_material(rmesh.Material(base_color=(1.0, 0.0, 0.0),
+                                            alpha=0.5, blend_mode="sorted"))
+    blue = scene.add_material(rmesh.Material(base_color=(0.0, 0.0, 1.0),
+                                             alpha=0.5, blend_mode="sorted"))
+    scene.add_instance(rmesh.cube(1.0), material=wall)
+    scene.add_instance(rmesh.cube(0.4), material=red)
+    scene.add_instance(rmesh.cube(0.4), material=blue)
+    renderer = DeferredRenderer(cfg, scene)
+    assert renderer.any_sorted
+    dev = renderer.device_scene()
+    constants = make_constants(cfg)
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats[0][:3, 3] = [0.0, 0.5, -2.0]   # wall behind
+    mats[1][:3, 3] = [0.0, 0.6, 0.0]    # red mid
+    mats[2][:3, 3] = [0.0, 0.6, 1.2]    # blue nearest the camera
+    out = renderer.render(dev, jnp.asarray(mats), constants,
+                          renderer.initial_frame_state())
+    hdr = np.asarray(out["hdr"])
+    h, w = cfg.height, cfg.width
+    c = hdr[h // 2 - 8, w // 2]
+    # both translucent layers contribute: red and blue tint over the wall
+    assert c[2] > 0.1, c    # blue layer visible (drawn last, nearest)
+    assert c[0] > 0.05, c   # red shows through the blue's 0.5 alpha
+    assert np.isfinite(hdr).all()
+
+
+def test_refraction_and_trans_depth():
+    """Refraction pass (deferred.cpp:584-604) covers its pixels with a
+    blurred-HDR sample; TransDepth pass reports the non-opaque surface
+    depth nearer than the opaque background."""
+    cfg = dataclasses.replace(small_config(), use_shadows=False,
+                              use_hbao=False, use_atmosphere=False,
+                              use_oit=False, use_auto_exposure=False,
+                              use_trans_depth=True)
+    scene = rmesh.SceneBuffers(2048, 2048, 8)
+    grey = scene.add_material(rmesh.Material(base_color=(0.5, 0.5, 0.5)))
+    glass = scene.add_material(rmesh.Material(base_color=(0.9, 1.0, 0.9),
+                                              roughness=0.1,
+                                              blend_mode="refract"))
+    scene.add_instance(rmesh.plane_grid(20.0, 8), material=grey)
+    scene.add_instance(rmesh.cube(0.5), material=glass)
+    renderer = DeferredRenderer(cfg, scene)
+    assert renderer.any_refract
+    dev = renderer.device_scene()
+    constants = make_constants(cfg)
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats[1][1, 3] = 0.5
+    out = renderer.render(dev, jnp.asarray(mats), constants,
+                          renderer.initial_frame_state())
+    g = out["gbuffer"]
+    # the glass cube is NOT in the opaque G-buffer
+    inst = np.asarray(g["instance"])
+    assert (inst == 1).sum() == 0
+    assert np.isfinite(np.asarray(out["hdr"])).all()
+    # trans-depth: nearer (reverse-Z larger) than the opaque depth where
+    # the cube sits
+    td = np.asarray(out["trans_depth"])
+    od = np.asarray(out["depth"])
+    covered = td > 0
+    assert covered.sum() > 50
+    assert (td[covered] >= od[covered] - 1e-6).mean() > 0.9
