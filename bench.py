@@ -53,15 +53,25 @@ def bench_physics() -> tuple:
     w, cfg, count = build_world()
     state = w.device_state()
     types = w.shapes.present_types()
-    stepf = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0, types),
-                    donate_argnums=0)
-    state = stepf(state)
+
+    # Measurement honesty: the TPU runtime memoizes executions with
+    # bit-identical inputs, and a settled pile reaches a bitwise fixed
+    # point. A per-step velocity nudge keeps every step's input unique so
+    # the timing reflects real device work.
+    def stepped(s, i):
+        b = s["bodies"]
+        lv = b["linvel"].at[1, 0].add(1e-6 * (1.0 + i))
+        s = dict(s, bodies=dict(b, linvel=lv))
+        return pw.step(s, cfg, 1.0 / 60.0, types)
+
+    stepf = jax.jit(stepped, donate_argnums=0)
+    state = stepf(state, jnp.float32(0.0))
     jax.block_until_ready(state)
 
-    steps = 120
+    steps = 60
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state = stepf(state)
+    for i in range(steps):
+        state = stepf(state, jnp.float32(i + 1.0))
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
     pos = np.asarray(state["bodies"]["pos"])
@@ -71,17 +81,26 @@ def bench_physics() -> tuple:
 
 def bench_frame() -> float:
     """Combined-step frame rate at north-star size (10240 bodies + 1080p
-    deferred-PBR all-on), the __graft_entry__ flagship workload."""
+    deferred-PBR all-on), the __graft_entry__ flagship workload. The
+    physics state keeps evolving (and gets a per-frame nudge) so every
+    frame's inputs are unique — see bench_physics."""
     import __graft_entry__ as ge
     step, state = ge._build(n_bodies=10240, width=1920, height=1080,
                             grid_dim=64)
-    jstep = jax.jit(step, donate_argnums=0)
-    state, img = jstep(state)
+
+    def stepped(s, i):
+        b = s["physics"]["bodies"]
+        lv = b["linvel"].at[1, 0].add(1e-6 * (1.0 + i))
+        s = dict(s, physics=dict(s["physics"], bodies=dict(b, linvel=lv)))
+        return step(s)
+
+    jstep = jax.jit(stepped, donate_argnums=0)
+    state, img = jstep(state, jnp.float32(0.0))
     jax.block_until_ready(img)
-    frames = 30
+    frames = 20
     t0 = time.perf_counter()
-    for _ in range(frames):
-        state, img = jstep(state)
+    for i in range(frames):
+        state, img = jstep(state, jnp.float32(i + 1.0))
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(img, dtype=np.float32)).all()

@@ -45,7 +45,9 @@ def main():
 
     pcfg = PhysicsConfig(max_bodies=128, grid_dim=32, cell_size=2.0)
     w = pw.PhysicsWorld(pcfg)
-    w.add_body(w.shapes.plane((0, 1, 0), float(-hm.min() - 0.1)), motion=pw.STATIC)
+    # bodies collide with the ACTUAL terrain heightfield (HeightFieldShape
+    # analog) — the same grid the renderer draws
+    w.add_body(w.shapes.heightfield(hm, cell=1.5), motion=pw.STATIC)
     box = w.shapes.box((0.4, 0.4, 0.4))
     sph = w.shapes.sphere(0.4)
     rng = np.random.default_rng(3)

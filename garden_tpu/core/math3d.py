@@ -73,6 +73,48 @@ def reflect(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Dense one-hot selects: TPU random gathers run at ~5 GB/s effective while
+# dense VPU/MXU ops run 20-40x faster, so for SMALL k a masked reduction
+# beats take_along_axis by an order of magnitude (measured: selecting 1-of-3
+# components per element via gather cost 31ms at 245K rows; the dense form
+# is sub-millisecond). Used throughout the physics narrowphase/solver.
+# ---------------------------------------------------------------------------
+
+
+def onehot(idx: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(..., k) float32 one-hot of integer indices."""
+    return (idx[..., None] == jnp.arange(k, dtype=idx.dtype)).astype(jnp.float32)
+
+
+def select_scalar(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[..., idx] for small trailing k: (..., k), (...,) -> (...,)."""
+    return jnp.sum(x * onehot(idx, x.shape[-1]), axis=-1)
+
+
+def select_row(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[..., idx, :] for small k: (..., k, d), (...,) -> (..., d)."""
+    return jnp.einsum("...k,...kd->...d", onehot(idx, x.shape[-2]), x)
+
+
+def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[..., idx, :] batched for small source k: (..., k, d), (..., s) ->
+    (..., s, d) as a dense one-hot contraction."""
+    return jnp.einsum("...sk,...kd->...sd", onehot(idx, x.shape[-2]), x)
+
+
+def gather_scalars(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[..., idx] batched for small source k: (..., k), (..., s) ->
+    (..., s) as a dense one-hot contraction."""
+    return jnp.einsum("...sk,...k->...s", onehot(idx, x.shape[-1]), x)
+
+
+def scatter_rows_add(values: jnp.ndarray, idx: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Inverse of gather_scalars: place (..., s) values at positions
+    (..., s) in a zeroed (..., k) row (dense one-hot transpose)."""
+    return jnp.einsum("...sk,...s->...k", onehot(idx, k), values)
+
+
+# ---------------------------------------------------------------------------
 # Quaternions (x, y, z, w)
 # ---------------------------------------------------------------------------
 

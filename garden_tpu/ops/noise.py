@@ -132,6 +132,45 @@ def value2(x: Array, y: Array, seed: int = 0) -> Array:
     return nx0 + fy * (nx1 - nx0)
 
 
+def worley3(x: Array, y: Array, z: Array, seed: int = 0) -> Array:
+    """3D Worley (cellular) noise: distance to the nearest jittered feature
+    point over the 27 neighboring cells, in [0, 1] (0 at feature points).
+    The Perlin-Worley cloud-base ingredient (FastNoise2 CellularDistance
+    analog used by the reference's prebaked cloud noise, clouds.cpp:117)."""
+    ix = jnp.floor(x)
+    iy = jnp.floor(y)
+    iz = jnp.floor(z)
+    fx = x - ix
+    fy = y - iy
+    fz = z - iz
+    best = jnp.full(jnp.shape(x), 8.0, jnp.float32)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                cx = ix + ox
+                cy = iy + oy
+                cz = iz + oz
+                h = _hash(cx.astype(jnp.int32), cy.astype(jnp.int32),
+                          cz.astype(jnp.int32), seed)
+                jx = (h & 0x3FF).astype(jnp.float32) / 1023.0
+                jy = ((h >> 10) & 0x3FF).astype(jnp.float32) / 1023.0
+                jz = ((h >> 20) & 0x3FF).astype(jnp.float32) / 1023.0
+                dx = ox + jx - fx
+                dy = oy + jy - fy
+                dz = oz + jz - fz
+                best = jnp.minimum(best, dx * dx + dy * dy + dz * dz)
+    return jnp.minimum(jnp.sqrt(best), 1.0)
+
+
+def perlin_worley3(x: Array, y: Array, z: Array, seed: int = 0) -> Array:
+    """The HZD cloud-base noise: Perlin remapped by inverted Worley, giving
+    billowy connected shapes (clouds.cpp prebaked base texture analog)."""
+    p = perlin3(x, y, z, seed=seed) * 0.5 + 0.5
+    w = 1.0 - worley3(x, y, z, seed=seed + 31)
+    # remap perlin into the worley envelope
+    return jnp.clip((p - (1.0 - w)) / jnp.maximum(w, 1e-3), 0.0, 1.0)
+
+
 def fbm(noise_fn: Callable, *coords: Array, octaves: int = 5,
         lacunarity: float = 2.0, gain: float = 0.5, seed: int = 0) -> Array:
     """Fractal Brownian motion over any base noise (FastNoise2 Fractal node)."""

@@ -48,7 +48,9 @@ def _empty_manifold(shape) -> Dict[str, Array]:
     return {
         "point": jnp.zeros(shape + (MAX_POINTS, 3), jnp.float32),
         "normal": jnp.zeros(shape + (MAX_POINTS, 3), jnp.float32),
-        "pen": jnp.full(shape + (MAX_POINTS,), -jnp.inf, jnp.float32),
+        # finite sentinel: -inf would produce NaN through the one-hot
+        # contractions used for compaction (0 * -inf)
+        "pen": jnp.full(shape + (MAX_POINTS,), -1e30, jnp.float32),
         "valid": jnp.zeros(shape + (MAX_POINTS,), bool),
     }
 
@@ -109,9 +111,9 @@ def sphere_box(pa, ra, pb, qb, half_b, margin):
     # inside: push out along the axis of least depth
     depth_axis = half_b - jnp.abs(c_l)  # (.., 3)
     axis = jnp.argmin(depth_axis, axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(c_l, axis[..., None], -1))[..., 0]
+    sign = jnp.sign(m3.select_scalar(c_l, axis))
     sign = jnp.where(sign == 0.0, 1.0, sign)
-    n_in_l = jnp.eye(3, dtype=jnp.float32)[axis] * sign[..., None]
+    n_in_l = m3.onehot(axis, 3) * sign[..., None]
     inside_dist = -jnp.min(depth_axis, axis=-1)  # negative depth into box
 
     n_l = jnp.where(outside[..., None], n_out_l, n_in_l)
@@ -209,7 +211,7 @@ def box_plane(pa, qa, half_a, n_w, d_w, margin):
     pen = -s  # corner below plane -> positive
     # top-4 deepest corners
     top_pen, top_idx = _top4(pen)
-    point = jnp.take_along_axis(corners, top_idx[..., None], axis=-2)
+    point = _take4_rows(corners, top_idx)
     m = _empty_manifold(pa.shape[:-1])
     m["point"] = point
     m["normal"] = jnp.broadcast_to((-n_w)[..., None, :], point.shape)
@@ -223,10 +225,17 @@ def _top4(x: Array) -> Tuple[Array, Array]:
     (reported invalid downstream) and clamps indices into valid range."""
     n = x.shape[-1]
     if n < MAX_POINTS:
-        pad = jnp.full(x.shape[:-1] + (MAX_POINTS - n,), -jnp.inf, x.dtype)
+        pad = jnp.full(x.shape[:-1] + (MAX_POINTS - n,), -1e30, x.dtype)
         x = jnp.concatenate([x, pad], axis=-1)
     val, idx = jax.lax.top_k(x, MAX_POINTS)
     return val, jnp.minimum(idx, n - 1)
+
+
+def _take4_rows(x: Array, idx: Array) -> Array:
+    """x[..., idx, :] for the top-4 indices — dense one-hot contraction
+    (take_along_axis gathers at ~4 GB/s on TPU; this is ~30x faster for
+    the small k here)."""
+    return m3.gather_rows(x, idx)
 
 
 def box_box(pa, qa, half_a, pb, qb, half_b, margin):
@@ -274,27 +283,27 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     er_a = proj_radius(ra, half_a, eaxes)
     er_b = proj_radius(rb, half_b, eaxes)
     edist = m3.einsum("...kj,...j->...k", eaxes, d)
-    eoverlap = jnp.where(edeg, jnp.inf, er_a + er_b - jnp.abs(edist))
+    eoverlap = jnp.where(edeg, 1e30, er_a + er_b - jnp.abs(edist))
 
     all_overlap = jnp.concatenate([overlap, eoverlap], axis=-1)  # (..., 15)
     separated = jnp.any(all_overlap < -jnp.asarray(margin)[..., None], axis=-1)
 
     best_face = jnp.argmin(overlap, axis=-1)
-    face_overlap = jnp.take_along_axis(overlap, best_face[..., None], -1)[..., 0]
+    face_overlap = m3.select_scalar(overlap, best_face)
     best_edge = jnp.argmin(eoverlap, axis=-1)
-    edge_overlap = jnp.take_along_axis(eoverlap, best_edge[..., None], -1)[..., 0]
+    edge_overlap = m3.select_scalar(eoverlap, best_edge)
     # face bias (Bullet's rel/abs tolerance): only take the edge axis when
     # it is clearly more separating, avoiding face<->edge flip jitter
     use_edge = edge_overlap < face_overlap * 0.95 - 0.01
 
     # ---- face-axis manifold --------------------------------------------
-    axis = jnp.take_along_axis(axes, best_face[..., None, None], axis=-2)[..., 0, :]
-    sign = jnp.sign(jnp.take_along_axis(dist, best_face[..., None], -1))[..., 0]
+    axis = m3.select_row(axes, best_face)
+    sign = jnp.sign(m3.select_scalar(dist, best_face))
     sign = jnp.where(sign == 0.0, 1.0, sign)
     n = axis * sign[..., None]  # unit normal pointing A -> B
 
-    rn_a = jnp.take_along_axis(r_a, best_face[..., None], -1)[..., 0]
-    rn_b = jnp.take_along_axis(r_b, best_face[..., None], -1)[..., 0]
+    rn_a = m3.select_scalar(r_a, best_face)
+    rn_b = m3.select_scalar(r_b, best_face)
 
     corners_a = _box_corners_world(pa, qa, half_a)  # (..., 8, 3)
     corners_b = _box_corners_world(pb, qb, half_b)
@@ -307,17 +316,17 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     point = jnp.concatenate([corners_b, corners_a], axis=-2)
 
     top_pen, top_idx = _top4(pen)
-    face_point = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
+    face_point = _take4_rows(point, top_idx)
 
     # ---- edge-axis contact ---------------------------------------------
-    en = jnp.take_along_axis(eaxes, best_edge[..., None, None], axis=-2)[..., 0, :]
-    esign = jnp.sign(jnp.take_along_axis(edist, best_edge[..., None], -1))[..., 0]
+    en = m3.select_row(eaxes, best_edge)
+    esign = jnp.sign(m3.select_scalar(edist, best_edge))
     esign = jnp.where(esign == 0.0, 1.0, esign)
     en = en * esign[..., None]  # A -> B
     ei = best_edge // 3         # edge direction index on A
     ej = best_edge % 3          # edge direction index on B
-    dir_a = jnp.take_along_axis(a_cols, ei[..., None, None], axis=-2)[..., 0, :]
-    dir_b = jnp.take_along_axis(b_cols, ej[..., None, None], axis=-2)[..., 0, :]
+    dir_a = m3.select_row(a_cols, ei)
+    dir_b = m3.select_row(b_cols, ej)
     # supporting edge midpoint on A: extreme corner along +n in the two
     # axes != ei; on B: extreme along -n in axes != ej
     sup_a = jnp.zeros_like(pa)
@@ -333,8 +342,8 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
                                   (sa * half_a[..., k])[..., None] * ak)
         sup_b = sup_b + jnp.where((ej == k)[..., None], 0.0,
                                   (sb * half_b[..., k])[..., None] * bk)
-    ha_i = jnp.take_along_axis(half_a, ei[..., None], -1)[..., 0]
-    hb_j = jnp.take_along_axis(half_b, ej[..., None], -1)[..., 0]
+    ha_i = m3.select_scalar(half_a, ei)
+    hb_j = m3.select_scalar(half_b, ej)
     ea0 = pa + sup_a - dir_a * ha_i[..., None]
     ea1 = pa + sup_a + dir_a * ha_i[..., None]
     eb0 = pb + sup_b - dir_b * hb_j[..., None]
@@ -348,7 +357,7 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     m["pen"] = jnp.where(
         ue,
         jnp.concatenate([edge_overlap[..., None],
-                         jnp.full(shape + (MAX_POINTS - 1,), -jnp.inf)], -1),
+                         jnp.full(shape + (MAX_POINTS - 1,), -1e30)], -1),
         top_pen,
     )
     m["point"] = jnp.where(ue[..., None],
@@ -399,12 +408,12 @@ def _cloud_cloud(pts_a, va, axes_a, fa, pts_b, vb, axes_b, fb, d_ab, margin):
     lo_a, hi_a = project(pts_a, va, axes)
     lo_b, hi_b = project(pts_b, vb, axes)
     overlap = jnp.minimum(hi_a, hi_b) - jnp.maximum(lo_a, lo_b)
-    overlap = jnp.where(avalid, overlap, jnp.inf)
+    overlap = jnp.where(avalid, overlap, 1e30)
 
     separated = jnp.any(overlap < -jnp.asarray(margin)[..., None], axis=-1)
     best = jnp.argmin(overlap, axis=-1)
-    best_overlap = jnp.take_along_axis(overlap, best[..., None], -1)[..., 0]
-    axis = jnp.take_along_axis(axes, best[..., None, None], axis=-2)[..., 0, :]
+    best_overlap = m3.select_scalar(overlap, best)
+    axis = m3.select_row(axes, best)
     sign = jnp.sign(m3.dot(axis, d_ab))
     sign = jnp.where(sign == 0.0, 1.0, sign)
     n = axis * sign[..., None]                                # A -> B
@@ -414,10 +423,10 @@ def _cloud_cloud(pts_a, va, axes_a, fa, pts_b, vb, axes_b, fb, d_ab, margin):
     sup_b = jnp.min(jnp.where(vb, m3.einsum("...pi,...i->...p", pts_b, n), 1e30), axis=-1)
     # verts of B past A's support plane (B in front of A along n)
     pen_b = sup_a[..., None] - m3.einsum("...pi,...i->...p", pts_b, n)
-    pen_b = jnp.where(vb, pen_b, -jnp.inf)
+    pen_b = jnp.where(vb, pen_b, -1e30)
     # verts of A past B's support plane
     pen_a = m3.einsum("...pi,...i->...p", pts_a, n) - sup_b[..., None]
-    pen_a = jnp.where(va, pen_a, -jnp.inf)
+    pen_a = jnp.where(va, pen_a, -1e30)
     pen = jnp.concatenate([pen_b, pen_a], axis=-1)
     # penetration of each point capped at the SAT overlap (vertices deep past
     # the plane on a shallow-overlap axis otherwise overstate depth)
@@ -427,7 +436,7 @@ def _cloud_cloud(pts_a, va, axes_a, fa, pts_b, vb, axes_b, fb, d_ab, margin):
     top_pen, top_idx = _top4(pen)
     m = _empty_manifold(pts_a.shape[:-2])
     m["pen"] = top_pen
-    m["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
+    m["point"] = _take4_rows(point, top_idx)
     m["normal"] = jnp.broadcast_to(n[..., None, :], m["normal"].shape)
     m["valid"] = (top_pen > -jnp.asarray(margin)[..., None]) & ~separated[..., None]
     return m
@@ -465,10 +474,10 @@ def sphere_hull(pa, ra, pb, qb, prm_b, tables, margin):
     dots = m3.einsum("...fi,...pi->...fp", faces_w, verts_w)
     d_f = jnp.max(jnp.where(vv[..., None, :], dots, -1e30), axis=-1)
     s_f = m3.einsum("...fi,...i->...f", faces_w, pa) - d_f  # signed dist
-    s_f = jnp.where(fv, s_f, -jnp.inf)
+    s_f = jnp.where(fv, s_f, -1e30)
     best = jnp.argmax(s_f, axis=-1)
-    s = jnp.take_along_axis(s_f, best[..., None], -1)[..., 0]
-    n = jnp.take_along_axis(faces_w, best[..., None, None], -2)[..., 0, :]
+    s = m3.select_scalar(s_f, best)
+    n = m3.select_row(faces_w, best)
     pen = ra - s
     point = pa - n * (ra - 0.5 * jnp.clip(pen, 0.0, ra))[..., None]
     # normal A(sphere) -> B(hull) = -n (into the hull)
@@ -493,9 +502,9 @@ def hull_plane(pa, qa, prm_a, n_w, d_w, tables, margin):
     """Hull vertices below the plane, deepest 4 (box_plane generalized)."""
     verts_w, vv, _, _ = _hull_world(pa, qa, prm_a, tables)
     s = m3.einsum("...pi,...i->...p", verts_w, n_w) + d_w[..., None]
-    pen = jnp.where(vv, -s, -jnp.inf)
+    pen = jnp.where(vv, -s, -1e30)
     top_pen, top_idx = _top4(pen)
-    point = jnp.take_along_axis(verts_w, top_idx[..., None], axis=-2)
+    point = _take4_rows(verts_w, top_idx)
     m = _empty_manifold(pa.shape[:-1])
     m["point"] = point
     m["normal"] = jnp.broadcast_to((-n_w)[..., None, :], point.shape)
@@ -556,15 +565,15 @@ def _points_vs_heightfield(points_w, pvalid, radius, pb, qb, prm_b, tables,
     p_l = m3.einsum("...ji,...pj->...pi", rot, points_w - pb[..., None, :])
     n_l, p_on, inside = _hf_plane_at(p_l, prm_b[..., None, :], tables)
     pen = radius - m3.dot(n_l, p_l - p_on)
-    pen = jnp.where(pvalid & inside, pen, -jnp.inf)
+    pen = jnp.where(pvalid & inside, pen, -1e30)
     n_w = m3.einsum("...ij,...pj->...pi", rot, n_l)
     # contact point on the body surface (sphere-offset along the normal)
     point = points_w - n_w * radius[..., None]
     top_pen, top_idx = _top4(pen)
     m = _empty_manifold(points_w.shape[:-2])
     m["pen"] = top_pen
-    m["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
-    m["normal"] = -jnp.take_along_axis(n_w, top_idx[..., None], axis=-2)
+    m["point"] = _take4_rows(point, top_idx)
+    m["normal"] = -_take4_rows(n_w, top_idx)
     m["valid"] = top_pen > -jnp.asarray(margin)[..., None]
     return m
 
@@ -663,16 +672,16 @@ def _convex_pair(ta, pa, qa, prm_a, tb, pb, qb, prm_b, margin, present):
 def _merge_top4(manifolds):
     """Merge several manifolds into one, keeping the 4 deepest valid points."""
     pen = jnp.concatenate(
-        [jnp.where(m["valid"], m["pen"], -jnp.inf) for m in manifolds], axis=-1)
+        [jnp.where(m["valid"], m["pen"], -1e30) for m in manifolds], axis=-1)
     point = jnp.concatenate([m["point"] for m in manifolds], axis=-2)
     normal = jnp.concatenate([m["normal"] for m in manifolds], axis=-2)
     valid = jnp.concatenate([m["valid"] for m in manifolds], axis=-1)
     top_pen, top_idx = _top4(pen)
     out = _empty_manifold(pen.shape[:-1])
     out["pen"] = top_pen
-    out["point"] = jnp.take_along_axis(point, top_idx[..., None], axis=-2)
-    out["normal"] = jnp.take_along_axis(normal, top_idx[..., None], axis=-2)
-    out["valid"] = jnp.take_along_axis(valid, top_idx, axis=-1)
+    out["point"] = _take4_rows(point, top_idx)
+    out["normal"] = _take4_rows(normal, top_idx)
+    out["valid"] = m3.gather_scalars(valid.astype(jnp.float32), top_idx) > 0.5
     return out
 
 
@@ -786,15 +795,31 @@ def generate_contacts(
     `present_types` (static, from ShapeTable.present_types()) prunes kernels
     for shape types the scene doesn't contain — a trace-time specialization,
     like the reference's pipeline variants.
+
+    Gather discipline: per-pair body attributes come from TWO packed record
+    row gathers (pos+quat+params+type in one (N, 12) row) instead of eight
+    separate array gathers — TPU random gathers pay per op and per element,
+    not per byte.
     """
-    ta, tb = stype[pair_i], stype[pair_j]
-    swap = ta > tb
+    ta0, tb0 = stype[pair_i], stype[pair_j]
+    swap = ta0 > tb0
     a = jnp.where(swap, pair_j, pair_i)
     b = jnp.where(swap, pair_i, pair_j)
-    ta, tb = stype[a], stype[b]
 
-    pa, qa, prm_a = pos[a], quat[a], params[a]
-    pb, qb, prm_b = pos[b], quat[b], params[b]
+    body_margin = margin if (hasattr(margin, "ndim") and margin.ndim == 1
+                             and margin.shape[0] == pos.shape[0]) else None
+    cols = [pos, quat, params, stype.astype(jnp.float32)[:, None]]
+    if body_margin is not None:
+        cols.append(body_margin[:, None])
+    record = jnp.concatenate(cols, axis=-1)
+    rec_a = record[a]                             # (P, 12|13)
+    rec_b = record[b]
+    pa, qa, prm_a = rec_a[:, 0:3], rec_a[:, 3:7], rec_a[:, 7:11]
+    pb, qb, prm_b = rec_b[:, 0:3], rec_b[:, 3:7], rec_b[:, 7:11]
+    ta = rec_a[:, 11].astype(jnp.int32)
+    tb = rec_b[:, 11].astype(jnp.int32)
+    if body_margin is not None:
+        margin = jnp.maximum(rec_a[:, 12], rec_b[:, 12])
 
     n_w, d_w = _plane_world(pb, qb, prm_b)
 

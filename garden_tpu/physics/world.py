@@ -241,11 +241,12 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     pair_j = cand_idx.reshape(-1)
     pair_valid = cand_valid.reshape(-1)
 
-    pair_margin = jnp.maximum(margin[pair_i], margin[pair_j])
+    # per-body margin rides the narrowphase's packed record (one gather
+    # instead of two extra 245K-element gathers here)
     man = narrowphase.generate_contacts(
         b["pos"], b["quat"], stype, params,
         pair_i, pair_j, pair_valid,
-        margin=pair_margin,
+        margin=margin,
         present_types=present_types,
         tables=shapes_t,
     )
@@ -270,17 +271,20 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     # traffic bound, and the raw layout is ~95% padding. top_k keeps the
     # first `max_active_contacts` valid slots per row in stable order;
     # `slot` maps back into the full layout for warm-impulse persistence.
+    # Row gathers happen as dense one-hot contractions — TPU random gathers
+    # run ~30x slower than the equivalent VPU/MXU reduction at this k.
     s_act = min(config.max_active_contacts, s)
     rank = jnp.where(contacts["valid"],
                      s - jnp.arange(s, dtype=jnp.int32)[None, :], 0)
     _, sel = jax.lax.top_k(rank, s_act)                    # (N, s_act)
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
     compact = {
-        "partner": contacts["partner"][rows, sel],
-        "point": contacts["point"][rows, sel],
-        "normal": contacts["normal"][rows, sel],
-        "pen": contacts["pen"][rows, sel],
-        "valid": contacts["valid"][rows, sel],
+        "partner": m3.gather_scalars(
+            contacts["partner"].astype(jnp.float32), sel).astype(jnp.int32),
+        "point": m3.gather_rows(contacts["point"], sel),
+        "normal": m3.gather_rows(contacts["normal"], sel),
+        "pen": m3.gather_scalars(contacts["pen"], sel),
+        "valid": m3.gather_scalars(
+            contacts["valid"].astype(jnp.float32), sel) > 0.5,
         "slot": sel,
     }
     return compact
@@ -309,10 +313,16 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     state = dict(state, bodies=b)
 
     contacts = collide(state, config, present_types)
-    rows = jnp.arange(b["pos"].shape[0], dtype=jnp.int32)[:, None]
-    warm_compact = {k: v[rows, contacts["slot"]] for k, v in state["warm"].items()}
+    # warm-start slot gathers/scatters as dense one-hot contractions (TPU
+    # random gathers are ~30x slower than the equivalent MXU reduction)
+    slot = contacts["slot"]
+    s_full = state["warm"]["n"].shape[1]
+    warm_compact = {
+        k: m3.gather_scalars(v.astype(jnp.float32), slot)
+        for k, v in state["warm"].items()}
     # invalidate impulses whose slot now holds a different pair
-    same_pair = warm_compact.pop("partner") == contacts["partner"]
+    same_pair = warm_compact.pop("partner").astype(jnp.int32) \
+        == contacts["partner"]
     warm_compact = {k: jnp.where(same_pair, v, 0.0)
                     for k, v in warm_compact.items()}
     linvel, angvel, warm_c = solver.solve_velocity(
@@ -323,15 +333,16 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         warm=warm_compact,
     )
     # persist impulses + pair identity back into the full slot layout
-    warm_c["partner"] = jnp.where(contacts["valid"], contacts["partner"], -1)
+    # (slots are unique per row, so a one-hot scatter-add equals a set)
+    partner_c = jnp.where(contacts["valid"], contacts["partner"], -1)
     warm = {
-        k: jnp.zeros_like(state["warm"][k]).at[rows, contacts["slot"]].set(
-            v if k != "partner" else v)
+        k: m3.scatter_rows_add(v, slot, s_full)
         for k, v in warm_c.items()
     }
-    warm["partner"] = jnp.full_like(
-        state["warm"]["partner"], -1).at[rows, contacts["slot"]].set(
-        warm_c["partner"])
+    # partner base is -1: scatter (partner + 1) then subtract 1
+    warm["partner"] = (m3.scatter_rows_add(
+        (partner_c + 1).astype(jnp.float32), slot, s_full)
+        - 1.0).astype(jnp.int32)
 
     # joint constraints (Fixed/Point, physics.hpp:368-373)
     if "constraints" in state:

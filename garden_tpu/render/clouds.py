@@ -25,14 +25,21 @@ Array = jnp.ndarray
 
 
 def _density(p: Array, time: Array, coverage: float, seed: int = 0) -> Array:
-    """Cloud density at world positions (..., 3), wind-scrolled."""
+    """Cloud density at world positions (..., 3), wind-scrolled.
+
+    Perlin-Worley base eroded by Worley detail — the same two-texture recipe
+    the reference prebakes (clouds.cpp:117-269), evaluated procedurally per
+    step (dense VPU math instead of 3D texture gathers)."""
     x = p[..., 0] * 0.004 + time * 0.01
     y = p[..., 1] * 0.01
     z = p[..., 2] * 0.004
-    base = noise.fbm(noise.perlin3, x, z, y, octaves=3, seed=seed)
-    detail = noise.perlin3(x * 4.0, z * 4.0, y * 4.0, seed=seed + 5)
-    d = base * 0.8 + detail * 0.2
-    return jnp.clip((d - (1.0 - coverage * 2.0)) * 2.0, 0.0, 1.0)
+    base = noise.perlin_worley3(x, z, y, seed=seed)
+    base = 0.7 * base + 0.3 * noise.perlin_worley3(
+        x * 2.0, z * 2.0, y * 2.0, seed=seed + 3)
+    shaped = jnp.clip((base - (1.0 - coverage * 1.6)) / 0.4, 0.0, 1.0)
+    # detail erosion: high-frequency worley carves the edges
+    detail = 1.0 - noise.worley3(x * 6.0, z * 6.0, y * 6.0, seed=seed + 5)
+    return jnp.clip(shaped - (1.0 - shaped) * detail * 0.3, 0.0, 1.0)
 
 
 def render_clouds(
@@ -77,12 +84,16 @@ def render_clouds(
         height_falloff = jnp.clip(4.0 * h01 * (1.0 - h01), 0.0, 1.0)
         dens = _density(p, time, coverage, seed) * height_falloff
         dens = jnp.where(up, dens, 0.0)
-        # Beer-Lambert toward the sun: denser above -> darker
-        occ = _density(p + l * 300.0, time, coverage, seed) * 0.7
+        # Beer-Lambert toward the sun, two taps along the light ray
+        occ = (_density(p + l * 200.0, time, coverage, seed) * 0.5
+               + _density(p + l * 600.0, time, coverage, seed) * 0.3)
         shade = jnp.exp(-occ * 2.0)
+        # powder term: dark cores brighten toward edges (HZD's sugar-powder
+        # look, the in-scatter approximation of clouds.cpp lighting)
+        powder = 1.0 - jnp.exp(-dens * 4.0)
         absorb = dens * dt * 3.0
         contrib = trans * (1.0 - jnp.exp(-absorb))
-        light_acc = light_acc + contrib * shade
+        light_acc = light_acc + contrib * shade * (0.4 + 0.6 * powder)
         trans = trans * jnp.exp(-absorb)
 
     alpha = jnp.where(up, 1.0 - trans, 0.0)
@@ -97,3 +108,27 @@ def render_clouds(
 
 def composite_clouds(sky: Array, rgb: Array, alpha: Array) -> Array:
     return sky * (1.0 - alpha[..., None]) + rgb * alpha[..., None]
+
+
+def cloud_shadow(
+    positions: Array,        # (..., 3) world-space ground points
+    sun_dir_to_light: Array,
+    time: Array = 0.0,
+    base_km: float = 1.2,
+    coverage: float = 0.45,
+    seed: int = 0,
+) -> Array:
+    """Sun transmittance through the cloud layer at ground points (...,) —
+    the CloudsRenderSystem shadow pass (clouds.cpp shadow map) as a direct
+    per-pixel evaluation: project each point along the sun ray to the cloud
+    base and attenuate by the density there."""
+    l = m3.normalize(sun_dir_to_light)
+    mu = jnp.maximum(l[1], 0.05)
+    # distance along the sun ray to the cloud base (km -> world units)
+    t = (base_km * 1000.0 - positions[..., 1]) / mu
+    p = positions + l * t[..., None]
+    dens = _density(p, jnp.asarray(time, jnp.float32), coverage, seed)
+    dens = 0.7 * dens + 0.3 * _density(p + l * 400.0,
+                                       jnp.asarray(time, jnp.float32),
+                                       coverage, seed)
+    return jnp.exp(-dens * 2.5)

@@ -86,8 +86,18 @@ class DeferredRenderer:
         planes = m3.frustum_planes(constants["view_proj"])
         outside = m3.aabb_outside_frustum(planes, wmin, wmax)
         visible = scene["inst_valid"] & ~outside
-        ti = scene["tri_instance"]
-        return scene["tri_valid"] & visible[jnp.maximum(ti, 0)] & (ti >= 0)
+        ti = jnp.maximum(scene["tri_instance"], 0)
+        valid = scene["tri_valid"] & visible[ti] & (scene["tri_instance"] >= 0)
+        if self.scene_host.any_lods:
+            # LOD selection by camera distance (model.hpp:27-38): level =
+            # number of switch distances exceeded; triangles of other levels
+            # mask out (all levels stay resident — static shapes)
+            center = inst_matrices[:, :3, 3]
+            dist = m3.length(center - constants["camera_pos"])
+            level = jnp.sum(dist[:, None] > scene["inst_lod_dist"],
+                            axis=-1).astype(jnp.int32)
+            valid = valid & (scene["tri_lod"] == level[ti])
+        return valid
 
     # -- the frame ------------------------------------------------------------
 
@@ -100,7 +110,12 @@ class DeferredRenderer:
         ui_atlas: Optional[Array] = None,
         ui_sprites: Optional[Dict[str, Array]] = None,
         prev_inst_matrices: Optional[Array] = None,
+        environment: Optional[Array] = None,
     ) -> Dict[str, Array]:
+        """environment: optional (He, 2He, 3) lat-long radiance map — the
+        static-skybox path (SkyboxRenderSystem, skybox.hpp:48): background,
+        SH diffuse ambient and prefiltered specular come from the map
+        instead of the procedural atmosphere."""
         cfg = self.config
         # internal render scale (the DLSS/upscaling hook, graphics.hpp:139):
         # all 3D passes run at the scaled size; LDR upsamples at the end
@@ -228,7 +243,22 @@ class DeferredRenderer:
         # With atmosphere on: physical sky raymarch for background pixels,
         # SH irradiance for diffuse ambient, reflected-ray sky for specular
         # ambient (AtmosphereRenderSystem + PbrLighting SH path)
-        if cfg.use_atmosphere:
+        if environment is not None:
+            from garden_tpu.render import ibl
+            rays = lighting.view_rays(g, constants)
+            chain = ibl.prefilter_latlong(environment)
+            sky = ibl.sample_prefiltered(chain[:1], rays,
+                                         jnp.zeros(rays.shape[:-1]))
+            sh = ibl.latlong_sh(environment)
+            refl = m3.reflect(-jnp.broadcast_to(
+                m3.normalize(constants["camera_pos"] - g["position"]),
+                g["normal"].shape), g["normal"])
+            spec_amb = ibl.sample_prefiltered(chain, refl, g["roughness"])
+            hdr = lighting.resolve(
+                g, constants, shadow=shadow, ao=ao,
+                ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
+            )
+        elif cfg.use_atmosphere:
             from garden_tpu.render import atmosphere as atm
             to_light = -constants["light_dir"]
             rays = lighting.view_rays(g, constants)
@@ -238,6 +268,12 @@ class DeferredRenderer:
                 crgb, calpha = clouds_mod.render_clouds(
                     rays, to_light, time=constants["time"])
                 sky = clouds_mod.composite_clouds(sky, crgb, calpha)
+                if shadow is not None:
+                    # cloud shadow pass: attenuate sunlight on geometry by
+                    # the cloud layer's transmittance (clouds.cpp shadows)
+                    cshadow = clouds_mod.cloud_shadow(
+                        g["position"], to_light, time=constants["time"])
+                    shadow = shadow * jnp.where(g["visible"], cshadow, 1.0)
             sh = atm.sky_sh(to_light)
             refl = m3.reflect(-jnp.broadcast_to(
                 m3.normalize(constants["camera_pos"] - g["position"]),

@@ -114,6 +114,22 @@ def sample_prefiltered(mips: List[Array], dirs: Array,
     return out
 
 
+def latlong_sh(env: Array) -> Array:
+    """Project a lat-long environment map into order-2 SH -> (9, 3)
+    radiance coefficients (the sh-generate/sh-reduce compute pair applied to
+    a static skybox, atmosphere.cpp:40-135 / skybox.hpp:48)."""
+    h, w = env.shape[0], env.shape[1]
+    theta = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * math.pi
+    phi = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 * math.pi
+    th, ph = jnp.meshgrid(theta, phi, indexing="ij")
+    dirs = jnp.stack([jnp.sin(th) * jnp.cos(ph), jnp.cos(th),
+                      jnp.sin(th) * jnp.sin(ph)], axis=-1)
+    from garden_tpu.render.atmosphere import _sh_basis
+    basis = _sh_basis(dirs)                                 # (h, w, 9)
+    d_omega = (math.pi / h) * (2.0 * math.pi / w) * jnp.sin(th)
+    return m3.einsum("hwb,hwc->bc", basis * d_omega[..., None], env)
+
+
 def sky_prefiltered(sun_dir_to_light: Array, height: int = 32,
                     mip_count: int = 5) -> List[Array]:
     """Prefiltered chain of the procedural sky (AtmosphereRenderSystem's

@@ -22,6 +22,8 @@ from garden_tpu.core import math3d as m3
 
 Array = jnp.ndarray
 
+MAX_LODS = 4
+
 
 @dataclasses.dataclass
 class Mesh:
@@ -193,6 +195,13 @@ class SceneBuffers:
         # per-instance local AABBs for frustum/occlusion culling
         self.inst_aabb_min = np.zeros((max_instances, 3), np.float32)
         self.inst_aabb_max = np.zeros((max_instances, 3), np.float32)
+        # LOD chain (ModelRenderSystem LOD buffers, model.hpp:27-38): every
+        # level's triangles live in the pool tagged with a level id; the
+        # frame selects one level per instance by camera distance — static
+        # shapes, no topology swaps (the TPU take on LOD buffer switching)
+        self.tri_lod = np.zeros((max_triangles,), np.int8)
+        self.inst_lod_dist = np.full((max_instances, MAX_LODS - 1), np.inf,
+                                     np.float32)
 
     def add_mesh(self, mesh: Mesh) -> int:
         v0, t0 = self._v, self._t
@@ -280,6 +289,39 @@ class SceneBuffers:
         ti = _np.maximum(self.tri_instance, 0)
         return sel[ti] & (self.tri_instance >= 0)
 
+    def add_instance_lods(self, meshes: List[Mesh], distances: List[float],
+                          material: int = 0, entity: int = -1) -> int:
+        """Instance with a LOD chain: meshes[k] renders when the camera is
+        closer than distances[k] (ascending; the last level covers the rest).
+        All levels' geometry is resident; selection is a per-frame mask
+        (model.hpp:27-38 LOD buffers)."""
+        if not 1 <= len(meshes) <= MAX_LODS:
+            raise ValueError(f"1..{MAX_LODS} LOD levels supported")
+        if len(distances) != len(meshes) - 1:
+            raise ValueError("need len(meshes)-1 switch distances")
+        inst = self.add_instance(meshes[0], material=material, entity=entity)
+        for k, mesh in enumerate(meshes[1:], start=1):
+            v0, t0 = self._v, self._t
+            nv, nt = mesh.vertex_count, mesh.triangle_count
+            if v0 + nv > self.max_vertices or t0 + nt > self.max_triangles:
+                raise RuntimeError("scene buffer capacity exhausted")
+            self.positions[v0:v0 + nv] = mesh.positions
+            self.normals[v0:v0 + nv] = mesh.normals
+            self.uvs[v0:v0 + nv] = mesh.uvs
+            self.indices[t0:t0 + nt] = mesh.indices + v0
+            self.tri_valid[t0:t0 + nt] = True
+            self.tri_instance[t0:t0 + nt] = inst
+            self.vert_instance[v0:v0 + nv] = inst
+            self.tri_lod[t0:t0 + nt] = k
+            self._v = v0 + nv
+            self._t = t0 + nt
+            self.inst_aabb_min[inst] = np.minimum(self.inst_aabb_min[inst],
+                                                  mesh.positions.min(axis=0))
+            self.inst_aabb_max[inst] = np.maximum(self.inst_aabb_max[inst],
+                                                  mesh.positions.max(axis=0))
+        self.inst_lod_dist[inst, :len(distances)] = distances
+        return inst
+
     def tri_translucent_mask(self):
         """Triangles routed through OIT: mode 'oit', or 'opaque' materials
         with alpha < 1 (back-compat default)."""
@@ -317,7 +359,13 @@ class SceneBuffers:
             "inst_valid": jnp.asarray(np.arange(self.max_instances) < self._i),
             "materials": jnp.asarray(self.materials),
             "textures": jnp.asarray(self.textures),
+            "tri_lod": jnp.asarray(self.tri_lod.astype(np.int32)),
+            "inst_lod_dist": jnp.asarray(self.inst_lod_dist),
         }
+
+    @property
+    def any_lods(self) -> bool:
+        return bool((self.tri_lod != 0).any())
 
 
 def transform_vertices(scene: Dict[str, Array], inst_matrices: Array) -> Tuple[Array, Array]:

@@ -48,6 +48,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def tpu_tile_legal(tile: int, width: int, height: int) -> bool:
+    """Whether a raster tile layout lowers on TPU: a non-full output block's
+    last dim must be a multiple of 128 lanes (the constraint that broke
+    round-1's entry(): tile_size=32 at 128px width fails Pallas lowering)."""
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // tile)
+    return tiles_x * tiles_y <= 1 or tile % 128 == 0
+
+
 def setup_triangles(
     clip: Array,          # (V, 4) clip-space positions
     indices: Array,       # (T, 3)
@@ -283,10 +292,9 @@ def rasterize_visibility(
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_tiles = tiles_x * tiles_y
-    if not _interpret() and n_tiles > 1 and tile % 128:
-        # TPU Pallas: a non-full output block's last dim must be a multiple
-        # of 128 lanes. Catch the illegal layout at trace time with a clear
-        # message instead of an XLA lowering error (shipped as a round-1 bug:
+    if not _interpret() and not tpu_tile_legal(tile, width, height):
+        # Catch the illegal layout at trace time with a clear message
+        # instead of an XLA lowering error (shipped as a round-1 bug:
         # entry() at tile_size=32 failed to lower on hardware).
         raise ValueError(
             f"rasterize_visibility: tile={tile} is not TPU-legal for a "

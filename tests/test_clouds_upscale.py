@@ -47,3 +47,28 @@ def test_render_scale_upscales():
     assert out["depth"].shape == (32, 64)  # internal buffers stay scaled
     img = np.asarray(out["image"])
     assert img[32, 64, 0] > img[32, 64, 2]  # cube still red at center
+
+
+def test_worley_and_cloud_shadow():
+    """Worley/Perlin-Worley noises are bounded; the cloud shadow pass
+    attenuates ground sunlight under dense coverage (clouds.cpp shadow)."""
+    import jax.numpy as jnp
+    from garden_tpu.ops import noise
+    from garden_tpu.render import clouds
+
+    g = jnp.linspace(0.0, 8.0, 32)
+    x, y = jnp.meshgrid(g, g)
+    z = jnp.zeros_like(x)
+    w = noise.worley3(x, y, z)
+    assert float(w.min()) >= 0.0 and float(w.max()) <= 1.0
+    assert float(w.std()) > 0.05  # non-degenerate
+    pw_ = noise.perlin_worley3(x, y, z)
+    assert float(pw_.min()) >= 0.0 and float(pw_.max()) <= 1.0
+
+    pos = jnp.stack([x * 100.0, jnp.zeros_like(x), y * 100.0], axis=-1)
+    sun = jnp.array([0.3, 0.8, 0.2])
+    t_none = clouds.cloud_shadow(pos, sun, coverage=0.0)
+    t_full = clouds.cloud_shadow(pos, sun, coverage=0.9)
+    assert float(t_none.min()) > 0.97          # clear sky: no attenuation
+    assert float(t_full.mean()) < float(t_none.mean()) - 0.1
+    assert float(t_full.min()) >= 0.0

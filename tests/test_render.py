@@ -268,3 +268,63 @@ def test_refraction_and_trans_depth():
     covered = td > 0
     assert covered.sum() > 50
     assert (td[covered] >= od[covered] - 1e-6).mean() > 0.9
+
+
+def test_lod_chain_selection():
+    """LOD chain: the near level renders when close, the far level when
+    distant (ModelRenderSystem LOD buffers, model.hpp:27-38)."""
+    cfg = dataclasses.replace(small_config(), use_shadows=False,
+                              use_hbao=False, use_atmosphere=False,
+                              use_oit=False, use_auto_exposure=False)
+    scene = rmesh.SceneBuffers(4096, 4096, 8)
+    mat = scene.add_material(rmesh.Material(base_color=(0.8, 0.2, 0.2)))
+    hi = rmesh.uv_sphere(0.6, 16, 32)    # 1024 tris
+    lo = rmesh.uv_sphere(0.6, 4, 8)      # 64 tris
+    scene.add_instance_lods([hi, lo], distances=[10.0], material=mat)
+    renderer = DeferredRenderer(cfg, scene)
+    dev = renderer.device_scene()
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats[0][1, 3] = 0.5
+
+    def count_tris(eye_z):
+        eye = jnp.array([0.0, 1.0, eye_z])
+        view = m3.look_at(eye, jnp.array([0.0, 0.5, 0.0]),
+                          jnp.array([0.0, 1.0, 0.0]))
+        proj = m3.perspective_reverse_z(1.0, cfg.width / cfg.height, 0.1)
+        constants = common_constants(eye, view, proj,
+                                     jnp.array([0.3, -0.8, -0.4]),
+                                     (cfg.width, cfg.height), 0.0, 1 / 60)
+        tv = renderer.cull_instances(dev, jnp.asarray(mats), constants)
+        lods = np.asarray(dev["tri_lod"])[np.asarray(tv)]
+        return set(lods.tolist())
+
+    assert count_tris(4.0) == {0}      # near: high-detail level only
+    assert count_tris(30.0) == {1}     # far: low-detail level only
+
+
+def test_static_environment_skybox():
+    """Static lat-long environment (SkyboxRenderSystem, skybox.hpp:48):
+    background samples the map; ambient derives from its SH."""
+    cfg = dataclasses.replace(small_config(), use_shadows=False,
+                              use_hbao=False, use_oit=False,
+                              use_auto_exposure=False)
+    scene = build_scene()
+    renderer = DeferredRenderer(cfg, scene)
+    dev = renderer.device_scene()
+    constants = make_constants(cfg)
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats[0][1, 3] = 0.5
+    # magenta upper hemisphere, dark lower
+    env = np.zeros((16, 32, 3), np.float32)
+    env[:8] = (2.0, 0.2, 2.0)
+    env[8:] = (0.05, 0.05, 0.05)
+    out = renderer.render(dev, jnp.asarray(mats), constants,
+                          renderer.initial_frame_state(),
+                          environment=jnp.asarray(env))
+    hdr = np.asarray(out["hdr"])
+    vis = np.asarray(out["gbuffer"]["visible"])
+    # sky pixels (top rows) carry the magenta environment
+    sky_px = hdr[2, cfg.width // 2]
+    assert sky_px[0] > 1.0 and sky_px[2] > 1.0 and sky_px[1] < 0.8, sky_px
+    # lit geometry picks up magenta-tinted ambient
+    assert np.isfinite(hdr).all()

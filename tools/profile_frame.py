@@ -38,15 +38,31 @@ REPS = 20
 
 
 def timeit(name, fn, *args):
-    jfn = jax.jit(fn)
-    out = jfn(*args)
+    """Honest timing: the TPU runtime memoizes bit-identical executions, so
+    every rep perturbs the first float input leaf by a unique epsilon."""
+    import jax.tree_util as jtu
+
+    def perturbed(eps, *a):
+        done = [False]
+
+        def bump(x):
+            if (not done[0] and hasattr(x, "dtype")
+                    and x.dtype == jnp.float32 and x.ndim >= 1):
+                done[0] = True
+                return x + eps
+            return x
+        a = jtu.tree_map(bump, a)
+        return fn(*a)
+
+    jfn = jax.jit(perturbed)
+    out = jfn(jnp.float32(0.0), *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = jfn(*args)
+    for i in range(REPS):
+        out = jfn(jnp.float32((i + 1) * 1e-7), *args)
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / REPS * 1e3
-    print(f"{name:<34s} {ms:8.2f} ms")
+    print(f"{name:<34s} {ms:8.2f} ms", flush=True)
     return out
 
 
