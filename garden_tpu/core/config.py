@@ -40,6 +40,10 @@ class PhysicsConfig:
     cell_size: float = 2.0              # broadphase uniform-grid cell edge
     grid_dim: int = 64                  # cells per axis
     max_bodies_per_cell: int = 8
+    # grid-bypassing big bodies (planes/heightfields) tested against every
+    # body; each slot costs a narrowphase pair per body, so keep it at the
+    # actual global-body count of the scene
+    max_globals: int = 4
     cascade_lag_threshold: float = 0.5  # seconds of sustained lag before clamping
     sleep_enabled: bool = False
 

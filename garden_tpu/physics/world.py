@@ -49,7 +49,8 @@ LAYER_HQ_DEBRIS = 3
 LAYER_LQ_DEBRIS = 4
 NUM_LAYERS = 5
 
-# grid-bypassing big-body slots (planes/heightfields)
+# grid-bypassing big-body slots default (configurable via
+# PhysicsConfig.max_globals; kept for back-compat imports)
 MAX_GLOBALS = 8
 
 
@@ -162,8 +163,10 @@ class PhysicsWorld:
         bodies["sleep_timer"] = jnp.zeros((self.config.max_bodies,), jnp.float32)
         bodies["sleeping"] = jnp.zeros((self.config.max_bodies,), bool)
         n = self.config.max_bodies
-        k = self.config.max_contacts_per_body + MAX_GLOBALS
+        k = self.config.max_contacts_per_body + self.config.max_globals
         c = (n, k * narrowphase.MAX_POINTS)
+        ca = (n, min(self.config.max_active_contacts,
+                     k * narrowphase.MAX_POINTS))
         return {
             "bodies": bodies,
             # independent copies: donation requires unaliased buffers
@@ -171,15 +174,17 @@ class PhysicsWorld:
             "prev_quat": jnp.array(self._b["quat"]),
             "shapes": self.shapes.device_arrays(),
             "layer_table": jnp.asarray(default_layer_table()),
-            # persistent contact impulses for warm starting, fixed slot
-            # layout; `partner` records each slot's pair identity so stale
-            # impulses never misfire onto a different contact (slot churn
-            # during impacts otherwise injects momentum -> popcorn)
+            # persistent contact impulses for warm starting, stored in the
+            # COMPACTED layout; `key` = partner*4 + manifold-point index is
+            # each slot's pair identity, re-matched each step by a dense
+            # (s x s) comparison so stale impulses never misfire onto a
+            # different contact (slot churn during impacts otherwise
+            # injects momentum -> popcorn)
             "warm": {
-                "n": jnp.zeros(c, jnp.float32),
-                "t1": jnp.zeros(c, jnp.float32),
-                "t2": jnp.zeros(c, jnp.float32),
-                "partner": jnp.full(c, -1, jnp.int32),
+                "n": jnp.zeros(ca, jnp.float32),
+                "t1": jnp.zeros(ca, jnp.float32),
+                "t2": jnp.zeros(ca, jnp.float32),
+                "key": jnp.full(ca, -1, jnp.int32),
             },
             "accum": jnp.float32(0.0),
             "lag_time": jnp.float32(0.0),
@@ -234,7 +239,7 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
         grid_dim=config.grid_dim,
         cand_per_cell=config.max_bodies_per_cell,
         max_candidates=config.max_contacts_per_body,
-        max_globals=MAX_GLOBALS,
+        max_globals=config.max_globals,
     )
     n, k = cand_idx.shape
     pair_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)
@@ -271,20 +276,25 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     # traffic bound, and the raw layout is ~95% padding. top_k keeps the
     # first `max_active_contacts` valid slots per row in stable order;
     # `slot` maps back into the full layout for warm-impulse persistence.
-    # Row gathers happen as dense one-hot contractions — TPU random gathers
-    # run ~30x slower than the equivalent VPU/MXU reduction at this k.
+    # All fields are packed into ONE (N, S, 9) record so the compaction is a
+    # single one-hot MXU contraction (TPU random gathers run ~30x slower;
+    # separate per-field contractions lower to slow reduce_sums).
     s_act = min(config.max_active_contacts, s)
     rank = jnp.where(contacts["valid"],
                      s - jnp.arange(s, dtype=jnp.int32)[None, :], 0)
     _, sel = jax.lax.top_k(rank, s_act)                    # (N, s_act)
+    packed = jnp.concatenate(
+        [contacts["point"], contacts["normal"],
+         contacts["pen"][..., None],
+         contacts["valid"].astype(jnp.float32)[..., None],
+         contacts["partner"].astype(jnp.float32)[..., None]], axis=-1)
+    cpk = m3.gather_rows(packed, sel)                      # (N, s_act, 9)
     compact = {
-        "partner": m3.gather_scalars(
-            contacts["partner"].astype(jnp.float32), sel).astype(jnp.int32),
-        "point": m3.gather_rows(contacts["point"], sel),
-        "normal": m3.gather_rows(contacts["normal"], sel),
-        "pen": m3.gather_scalars(contacts["pen"], sel),
-        "valid": m3.gather_scalars(
-            contacts["valid"].astype(jnp.float32), sel) > 0.5,
+        "point": cpk[..., 0:3],
+        "normal": cpk[..., 3:6],
+        "pen": cpk[..., 6],
+        "valid": cpk[..., 7] > 0.5,
+        "partner": cpk[..., 8].astype(jnp.int32),
         "slot": sel,
     }
     return compact
@@ -313,18 +323,21 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     state = dict(state, bodies=b)
 
     contacts = collide(state, config, present_types)
-    # warm-start slot gathers/scatters as dense one-hot contractions (TPU
-    # random gathers are ~30x slower than the equivalent MXU reduction)
-    slot = contacts["slot"]
-    s_full = state["warm"]["n"].shape[1]
-    warm_compact = {
-        k: m3.gather_scalars(v.astype(jnp.float32), slot)
-        for k, v in state["warm"].items()}
-    # invalidate impulses whose slot now holds a different pair
-    same_pair = warm_compact.pop("partner").astype(jnp.int32) \
-        == contacts["partner"]
-    warm_compact = {k: jnp.where(same_pair, v, 0.0)
-                    for k, v in warm_compact.items()}
+    # warm starting: impulses persist in the COMPACTED layout, identified by
+    # key = partner*4 + manifold-point index. Matching old slots to new is a
+    # dense (s_act x s_act) comparison + one MXU contraction — no gathers,
+    # no full-layout scatter (the round-1 design carried a 4x-wider slot
+    # array through two random gathers per step).
+    mp = narrowphase.MAX_POINTS
+    new_key = jnp.where(contacts["valid"],
+                        contacts["partner"] * mp + contacts["slot"] % mp, -1)
+    old_key = state["warm"]["key"]
+    match = ((new_key[:, :, None] == old_key[:, None, :])
+             & (new_key >= 0)[:, :, None]).astype(jnp.float32)
+    wpack = jnp.stack([state["warm"]["n"], state["warm"]["t1"],
+                       state["warm"]["t2"]], axis=-1)      # (N, s_act, 3)
+    wc = jnp.einsum("nso,nod->nsd", match, wpack)
+    warm_compact = {"n": wc[..., 0], "t1": wc[..., 1], "t2": wc[..., 2]}
     linvel, angvel, warm_c = solver.solve_velocity(
         b, contacts, dt,
         iterations=config.solver_iterations,
@@ -332,17 +345,12 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         slop=config.penetration_slop,
         warm=warm_compact,
     )
-    # persist impulses + pair identity back into the full slot layout
-    # (slots are unique per row, so a one-hot scatter-add equals a set)
-    partner_c = jnp.where(contacts["valid"], contacts["partner"], -1)
     warm = {
-        k: m3.scatter_rows_add(v, slot, s_full)
-        for k, v in warm_c.items()
+        "n": jnp.where(contacts["valid"], warm_c["n"], 0.0),
+        "t1": jnp.where(contacts["valid"], warm_c["t1"], 0.0),
+        "t2": jnp.where(contacts["valid"], warm_c["t2"], 0.0),
+        "key": new_key,
     }
-    # partner base is -1: scatter (partner + 1) then subtract 1
-    warm["partner"] = (m3.scatter_rows_add(
-        (partner_c + 1).astype(jnp.float32), slot, s_full)
-        - 1.0).astype(jnp.int32)
 
     # joint constraints (Fixed/Point, physics.hpp:368-373)
     if "constraints" in state:

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,3 +40,31 @@ def test_engine_physics_transform_roundtrip():
     # ground transform untouched (static)
     gy = float(state["components"]["transform"]["position"][ground][1])
     assert gy == 0.0
+
+
+def test_combined_step_deterministic():
+    """Bitwise determinism of the full combined step (physics + frame):
+    two runs from the same initial state produce identical states and
+    images after several steps (jit purity makes data races structurally
+    impossible — SURVEY.md section 5.2; this pins it)."""
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+
+    step, state0 = ge._build(n_bodies=24, width=128, height=128, grid_dim=8,
+                             tile_size=128)
+    jstep = jax.jit(step)
+
+    def run(n):
+        s = jax.tree_util.tree_map(lambda x: x, state0)
+        img = None
+        for _ in range(n):
+            s, img = jstep(s)
+        return s, img
+
+    s1, img1 = run(4)
+    s2, img2 = run(4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
