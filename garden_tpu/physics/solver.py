@@ -94,19 +94,34 @@ def solve_velocity(
     # mass splitting: per-body contact count (each pair counted once per row)
     count = jnp.sum(resp_f, axis=1)
     split = jnp.maximum(count, 1.0)
-    split_p = split[partner]               # partner's split (gather, 1x/step)
 
     pos = bodies["pos"]
+
+    # ALL static partner attributes fetched with ONE packed row gather
+    # (TPU gathers price per row; eight separate (N, S) gathers cost ~8x):
+    # [pos3 | inv_mass | split | inertia_w9 | ang_factor3 | friction |
+    #  restitution] = 19 columns
+    body_tab = jnp.concatenate(
+        [pos, inv_mass[:, None], split[:, None],
+         inv_inertia_w.reshape(-1, 9), bodies["angular_factor"],
+         bodies["friction"][:, None], bodies["restitution"][:, None]],
+        axis=1)                             # (N, 19)
+    par_tab = body_tab[partner]             # (N, S, 19) the one gather
+    pos_p = par_tab[..., 0:3]
+    inv_mass_p = par_tab[..., 3]
+    split_p = par_tab[..., 4]
+    inertia_par = par_tab[..., 5:14].reshape(par_tab.shape[:-1] + (3, 3))
+    angf_par = par_tab[..., 14:17]
+    friction_p = par_tab[..., 17]
+    restitution_p = par_tab[..., 18]
+
     r_own = point - pos[:, None, :]
-    r_par = point - pos[partner]
+    r_par = point - pos_p
 
     lin_factor = bodies["linear_factor"]
     ang_factor = bodies["angular_factor"]
-    inv_mass_p = inv_mass[partner]
     inertia_own = inv_inertia_w[:, None]   # (N, 1, 3, 3) broadcast over slots
-    inertia_par = inv_inertia_w[partner]   # (N, S, 3, 3)
     angf_own = ang_factor[:, None, :]
-    angf_par = ang_factor[partner]
 
     def k_for(axis: Array) -> Array:
         """Effective mass denominator along a unit axis (with splitting)."""
@@ -128,9 +143,8 @@ def solve_velocity(
     k_t1 = k_for(t1)
     k_t2 = k_for(t2)
 
-    friction = jnp.sqrt(bodies["friction"][:, None] * bodies["friction"][partner])
-    restitution = jnp.maximum(bodies["restitution"][:, None],
-                              bodies["restitution"][partner])
+    friction = jnp.sqrt(bodies["friction"][:, None] * friction_p)
+    restitution = jnp.maximum(bodies["restitution"][:, None], restitution_p)
 
     def rel_vel(linvel: Array, angvel: Array) -> Array:
         """Velocity of partner contact point relative to own (N, S, 3).
