@@ -85,6 +85,33 @@ def downsample2x(img: Array) -> Array:
     return x.reshape((h // 2, 2, w // 2, 2) + x.shape[2:]).mean(axis=(1, 3))
 
 
+def decimate2x(img: Array) -> Array:
+    """2x mean-pool decimation as a dense reshape+reduce. A strided slice
+    (`x[::2, ::2]`) lowers to a ~3 GB/s gather on TPU; this runs at memory
+    bandwidth and antialiases as a bonus."""
+    return downsample2x(img)
+
+
+def upsample2x_to(x: Array, th: int, tw: int) -> Array:
+    """(h, w, ...) -> (th, tw, ...) via repeat + 3x3 tent — the dense
+    replacement for jax.image.resize 'linear' (which lowers to gathers)."""
+    chan = x.ndim == 3
+    if not chan:
+        x = x[..., None]
+    up = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    if up.shape[0] < th or up.shape[1] < tw:
+        up = jnp.pad(up, ((0, max(th - up.shape[0], 0)),
+                          (0, max(tw - up.shape[1], 0)), (0, 0)), mode="edge")
+    up = up[:th, :tw]
+    p = jnp.pad(up, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = (
+        p[0:-2, 0:-2] + 2 * p[0:-2, 1:-1] + p[0:-2, 2:]
+        + 2 * p[1:-1, 0:-2] + 4 * p[1:-1, 1:-1] + 2 * p[1:-1, 2:]
+        + p[2:, 0:-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+    ) / 16.0
+    return out if chan else out[..., 0]
+
+
 def ggx_blur_chain(img: Array, levels: int = 4) -> list:
     """Progressively blurred mip chain for rough reflections (the reference's
     GGX blur chain for refraction, deferred.cpp:584-604)."""

@@ -58,9 +58,13 @@ def _chapman(x: Array, cos_chi: Array) -> Array:
 
 def _optical_depth_to_space(height_km: Array, cos_zenith: Array,
                             scale_height: float) -> Array:
-    """Airmass integral from a point at `height_km` above ground to space."""
+    """Airmass integral from a point at `height_km` above ground to space.
+    Clamped: the Chapman lower branch overflows for deeply-downward rays,
+    and inf optical depth turns into NaN through downstream products;
+    e^-100 is already exactly 0 in f32."""
     x = (R_GROUND + height_km) / scale_height
-    return scale_height * jnp.exp(-height_km / scale_height) * _chapman(x, cos_zenith)
+    od = scale_height * jnp.exp(-height_km / scale_height) * _chapman(x, cos_zenith)
+    return jnp.minimum(od, 1e4)
 
 
 def sun_transmittance(height_km: Array, cos_zenith: Array) -> Array:
@@ -87,6 +91,56 @@ def transmittance_lut(size: Tuple[int, int] = (64, 256)) -> Array:
     mugrid = jnp.linspace(-0.2, 1.0, size[1])
     h, mu = jnp.meshgrid(hgrid, mugrid, indexing="ij")
     return sun_transmittance(h, mu)
+
+
+def multi_scatter_lut(size: int = 32, dirs: int = 64) -> Array:
+    """The reference's 32x32 multiple-scattering LUT (constants.h:23):
+    rows = altitude [0, atmosphere top], cols = sun zenith cosine [-1, 1];
+    value = isotropic multi-scatter transfer Psi_ms (Hillaire 2020 eq. 10).
+
+    Second-order estimate: integrate single scattering + transfer over a
+    sphere of directions, then apply the geometric-series closure
+    Psi = L_2nd / (1 - f_ms). Offline/parity use — the frame path's dense
+    analytic floor approximates this LUT's effect without per-pixel gathers.
+    """
+    h_grid = jnp.linspace(0.0, R_TOP - R_GROUND, size)
+    mu_grid = jnp.linspace(-1.0, 1.0, size)
+    h, mu = jnp.meshgrid(h_grid, mu_grid, indexing="ij")
+
+    sph = jnp.asarray(_fibonacci_sphere(dirs))            # (D, 3)
+    sun = jnp.stack([jnp.sqrt(jnp.clip(1 - mu ** 2, 0, 1)),
+                     mu, jnp.zeros_like(mu)], axis=-1)    # (S, S, 3)
+
+    beta_r = jnp.asarray(BETA_RAYLEIGH, jnp.float32)
+    beta_m = jnp.float32(BETA_MIE_SCAT)
+
+    l2 = jnp.zeros(h.shape + (3,), jnp.float32)
+    fms = jnp.zeros(h.shape, jnp.float32)
+    for d in range(dirs):
+        v = sph[d]
+        cos_sun = jnp.sum(sun * v, axis=-1)
+        # march a short ray from altitude h along v (8 steps, flat layers)
+        t_max = 40.0
+        dt = t_max / 8
+        tau = jnp.zeros(h.shape + (3,), jnp.float32)
+        for i in range(8):
+            y = jnp.maximum(h + v[1] * (i + 0.5) * dt, 0.0)
+            dens_r = jnp.exp(-y / H_RAYLEIGH)
+            dens_m = jnp.exp(-y / H_MIE)
+            t_sun = sun_transmittance(y, mu)
+            scat = (beta_r * dens_r[..., None] * _phase_rayleigh(cos_sun)[..., None]
+                    + beta_m * dens_m[..., None] * _phase_mie(cos_sun)[..., None])
+            t_view = jnp.exp(-tau)
+            l2 = l2 + scat * t_sun * t_view * dt / dirs
+            # transfer factor: scattered-again fraction (isotropic phase)
+            fms = fms + (beta_r.mean() * dens_r + beta_m * dens_m) \
+                * jnp.exp(-tau.mean(-1)) * dt / dirs
+            tau = tau + (beta_r * dens_r[..., None]
+                         + (BETA_MIE_SCAT + BETA_MIE_ABS) * dens_m[..., None]) * dt
+    psi = l2 / jnp.maximum(1.0 - jnp.clip(fms, 0.0, 0.99), 1e-3)[..., None]
+    # isolated grazing-angle cells can overflow through the Chapman branch;
+    # zero them (they sit below the horizon where the LUT is unused)
+    return jnp.nan_to_num(psi, nan=0.0, posinf=0.0)
 
 
 def _phase_rayleigh(cos_t: Array) -> Array:

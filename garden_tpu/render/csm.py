@@ -76,16 +76,28 @@ def render_cascades(
     light_view_projs: List[Array],
     cfg: ShadowConfig,
     max_per_tile: int = 256,
+    tri_world: Array = None,
 ) -> Array:
-    """Depth-only raster per cascade -> (cascades, S, S) reverse-Z maps."""
+    """Depth-only raster per cascade -> (cascades, S, S) reverse-Z maps.
+
+    tri_world: optional pre-gathered (T, 3, 3) world triangle vertices —
+    shares ONE gather across cascades and the main pass instead of a
+    per-cascade clip[indices] gather."""
     size = cfg.map_size
+    if tri_world is None:
+        tri_world = world_positions[indices]             # (T, 3, 3)
+    t = tri_world.shape[0]
+    flat = tri_world.reshape(t * 3, 3)
     maps = []
     for lvp in light_view_projs:
-        clip = m3.apply_mat4_h(lvp, world_positions)
+        tri_clip = m3.apply_mat4_h(lvp, flat).reshape(t, 3, 4)
         # front faces only: sufficient for closed casters, and it keeps the
         # same winding convention as the main pass
-        setup = raster.setup_triangles(clip, indices, tri_valid, size, size)
-        tiles, counts = raster.bin_triangles(setup, size, size, 128, max_per_tile)
+        setup = raster.setup_triangles_tv(tri_clip, tri_valid, size, size)
+        # foot=2: shadow casters are small in light space; a 4x smaller pair
+        # emission quarters the binning sort (big tris use the global list)
+        tiles, counts = raster.bin_triangles(setup, size, size, 128,
+                                             max_per_tile, foot=2)
         maps.append(raster.rasterize_depth(setup, tiles, counts, size, size, 128))
     return jnp.stack(maps)
 
@@ -104,14 +116,17 @@ def resolve_shadow(
     size = cfg.map_size
     c_count = shadow_maps.shape[0]
 
-    # decimated resolve: the shadow-map lookup gather dominates; sample
-    # every Nth pixel and bilinearly upsample the factor at the end
+    # decimated resolve: the shadow-map lookup gather dominates; resolve at
+    # half resolution and upsample the factor at the end. Decimation is a
+    # dense mean-pool (a strided slice lowers to a ~3 GB/s gather on TPU).
     step = max(int(getattr(cfg, "resolve_step", 1)), 1)
     full_shape = position.shape[:2]
     if step > 1:
-        position = position[::step, ::step]
-        normal = normal[::step, ::step]
-        view_depth = view_depth[::step, ::step]
+        from garden_tpu.ops.blur import decimate2x
+        for _ in range(step // 2):
+            position = decimate2x(position)
+            normal = decimate2x(normal)
+            view_depth = decimate2x(view_depth)
 
     # cascade selection by view distance
     cascade = jnp.zeros_like(view_depth, dtype=jnp.int32)
@@ -165,6 +180,11 @@ def resolve_shadow(
                 n += 1
         lit = acc / n
     if step > 1:
-        import jax
-        lit = jax.image.resize(lit, full_shape, "linear")
+        from garden_tpu.ops.blur import upsample2x_to
+        for _ in range(step // 2):
+            target = (min(lit.shape[0] * 2, full_shape[0]),
+                      min(lit.shape[1] * 2, full_shape[1]))
+            lit = upsample2x_to(lit, *target)
+        if lit.shape[:2] != tuple(full_shape):
+            lit = upsample2x_to(lit, *full_shape)
     return lit

@@ -156,11 +156,23 @@ class DeferredRenderer:
         # mesh.hpp:30-40)
         translucent = scene["tri_translucent"]
         nonopaque = translucent | scene["tri_sorted"] | scene["tri_refract"]
-        clip = m3.apply_mat4_h(constants["view_proj"], world_pos)
-        vis, setup = raster.render_pass(
-            clip, scene["indices"], tri_valid & ~nonopaque, w, h,
-            cfg.tile_size, cfg.max_tris_per_tile,
-        )
+        # ONE triangle-vertex gather shared by every raster pass (main,
+        # cascades, OIT/sorted/refraction/trans-depth): per-pass
+        # clip[indices] gathers cost ~1.5ms each at 123K tris
+        tri_world = world_pos[scene["indices"]]          # (T, 3, 3)
+        t_cnt = tri_world.shape[0]
+        tw_flat = tri_world.reshape(t_cnt * 3, 3)
+
+        def pass_setup(mask):
+            tri_clip = m3.apply_mat4_h(constants["view_proj"],
+                                       tw_flat).reshape(t_cnt, 3, 4)
+            return raster.setup_triangles_tv(tri_clip, mask, w, h)
+
+        setup = pass_setup(tri_valid & ~nonopaque)
+        tiles_m, counts_m = raster.bin_triangles(
+            setup, w, h, cfg.tile_size, cfg.max_tris_per_tile)
+        vis = raster.rasterize_visibility(setup, tiles_m, counts_m, w, h,
+                                          cfg.tile_size)
 
         # velocity inputs: previous-frame vertex screen positions ride in
         # the shading record (deferred.cpp:463-489 velocity pass analog)
@@ -177,7 +189,8 @@ class DeferredRenderer:
                 [(pndc[..., 0] * 0.5 + 0.5) * w,
                  (0.5 - pndc[..., 1] * 0.5) * h], axis=-1)
             records = gbuffer.pack_triangle_records(scene, world_nrm,
-                                                    prev_screen=prev_screen)
+                                                    prev_screen=prev_screen,
+                                                    inv_w=setup["inv_w"])
         g = gbuffer.shade_gbuffer(
             vis, setup, scene, world_pos, world_nrm,
             constants=constants, records=records,
@@ -225,6 +238,7 @@ class DeferredRenderer:
             ]
             shadow_maps = csm_mod.render_cascades(
                 world_pos, scene["indices"], scene["tri_valid"], lvps, scfg,
+                tri_world=tri_world,
             )
             view_depth = m3.length(g["position"] - constants["camera_pos"])
             shadow = csm_mod.resolve_shadow(
@@ -297,8 +311,7 @@ class DeferredRenderer:
         # (OitRenderSystem composite, oit.hpp:38); skipped entirely when the
         # scene has no translucent content (anyOIT, deferred.hpp:122-123)
         if cfg.use_oit and self.any_translucent:
-            tsetup = raster.setup_triangles(
-                clip, scene["indices"], tri_valid & translucent, w, h)
+            tsetup = pass_setup(tri_valid & translucent)
             ttiles, tcounts = raster.bin_triangles(
                 tsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
             mat_id = scene["inst_material"][
@@ -316,9 +329,7 @@ class DeferredRenderer:
         # a GGX-blurred copy of the opaque HDR with a normal-driven offset
         if self.any_refract:
             from garden_tpu.ops import blur as blur_mod
-            rsetup = raster.setup_triangles(
-                clip, scene["indices"], tri_valid & scene["tri_refract"],
-                w, h)
+            rsetup = pass_setup(tri_valid & scene["tri_refract"])
             rtiles, rcounts = raster.bin_triangles(
                 rsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
             rvis = raster.rasterize_visibility(rsetup, rtiles, rcounts,
@@ -354,9 +365,7 @@ class DeferredRenderer:
         # sorted translucent pass (the Translucent render type): distance-
         # sorted back-to-front alpha blend over the HDR (mesh.hpp:196-204)
         if self.any_sorted:
-            ssetup = raster.setup_triangles(
-                clip, scene["indices"], tri_valid & scene["tri_sorted"],
-                w, h)
+            ssetup = pass_setup(tri_valid & scene["tri_sorted"])
             # back-to-front: ascending reverse-Z (far first) by centroid
             zc = jnp.mean(ssetup["z"], axis=-1)
             zkey = jnp.where(ssetup["valid"], zc, 2.0)
@@ -381,8 +390,7 @@ class DeferredRenderer:
         trans_depth = None
         if cfg.use_trans_depth and (self.any_translucent or self.any_sorted
                                     or self.any_refract):
-            dsetup = raster.setup_triangles(
-                clip, scene["indices"], tri_valid & nonopaque, w, h)
+            dsetup = pass_setup(tri_valid & nonopaque)
             dtiles, dcounts = raster.bin_triangles(
                 dsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
             trans_depth = raster.rasterize_depth(

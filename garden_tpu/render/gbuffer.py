@@ -24,11 +24,15 @@ from garden_tpu.core import math3d as m3
 
 Array = jnp.ndarray
 
-REC_WIDTH = 32
+# record layout: [n0 n1 n2 (9) | uv x3 (6) | material (9) | base-texture (1)
+# | instance (1) | prev-screen x3 (6) | inv_w (3) | pad] — inv_w rides the
+# record so perspective correction needs no second per-pixel gather
+REC_WIDTH = 36
 
 
 def pack_triangle_records(scene: Dict[str, Array], world_normals: Array,
-                          prev_screen: Optional[Array] = None) -> Array:
+                          prev_screen: Optional[Array] = None,
+                          inv_w: Optional[Array] = None) -> Array:
     """(T, 32) per-triangle shading records: [n0 n1 n2 (9) | uv0 uv1 uv2 (6)
     | material row (10) | instance (1) | prev screen xy x3 (6)].
 
@@ -42,15 +46,20 @@ def pack_triangle_records(scene: Dict[str, Array], world_normals: Array,
     inst = jnp.maximum(scene["tri_instance"], 0)
     mat_id = scene["inst_material"][inst]
     mat = scene["materials"][mat_id]             # (T, 11)
+    t = idx.shape[0]
+    if prev_screen is not None:
+        prev = prev_screen[idx].reshape(-1, 6)
+    else:
+        prev = jnp.zeros((t, 6), jnp.float32)
     parts = [
         n.reshape(-1, 9),
         uv.reshape(-1, 6),
         mat[:, :9],                              # props (alpha is OIT-only)
         mat[:, 10:11],                           # base-texture index
         scene["tri_instance"].astype(jnp.float32)[:, None],
+        prev,
+        inv_w if inv_w is not None else jnp.zeros((t, 3), jnp.float32),
     ]
-    if prev_screen is not None:
-        parts.append(prev_screen[idx].reshape(-1, 6))
     rec = jnp.concatenate(parts, axis=-1)
     pad = REC_WIDTH - rec.shape[-1]
     return jnp.pad(rec, ((0, 0), (0, pad)))
@@ -85,15 +94,17 @@ def shade_gbuffer(
     visible = vis["tri_id"] >= 0
 
     if records is None:
-        records = pack_triangle_records(scene, world_normals)
-    rec = records[tri]                           # (H, W, 32): the ONE gather
+        records = pack_triangle_records(scene, world_normals,
+                                        inv_w=setup["inv_w"])
+    rec = records[tri]                           # (H, W, 36): the ONE gather
 
     b0 = vis["b0"]
     b1 = vis["b1"]
     b2 = 1.0 - b0 - b1
 
-    # perspective-correct barycentrics: w_i = screen bary * (1/w_i), renorm
-    inv_w = setup["inv_w"][tri]                  # second (cheap, (T,3)) gather
+    # perspective-correct barycentrics: w_i = screen bary * (1/w_i), renorm;
+    # inv_w rides the ONE record gather (slots 32:35)
+    inv_w = rec[..., 32:35]
     pw = jnp.stack([b0, b1, b2], axis=-1) * inv_w
     pw = pw / jnp.maximum(jnp.sum(pw, axis=-1, keepdims=True), 1e-12)
 

@@ -376,10 +376,16 @@ def transform_vertices(scene: Dict[str, Array], inst_matrices: Array) -> Tuple[A
     gather + batched matmul (MXU work).
     """
     vi = jnp.maximum(scene["vert_instance"], 0)
-    mats = inst_matrices[vi]  # (V, 4, 4)
-    pos = m3.einsum("vij,vj->vi", mats[:, :3, :3], scene["positions"]) + mats[:, :3, 3]
+    mats = inst_matrices[vi]  # (V, 4, 4) the one gather
+    p = scene["positions"]
+    n = scene["normals"]
+    # explicit column combination: the per-vertex (3,3)@(3,) dot_general
+    # runs at ~8 GB/s on TPU; broadcasted VPU arithmetic is ~4x faster
+    c0 = mats[:, :3, 0]
+    c1 = mats[:, :3, 1]
+    c2 = mats[:, :3, 2]
+    pos = (c0 * p[:, 0:1] + c1 * p[:, 1:2] + c2 * p[:, 2:3] + mats[:, :3, 3])
     # normals: inverse-transpose; assume uniform-ish scale (use rotation part
     # normalized per-vertex)
-    nrm = m3.einsum("vij,vj->vi", mats[:, :3, :3], scene["normals"])
-    nrm = m3.normalize(nrm)
+    nrm = m3.normalize(c0 * n[:, 0:1] + c1 * n[:, 1:2] + c2 * n[:, 2:3])
     return pos, nrm

@@ -64,8 +64,21 @@ def setup_triangles(
     width: int,
     height: int,
 ) -> Dict[str, Array]:
-    """Screen-space triangle setup. Returns per-triangle arrays."""
-    v = clip[indices]                     # (T, 3, 4)
+    """Screen-space triangle setup from a vertex pool (one (T,3) gather)."""
+    return setup_triangles_tv(clip[indices], tri_valid, width, height)
+
+
+def setup_triangles_tv(
+    v: Array,             # (T, 3, 4) clip-space triangle vertices
+    tri_valid: Array,     # (T,)
+    width: int,
+    height: int,
+) -> Dict[str, Array]:
+    """Screen-space triangle setup from pre-gathered triangle vertices.
+
+    Multi-pass renderers (main + shadow cascades) should gather world-space
+    triangle vertices ONCE and transform per pass — each per-pass
+    clip[indices] gather costs ~1.5ms at 123K triangles on TPU."""
     w = v[..., 3]
     # conservative near clip: reject triangles with any vertex behind the
     # near plane (finely tessellated scenes make this loss negligible)
@@ -110,6 +123,7 @@ def bin_triangles(
     max_per_tile: int,
     max_big: int = 64,
     priority: Array = None,
+    foot: int = None,
 ) -> Tuple[Array, Array]:
     """Returns (tile_tris (tiles, max_big + max_per_tile) int32 padded with
     -1, counts (tiles,) int32). tiles = tiles_y * tiles_x, row-major.
@@ -118,6 +132,7 @@ def bin_triangles(
     out sorted by ascending priority instead of triangle id (the
     back-to-front translucent sort, mesh.hpp:204; priorities must be a
     permutation of [0, T))."""
+    FOOT = foot if foot is not None else globals()["FOOT"]
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_tiles = tiles_x * tiles_y

@@ -328,3 +328,14 @@ def test_static_environment_skybox():
     assert sky_px[0] > 1.0 and sky_px[2] > 1.0 and sky_px[1] < 0.8, sky_px
     # lit geometry picks up magenta-tinted ambient
     assert np.isfinite(hdr).all()
+
+
+def test_multi_scatter_lut():
+    """32x32 multi-scatter LUT (constants.h:23): finite, non-negative,
+    brighter for overhead sun than below-horizon sun."""
+    from garden_tpu.render import atmosphere as atm
+    lut = np.asarray(atm.multi_scatter_lut(size=16, dirs=16))
+    assert lut.shape == (16, 16, 3)
+    assert np.isfinite(lut).all() and (lut >= 0).all()
+    ground = lut[0]  # altitude 0 row; cols = sun cos from -1 to 1
+    assert ground[-1].mean() > ground[0].mean()  # overhead sun > below horizon
