@@ -86,10 +86,19 @@ def downsample2x(img: Array) -> Array:
 
 
 def decimate2x(img: Array) -> Array:
-    """2x mean-pool decimation as a dense reshape+reduce. A strided slice
-    (`x[::2, ::2]`) lowers to a ~3 GB/s gather on TPU; this runs at memory
-    bandwidth and antialiases as a bonus."""
-    return downsample2x(img)
+    """2x mean-pool decimation via reduce_window. A strided slice
+    (`x[::2, ::2]`) lowers to a ~3 GB/s gather on TPU, and a single 5-D
+    reshape+reduce forces layout copies; native window reduction does
+    neither and antialiases as a bonus."""
+    import jax
+    h, w = img.shape[0] & ~1, img.shape[1] & ~1
+    x = img[:h, :w]
+    chan = x.ndim == 3
+    if not chan:
+        x = x[..., None]
+    out = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID") * 0.25
+    return out if chan else out[..., 0]
 
 
 def upsample2x_to(x: Array, th: int, tw: int) -> Array:

@@ -18,13 +18,15 @@ Array = jnp.ndarray
 
 
 def _downsample2x(x: Array) -> Array:
-    """(H, W, 3) -> (H/2, W/2, 3) box filter (pads odd sizes)."""
+    """(H, W, 3) -> (H/2, W/2, 3) box filter (pads odd sizes) via
+    reduce_window — the 5-D reshape+reduce form forces layout copies."""
+    import jax
     h, w, c = x.shape
     ph, pw = h % 2, w % 2
     if ph or pw:
         x = jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
-        h, w = h + ph, w + pw
-    return x.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1), "VALID") * 0.25
 
 
 def _upsample2x(x: Array, th: int, tw: int) -> Array:

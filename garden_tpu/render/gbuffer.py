@@ -42,7 +42,9 @@ def pack_triangle_records(scene: Dict[str, Array], world_normals: Array,
     deferred.cpp:463-489)."""
     idx = scene["indices"]                       # (T, 3)
     n = world_normals[idx]                       # (T, 3, 3)
-    uv = scene["uvs"][idx]                       # (T, 3, 2)
+    uv = scene.get("tri_uvs")                    # precomputed static
+    if uv is None:
+        uv = scene["uvs"][idx]                   # (T, 3, 2)
     inst = jnp.maximum(scene["tri_instance"], 0)
     mat_id = scene["inst_material"][inst]
     mat = scene["materials"][mat_id]             # (T, 11)

@@ -360,6 +360,9 @@ class SceneBuffers:
             "materials": jnp.asarray(self.materials),
             "textures": jnp.asarray(self.textures),
             "tri_lod": jnp.asarray(self.tri_lod.astype(np.int32)),
+            # static per-triangle uvs (precomputed: saves a (T,3) row gather
+            # per frame in the shading-record pack)
+            "tri_uvs": jnp.asarray(self.uvs[self.indices]),
             "inst_lod_dist": jnp.asarray(self.inst_lod_dist),
         }
 
@@ -376,15 +379,21 @@ def transform_vertices(scene: Dict[str, Array], inst_matrices: Array) -> Tuple[A
     gather + batched matmul (MXU work).
     """
     vi = jnp.maximum(scene["vert_instance"], 0)
-    mats = inst_matrices[vi]  # (V, 4, 4) the one gather
+    # pack the matrices as contiguous 12-float rows FIRST (I is small), so
+    # the per-vertex gather is one contiguous row and the column slices
+    # don't force layout copies; the explicit column arithmetic keeps the
+    # work on the VPU (the batched 3x3 dot_general runs at ~8 GB/s)
+    packed = jnp.concatenate(
+        [inst_matrices[:, :3, 0], inst_matrices[:, :3, 1],
+         inst_matrices[:, :3, 2], inst_matrices[:, :3, 3]], axis=-1)  # (I,12)
+    rows = packed[vi]                        # (V, 12) the one gather
+    c0 = rows[:, 0:3]
+    c1 = rows[:, 3:6]
+    c2 = rows[:, 6:9]
+    tr = rows[:, 9:12]
     p = scene["positions"]
     n = scene["normals"]
-    # explicit column combination: the per-vertex (3,3)@(3,) dot_general
-    # runs at ~8 GB/s on TPU; broadcasted VPU arithmetic is ~4x faster
-    c0 = mats[:, :3, 0]
-    c1 = mats[:, :3, 1]
-    c2 = mats[:, :3, 2]
-    pos = (c0 * p[:, 0:1] + c1 * p[:, 1:2] + c2 * p[:, 2:3] + mats[:, :3, 3])
+    pos = c0 * p[:, 0:1] + c1 * p[:, 1:2] + c2 * p[:, 2:3] + tr
     # normals: inverse-transpose; assume uniform-ish scale (use rotation part
     # normalized per-vertex)
     nrm = m3.normalize(c0 * n[:, 0:1] + c1 * n[:, 1:2] + c2 * n[:, 2:3])

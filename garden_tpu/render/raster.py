@@ -328,15 +328,12 @@ def rasterize_visibility(
     # per-tile fetch is ONE contiguous row gather (11 separate field gathers
     # cost ~10x more: TPU random gathers pay per element, not per byte).
     t_count = setup["valid"].shape[0]
+    # [x0 y0 x1 y1 x2 y2] via one interleave (per-column slices of (T,3)
+    # arrays each force a layout copy on TPU — measured ~8ms of copies)
+    xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
     records = jnp.concatenate(
-        [
-            jnp.stack([setup["sx"][:, 0], setup["sy"][:, 0],
-                       setup["sx"][:, 1], setup["sy"][:, 1],
-                       setup["sx"][:, 2], setup["sy"][:, 2],
-                       setup["z"][:, 0], setup["z"][:, 1], setup["z"][:, 2],
-                       setup["inv_area"]], axis=-1),
-            jnp.zeros((t_count, 6), jnp.float32),
-        ],
+        [xy, setup["z"], setup["inv_area"][:, None],
+         jnp.zeros((t_count, 6), jnp.float32)],
         axis=-1,
     )  # (T, 16)
     safe = jnp.maximum(tile_tris, 0)
@@ -461,17 +458,12 @@ def rasterize_sorted_blend(
     c = tile_tris.shape[1]
 
     t_count = setup["valid"].shape[0]
+    xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
     records = jnp.concatenate(
-        [
-            jnp.stack([setup["sx"][:, 0], setup["sy"][:, 0],
-                       setup["sx"][:, 1], setup["sy"][:, 1],
-                       setup["sx"][:, 2], setup["sy"][:, 2],
-                       setup["z"][:, 0], setup["z"][:, 1], setup["z"][:, 2],
-                       setup["inv_area"]], axis=-1),
-            jnp.zeros((t_count, 1), jnp.float32),   # tri_id slot
-            tri_rgba,
-            jnp.zeros((t_count, 1), jnp.float32),
-        ],
+        [xy, setup["z"], setup["inv_area"][:, None],
+         jnp.zeros((t_count, 1), jnp.float32),   # tri_id slot
+         tri_rgba,
+         jnp.zeros((t_count, 1), jnp.float32)],
         axis=-1,
     )
     safe = jnp.maximum(tile_tris, 0)
