@@ -210,7 +210,8 @@ def bin_triangles(
     return tile_tris, counts
 
 
-TRI_BLOCK = 8  # triangles processed per kernel iteration (sublane batch)
+TRI_BLOCK = 16  # triangles per kernel iteration (sublane batch; 16 amortizes
+# loop overhead further and still fits VMEM at 128px tiles)
 
 
 def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,

@@ -84,3 +84,27 @@ def test_cube_scene_renders():
     # depth of the front face: view z = 2.0 -> reverse-Z near/|z| = 0.05
     d = np.asarray(vis["depth"])[H // 2, W // 2]
     assert abs(d - 0.1 / 2.0) < 5e-3, d
+
+
+def test_entry_config_tpu_tile_legality():
+    """Regression for the round-1 hardware bug: the driver entry() and every
+    quality preset must use TPU-legal raster tile layouts (non-full Pallas
+    output blocks need 128-lane alignment)."""
+    from garden_tpu.core.config import QUALITY_PRESETS, RenderConfig
+    from garden_tpu.render.raster import tpu_tile_legal
+
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+    import inspect
+    sig = inspect.signature(ge._build)
+    tile = sig.parameters["tile_size"].default
+    assert tpu_tile_legal(tile, 1920, 1080), "entry() tile layout illegal"
+    assert tpu_tile_legal(RenderConfig().tile_size, 1920, 1080)
+    # shadow maps raster at 128px tiles over map_size
+    for name, over in QUALITY_PRESETS.items():
+        cfg = RenderConfig(**over)
+        assert tpu_tile_legal(cfg.tile_size, cfg.width, cfg.height), name
+        assert tpu_tile_legal(128, cfg.shadow.map_size, cfg.shadow.map_size), name
+    # and the checker rejects the round-1 bug shape
+    assert not tpu_tile_legal(32, 128, 64)
