@@ -85,6 +85,10 @@ class RenderConfig:
     use_fxaa: bool = True
     use_atmosphere: bool = True
     use_clouds: bool = False
+    # aerial perspective (distance fog + in-scatter) on geometry — the
+    # reference's 32^3 camera-volume froxel LUT role (constants.h:25)
+    use_aerial_perspective: bool = True
+    aerial_km_per_unit: float = 0.001   # world units -> km for fog density
     use_oit: bool = True
     # translucent-depth plane for effects that need the nearest non-opaque
     # surface (the TransDepth pass, deferred.cpp TransDepthRender)

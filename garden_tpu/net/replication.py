@@ -87,6 +87,68 @@ def gather_snapshots(
     return encode_body_snapshot(snaps)
 
 
+def gather_character(
+    physics_state: Dict,
+    char_components: Dict,
+    entity_uid: Dict[int, int],
+) -> bytes:
+    """Encode character states (the CharacterSystem's networked 'c' message,
+    character.hpp messageType): uid, position, velocity, grounded."""
+    from garden_tpu.net.protocol import StreamOutput
+    b = physics_state["bodies"]
+    pos = np.asarray(b["pos"])
+    lv = np.asarray(b["linvel"])
+    has = np.asarray(char_components["has"])
+    body = np.asarray(char_components["body"])
+    grounded = np.asarray(char_components["grounded"])
+    out = StreamOutput()
+    ents = [e for e in np.nonzero(has & (body >= 0))[0]
+            if int(e) in entity_uid]
+    out.write_u16(len(ents))
+    for e in ents:
+        bi = int(body[e])
+        out.write_u64(entity_uid[int(e)])
+        out.write_vec3(pos[bi])
+        out.write_vec3(lv[bi])
+        out.write_u8(1 if grounded[e] else 0)
+    return out.data()
+
+
+def apply_character(
+    physics_state: Dict,
+    char_components: Dict,
+    payload: bytes,
+    uid_to_entity: Dict[int, int],
+) -> Dict:
+    """Decode + apply received character states ('c' message receive side).
+    Returns the updated physics state (grounded flags are advisory client
+    state and land in the component store separately)."""
+    from garden_tpu.net.protocol import StreamInput
+    inp = StreamInput(payload)
+    n = inp.read_u16()
+    body = np.asarray(char_components["body"])
+    idx, ps, vs = [], [], []
+    for _ in range(n):
+        uid = inp.read_u64()
+        p = inp.read_vec3()
+        v = inp.read_vec3()
+        inp.read_u8()  # grounded (advisory)
+        e = uid_to_entity.get(uid)
+        if e is None or body[e] < 0:
+            continue
+        idx.append(int(body[e]))
+        ps.append(p)
+        vs.append(v)
+    if not idx:
+        return physics_state
+    b = physics_state["bodies"]
+    ii = jnp.asarray(idx, jnp.int32)
+    b = dict(b,
+             pos=b["pos"].at[ii].set(jnp.asarray(ps, jnp.float32)),
+             linvel=b["linvel"].at[ii].set(jnp.asarray(vs, jnp.float32)))
+    return dict(physics_state, bodies=b)
+
+
 def apply_snapshots(
     physics_state: Dict,
     payload: bytes,

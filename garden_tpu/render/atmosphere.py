@@ -224,6 +224,46 @@ def sky_radiance(view_dir: Array, sun_dir_to_light: Array,
     return lum
 
 
+def aerial_perspective(
+    view_depth_km: Array,      # (...,) distance camera -> surface, km
+    view_dir: Array,           # (..., 3)
+    sun_dir_to_light: Array,
+    camera_height_km: float = 0.2,
+) -> Tuple[Array, Array]:
+    """Aerial perspective for geometry: (transmittance (...,3), in-scatter
+    (...,3)) along the view ray up to the surface — the camera-volume froxel
+    LUT's role (32^3 at shaders/atmosphere/constants.h:25, applied to
+    geometry in the reference's sky pass), computed as dense per-pixel
+    analytic single scattering (4 steps; no froxel gathers)."""
+    v = m3.normalize(view_dir)
+    l = m3.normalize(sun_dir_to_light)
+    mu_v = v[..., 1]
+    mu_sun = l[..., 1]
+    cos_sun = m3.dot(v, l)
+    ph_r = _phase_rayleigh(cos_sun)[..., None]
+    ph_m = _phase_mie(cos_sun)[..., None]
+    beta_r = jnp.asarray(BETA_RAYLEIGH, jnp.float32)
+    beta_m = jnp.float32(BETA_MIE_SCAT)
+
+    steps = 4
+    dt = view_depth_km / steps
+    lum = jnp.zeros(v.shape[:-1] + (3,), jnp.float32)
+    tau = jnp.zeros(v.shape[:-1] + (3,), jnp.float32)
+    for i in range(steps):
+        t = (i + 0.5) * dt
+        y = jnp.maximum(camera_height_km + t * mu_v, 0.0)
+        dens_r = jnp.exp(-y / H_RAYLEIGH)[..., None]
+        dens_m = jnp.exp(-y / H_MIE)[..., None]
+        step_tau = (beta_r * dens_r
+                    + (BETA_MIE_SCAT + BETA_MIE_ABS) * dens_m) * dt[..., None]
+        t_view = jnp.exp(-(tau + 0.5 * step_tau))
+        t_sun = sun_transmittance(y, jnp.broadcast_to(mu_sun, y.shape))
+        scat = beta_r * dens_r * ph_r + beta_m * dens_m * ph_m
+        lum = lum + SUN_INTENSITY * scat * t_sun * t_view * dt[..., None]
+        tau = tau + step_tau
+    return jnp.exp(-tau), lum
+
+
 # -- spherical harmonics ambient (sh-generate.comp / sh-reduce analog) -------
 
 

@@ -304,6 +304,15 @@ class DeferredRenderer:
                 g, constants, shadow=shadow, ao=ao,
                 ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
             )
+            # aerial perspective on geometry (the 32^3 camera-volume froxel
+            # LUT's role, constants.h:25): distance fog with in-scatter
+            if cfg.use_aerial_perspective:
+                vd_km = m3.length(g["position"] - constants["camera_pos"]) \
+                    * (cfg.aerial_km_per_unit)
+                trans, inscatter = atm.aerial_perspective(
+                    vd_km, rays, to_light)
+                fogged = hdr * trans + inscatter
+                hdr = jnp.where(g["visible"][..., None], fogged, hdr)
         else:
             hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao)
 

@@ -358,3 +358,19 @@ def test_hull_mass_matches_box():
     bm, bi = sh.mass_properties_np(sh.BOX, np.array([0.5, 0.5, 0.5, 0]), 1000.0)
     np.testing.assert_allclose(mass, bm, rtol=1e-4)
     np.testing.assert_allclose(inertia, bi, rtol=1e-3)
+
+
+def test_sleeping_bodies_freeze():
+    """Sleep system (allowSleeping analog): a settled body sleeps and holds
+    its pose bit-exactly; velocities zero out."""
+    cfg = dataclasses.replace(CFG, sleep_enabled=True)
+    w = make_world(cfg)
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    w.add_body(w.shapes.box((0.5, 0.5, 0.5)), position=(0, 0.5, 0))
+    state = run_steps(w.device_state(), cfg, 120)
+    assert bool(state["bodies"]["sleeping"][1])
+    pos_before = np.asarray(state["bodies"]["pos"][1])
+    state = run_steps(state, cfg, 30)
+    np.testing.assert_array_equal(np.asarray(state["bodies"]["pos"][1]),
+                                  pos_before)
+    np.testing.assert_allclose(np.asarray(state["bodies"]["linvel"][1]), 0.0)

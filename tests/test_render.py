@@ -339,3 +339,17 @@ def test_multi_scatter_lut():
     assert np.isfinite(lut).all() and (lut >= 0).all()
     ground = lut[0]  # altitude 0 row; cols = sun cos from -1 to 1
     assert ground[-1].mean() > ground[0].mean()  # overhead sun > below horizon
+
+
+def test_aerial_perspective():
+    """Distance fog: far surfaces lose contrast toward the sky in-scatter
+    (camera-volume froxel role, constants.h:25)."""
+    from garden_tpu.render import atmosphere as atm
+    v = jnp.array([[0.0, 0.0, -1.0]])
+    sun = jnp.array([0.3, 0.8, 0.2])
+    t_near, s_near = atm.aerial_perspective(jnp.array([0.1]), v, sun)
+    t_far, s_far = atm.aerial_perspective(jnp.array([50.0]), v, sun)
+    assert float(t_far.mean()) < float(t_near.mean())   # more extinction
+    assert float(s_far.mean()) > float(s_near.mean())   # more in-scatter
+    assert np.isfinite(np.asarray(t_far)).all()
+    assert (np.asarray(t_near) <= 1.0 + 1e-5).all()
