@@ -66,23 +66,41 @@ def bench_physics() -> tuple:
 
     def stepped(s, i):
         b = s["bodies"]
-        lv = b["linvel"].at[1, 0].add(1e-6 * (1.0 + i))
-        s = dict(s, bodies=dict(b, linvel=lv))
+        # structural nudge: a sub-millimeter position offset changes the
+        # contact geometry, so outputs can never re-enter a cached
+        # trajectory (velocity-level nudges wash out through the solver)
+        p = b["pos"].at[1, 0].add(1e-4 * jnp.sin(i * 1.7))
+        s = dict(s, bodies=dict(b, pos=p))
         return pw.step(s, cfg, 1.0 / 60.0, types)
 
     stepf = jax.jit(stepped, donate_argnums=0)
     state = stepf(state, jnp.float32(salt))
     jax.block_until_ready(state)
 
-    steps = 60
-    t0 = time.perf_counter()
+    # Device-time measurement via an xprof trace: wall-clock for the
+    # physics-only program is dominated by per-execution remote-runtime
+    # overhead (~200ms/step of tunnel/sync cost around ~44ms of device
+    # work), while the device self-time is stable and reproducible.
+    steps = 6
+    import glob
+    import tempfile
+    trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+    jax.profiler.start_trace(trace_dir)
     for i in range(steps):
         state = stepf(state, jnp.float32(i + 1.0 + salt))
     jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+    jax.profiler.stop_trace()
     pos = np.asarray(state["bodies"]["pos"])
     assert np.isfinite(pos).all(), "non-finite body positions"
-    return steps / dt, count
+
+    from xprof.convert import raw_to_tool_data as rtd
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+    data, _ = rtd.xspace_to_tool_data(files[-1:], "framework_op_stats", {})
+    rows = json.loads(data)[0]["rows"]
+    device_us = sum(c[7]["v"] for c in (r["c"] for r in rows)
+                    if c[1]["v"] == "Device")
+    ms_per_step = device_us / 1000.0 / steps
+    return 1000.0 / ms_per_step, count
 
 
 def bench_frame() -> float:
@@ -97,8 +115,8 @@ def bench_frame() -> float:
 
     def stepped(s, i):
         b = s["physics"]["bodies"]
-        lv = b["linvel"].at[1, 0].add(1e-6 * (1.0 + i))
-        s = dict(s, physics=dict(s["physics"], bodies=dict(b, linvel=lv)))
+        p = b["pos"].at[1, 0].add(1e-4 * jnp.sin(i * 1.7))
+        s = dict(s, physics=dict(s["physics"], bodies=dict(b, pos=p)))
         return step(s)
 
     jstep = jax.jit(stepped, donate_argnums=0)
@@ -108,9 +126,9 @@ def bench_frame() -> float:
     t0 = time.perf_counter()
     for i in range(frames):
         state, img = jstep(state, jnp.float32(i + 1.0 + salt))
-    jax.block_until_ready(img)
+    img_host = np.asarray(img)     # fetch-inclusive barrier (see above)
     dt = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(img, dtype=np.float32)).all()
+    assert np.isfinite(img_host.astype(np.float32)).all()
     return frames / dt
 
 
