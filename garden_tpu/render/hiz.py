@@ -23,7 +23,10 @@ Array = jnp.ndarray
 def full_levels(height: int, width: int) -> int:
     """Levels needed so the coarsest mip covers the full frame (a screen
     rect of any size then maps to a non-clamped level)."""
-    return max(int(jnp.ceil(jnp.log2(max(height, width)))), 0) + 1
+    import math
+    # pure-Python math: jnp here would produce a tracer under jit (shapes
+    # are static trace-time ints)
+    return max(int(math.ceil(math.log2(max(height, width)))), 0) + 1
 
 
 def build_pyramid(depth: Array, levels: int | None = None) -> List[Array]:
