@@ -24,7 +24,7 @@ def main():
     out_path = next((a for a in sys.argv[1:] if not a.startswith("--")), "frame.png")
     cfg = RenderConfig(width=640, height=384, tile_size=128,
                        max_triangles=8192, max_vertices=8192,
-                       max_tris_per_tile=256, max_instances=16)
+                       max_tris_per_tile=1280, max_instances=16)
     scene = rmesh.SceneBuffers(cfg.max_vertices, cfg.max_triangles,
                                cfg.max_instances, max_textures=2,
                                texture_size=64)

@@ -169,8 +169,18 @@ class DeferredRenderer:
             return raster.setup_triangles_tv(tri_clip, mask, w, h)
 
         setup = pass_setup(tri_valid & ~nonopaque)
+        # front-to-back binning priority: when a tile overflows its budget,
+        # the FARTHEST triangles drop instead of arbitrary ones (round-1
+        # dropped by index order, which cut the tops off densely-tessellated
+        # meshes — the opaque front-to-back sort of mesh.hpp:196)
+        zkey = jnp.where(setup["valid"], jnp.max(setup["z"], axis=-1), -1.0)
+        t_n = zkey.shape[0]
+        order_ftb = jnp.argsort(-zkey)          # nearest (max reverse-Z) first
+        prio_ftb = jnp.zeros((t_n,), jnp.int32).at[order_ftb].set(
+            jnp.arange(t_n, dtype=jnp.int32))
         tiles_m, counts_m = raster.bin_triangles(
-            setup, w, h, cfg.tile_size, cfg.max_tris_per_tile)
+            setup, w, h, cfg.tile_size, cfg.max_tris_per_tile,
+            priority=prio_ftb)
         vis = raster.rasterize_visibility(setup, tiles_m, counts_m, w, h,
                                           cfg.tile_size)
 

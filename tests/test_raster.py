@@ -108,3 +108,34 @@ def test_entry_config_tpu_tile_legality():
         assert tpu_tile_legal(128, cfg.shadow.map_size, cfg.shadow.map_size), name
     # and the checker rejects the round-1 bug shape
     assert not tpu_tile_legal(32, 128, 64)
+
+
+def test_overflow_drops_farthest_with_priority():
+    """Tile-capacity overflow drop policy: with a front-to-back priority the
+    kept subset is exactly the nearest triangles (round-1 dropped by index
+    order, cutting arbitrary chunks out of dense meshes)."""
+    T = 40
+    rng = np.random.default_rng(0)
+    z = np.linspace(0.1, 0.9, T).astype(np.float32)  # reverse-z: 0.9 nearest
+    cx = rng.uniform(10, 100, T).astype(np.float32)
+    cy = rng.uniform(10, 100, T).astype(np.float32)
+    setup = {
+        "sx": jnp.asarray(np.stack([cx, cx + 3, cx], -1)),
+        "sy": jnp.asarray(np.stack([cy, cy, cy + 3], -1)),
+        "z": jnp.asarray(np.stack([z, z, z], -1)),
+        "inv_w": jnp.ones((T, 3), jnp.float32),
+        "inv_area": jnp.ones((T,), jnp.float32),
+        "xmin": jnp.asarray(cx), "xmax": jnp.asarray(cx + 3),
+        "ymin": jnp.asarray(cy), "ymax": jnp.asarray(cy + 3),
+        "valid": jnp.ones((T,), bool),
+    }
+    zkey = jnp.max(setup["z"], -1)
+    order = jnp.argsort(-zkey)
+    prio = jnp.zeros((T,), jnp.int32).at[order].set(
+        jnp.arange(T, dtype=jnp.int32))
+    tiles, counts = raster.bin_triangles(setup, 128, 128, 128,
+                                         max_per_tile=8, max_big=4,
+                                         priority=prio)
+    kept = sorted(int(x) for x in np.asarray(tiles[0]) if x >= 0)
+    assert int(counts[0]) == 8
+    assert kept == sorted(range(T - 8, T))  # exactly the nearest 8
