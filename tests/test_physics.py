@@ -374,3 +374,45 @@ def test_sleeping_bodies_freeze():
     np.testing.assert_array_equal(np.asarray(state["bodies"]["pos"][1]),
                                   pos_before)
     np.testing.assert_allclose(np.asarray(state["bodies"]["linvel"][1]), 0.0)
+
+
+def test_capsule_and_hull_raycasts():
+    """Exact capsule raycast (cylinder wall + caps) and hull raycast
+    (plane-slab polytope test) — physics.hpp castRay parity."""
+    from garden_tpu.physics import queries as pq
+    cfg = dataclasses.replace(CFG, gravity=(0.0, 0.0, 0.0))
+    w = make_world(cfg)
+    w.add_body(w.shapes.capsule(0.5, 1.0), position=(0.0, 0.0, 0.0),
+               motion=pw.STATIC)
+    pts = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                    for sz in (-1, 1)], np.float32)
+    w.add_body(w.shapes.hull(pts), position=(5.0, 0.0, 0.0), motion=pw.STATIC)
+    state = w.device_state()
+
+    # side hit on the capsule wall: distance = 10 - radius
+    hit = pq.cast_ray(state, jnp.array([-10.0, 0.5, 0.0]),
+                      jnp.array([1.0, 0.0, 0.0]))
+    assert bool(hit.hit) and int(hit.body) == 0
+    np.testing.assert_allclose(float(hit.distance), 9.5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(hit.normal), [-1, 0, 0], atol=1e-2)
+
+    # cap hit from above: segment top at y=1, cap surface at y=1.5
+    hit = pq.cast_ray(state, jnp.array([0.0, 10.0, 0.0]),
+                      jnp.array([0.0, -1.0, 0.0]))
+    assert bool(hit.hit) and int(hit.body) == 0
+    np.testing.assert_allclose(float(hit.distance), 8.5, atol=1e-3)
+
+    # hull (unit cube at x=5): face at x=4
+    hit = pq.cast_ray(state, jnp.array([-1.0, 0.2, 0.2]),
+                      jnp.array([1.0, 0.0, 0.0]))
+    # nearest along this ray is the capsule wall; aim above it instead
+    hit = pq.cast_ray(state, jnp.array([5.0, 10.0, 0.0]),
+                      jnp.array([0.0, -1.0, 0.0]))
+    assert bool(hit.hit) and int(hit.body) == 1
+    np.testing.assert_allclose(float(hit.distance), 9.0, atol=1e-3)
+
+    # swept sphere stops one (r_sphere + r_capsule) short of the axis
+    s = pq.cast_sphere(state, jnp.array([-10.0, 0.0, 0.0]),
+                       jnp.array([1.0, 0.0, 0.0]), 0.25)
+    assert bool(s.hit) and int(s.body) == 0
+    np.testing.assert_allclose(float(s.distance), 10.0 - 0.75, atol=1e-3)
