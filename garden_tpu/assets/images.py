@@ -34,6 +34,8 @@ def load_image(path: str, linearize: bool = True) -> np.ndarray:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".hdr":
         return load_hdr(path)
+    if ext == ".exr":
+        return load_exr(path)
     if not _HAS_PIL:
         raise RuntimeError("PIL unavailable: cannot decode " + path)
     img = Image.open(path).convert("RGBA")
@@ -110,3 +112,113 @@ def resize_image(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     u8 = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
     out = Image.fromarray(u8).resize((w, h), Image.BILINEAR)
     return np.asarray(out, np.float32) / 255.0
+
+
+def load_exr(path: str) -> np.ndarray:
+    """Minimal OpenEXR 2.0 scanline reader -> float32 (H, W, 4) RGBA.
+
+    Covers the common interchange subset (reference loads .exr via a full
+    library, resource.hpp:136-151): single-part scanline images, HALF or
+    FLOAT channels, NO_COMPRESSION or ZIP/ZIPS (zlib). Tiled, deep, and
+    PIZ/PXR24/B44 images are rejected with a clear error.
+    """
+    import zlib
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"\x76\x2f\x31\x01":
+        raise ValueError(f"{path}: not an EXR file")
+    version = data[4]
+    flags = data[5:8]
+    if flags[1] & 0x02:
+        raise ValueError(f"{path}: tiled EXR unsupported (scanline only)")
+    off = 8
+
+    def read_cstr(o):
+        end = data.index(b"\x00", o)
+        return data[o:end].decode("latin1"), end + 1
+
+    # parse the header attribute list
+    attrs = {}
+    while True:
+        if data[off] == 0:
+            off += 1
+            break
+        name, off = read_cstr(off)
+        atype, off = read_cstr(off)
+        size = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        attrs[name] = (atype, data[off:off + size])
+        off += size
+
+    comp = attrs["compression"][1][0]
+    if comp not in (0, 2, 3):      # NONE, ZIPS, ZIP
+        raise ValueError(
+            f"{path}: compression {comp} unsupported (NONE/ZIP/ZIPS only)")
+    xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
+    w = xmax - xmin + 1
+    h = ymax - ymin + 1
+
+    # channel list: sequence of (name, type i32, pLinear, 3 pad, xs, ys)
+    chans = []
+    cb = attrs["channels"][1]
+    co = 0
+    while cb[co] != 0:
+        end = cb.index(b"\x00", co)
+        cname = cb[co:end].decode("latin1")
+        ctype = struct.unpack_from("<i", cb, end + 1)[0]  # 0=uint,1=half,2=float
+        chans.append((cname, ctype))
+        co = end + 1 + 16
+    chans_in_file = list(chans)  # EXR stores channels alphabetically
+
+    lines_per_block = 1 if comp in (0, 2) else 16
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    offsets = struct.unpack_from(f"<{n_blocks}q", data, off)
+
+    def ctype_np(t):
+        return np.float16 if t == 1 else (
+            np.float32 if t == 2 else np.uint32)
+
+    planes = {c: np.zeros((h, w), np.float32) for c, _ in chans_in_file}
+    for bo in offsets:
+        y0, size = struct.unpack_from("<ii", data, bo)
+        raw = data[bo + 8: bo + 8 + size]
+        ny = min(lines_per_block, ymax - y0 + 1)
+        if comp in (2, 3):
+            raw = zlib.decompress(raw)
+            # EXR zip predictor: delta-decode (t[i] = t[i-1] + raw[i] - 128
+            # for i >= 1) then de-interleave the two halves
+            arr = np.frombuffer(raw, np.uint8).astype(np.int64)
+            arr = arr - 128
+            if len(arr):
+                arr[0] += 128
+            arr = (np.cumsum(arr) % 256).astype(np.uint8)
+            half = (len(arr) + 1) // 2
+            out = np.empty(len(arr), np.uint8)
+            out[0::2] = arr[:half]
+            out[1::2] = arr[half:]
+            raw = out.tobytes()
+        # scanlines: for each line, channels in file order, w samples each
+        lo = 0
+        for line in range(ny):
+            yy = y0 - ymin + line
+            if yy >= h:
+                break
+            for cname, ctp in chans_in_file:
+                npt = ctype_np(ctp)
+                nbytes = w * np.dtype(npt).itemsize
+                vals = np.frombuffer(raw[lo:lo + nbytes], npt)
+                planes[cname][yy] = vals.astype(np.float32)
+                lo += nbytes
+
+    out = np.zeros((h, w, 4), np.float32)
+    out[..., 3] = 1.0
+    for i, c in enumerate("RGB"):
+        if c in planes:
+            out[..., i] = planes[c]
+    if "A" in planes:
+        out[..., 3] = planes["A"]
+    if "Y" in planes and "R" not in planes:  # luminance-only
+        out[..., 0] = out[..., 1] = out[..., 2] = planes["Y"]
+    return out

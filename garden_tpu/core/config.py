@@ -53,7 +53,7 @@ class ShadowConfig:
     """Cascaded shadow maps (reference: render/csm.hpp:43-90)."""
 
     cascade_count: int = 3
-    map_size: int = 1024                # reference default 2048
+    map_size: int = 2048                # reference default (csm.hpp:43)
     distance: float = 100.0
     split_ratios: Tuple[float, float] = (0.1, 0.25)
     bias_constant: float = 0.0012
@@ -62,8 +62,16 @@ class ShadowConfig:
     # shadow-factor resolve decimation: the per-pixel shadow-map lookup is a
     # random gather (~30ns/element on TPU); resolving every Nth pixel and
     # bilinearly upsampling the factor costs ~1px of edge softness that the
-    # PCF smoothing blurs anyway. 1 = full-resolution resolve.
-    resolve_step: int = 2
+    # PCF smoothing blurs anyway. 1 = full-resolution resolve (the
+    # reference-parity default); must be a power of two (each halving is one
+    # 2x decimation level).
+    resolve_step: int = 1
+
+    def __post_init__(self):
+        s = self.resolve_step
+        if s < 1 or (s & (s - 1)) != 0:
+            raise ValueError(
+                f"resolve_step must be a power of two >= 1, got {s}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +91,9 @@ class RenderConfig:
     use_bloom: bool = True
     use_auto_exposure: bool = True
     use_fxaa: bool = True
+    # AA selector (the reference ships FXAA and SMAA; fxaa.hpp:37,
+    # smaa.hpp:37): "fxaa" | "smaa" | "none"; use_fxaa=False also disables
+    aa_mode: str = "fxaa"
     use_atmosphere: bool = True
     use_clouds: bool = False
     # aerial perspective (distance fog + in-scatter) on geometry — the
@@ -121,9 +132,10 @@ QUALITY_PRESETS = {
                    use_atmosphere=False, use_fxaa=False, use_oit=False,
                    render_scale=0.5),
     "low": dict(use_hbao=False, use_bloom=False, render_scale=0.75,
-                shadow=ShadowConfig(map_size=512, cascade_count=2)),
-    "medium": dict(shadow=ShadowConfig(map_size=1024)),
-    "high": dict(shadow=ShadowConfig(map_size=2048)),
+                shadow=ShadowConfig(map_size=512, cascade_count=2,
+                                    resolve_step=2)),
+    "medium": dict(shadow=ShadowConfig(map_size=1024, resolve_step=2)),
+    "high": dict(shadow=ShadowConfig(map_size=2048)),  # reference parity
     "ultra": dict(use_clouds=True, shadow=ShadowConfig(map_size=2048,
                                                        pcf_radius=2)),
 }

@@ -11,16 +11,20 @@ GB/s effective vs ~100 GB/s for dense ops), so the design minimizes gather
 count and volume:
 
 1. each body's AABB inserts into the (up to) 2x2x2 cells it touches —
-   8 keys per body, ONE packed sort of (cell << bits | body)
-2. a dense cell->run table (two scatters) locates each cell's entries
-3. each body scans only the cells ITS AABB touches: run-position arithmetic
-   + ONE int gather for candidate ids (N, 8*cand_per_cell)
-4. every pair-relevant per-body attribute (AABB, layer bits, flags) is
-   packed into ONE (N, 12) record so all masks come from a single row
-   gather, computed densely afterwards
-5. duplicate pair findings (the same pair shared by several cells) are
-   killed by the standard home-cell rule: a pair counts only in the cell
-   containing max(aabb_min_i, aabb_min_j)
+   8 keys per body; cell keys are HASHED down to O(bodies) buckets (dense
+   giant-grid tables cost milliseconds of init traffic while ~99% empty),
+   then ONE packed sort of (bucket << bits | body)
+2. a (bucket, slot) -> 8-lane record-row table is built with one row
+   scatter; each entry carries [body id | aabb min/max | layer+active] so
+   every downstream filter is dense
+3. each body row-gathers its 8 cells' record lists (N*8 row gathers — TPU
+   gathers price per ROW; scalar and per-candidate-row designs measured
+   4.7/1.2 ms at 10K bodies, this one ~0.9 ms)
+4. all pair filters (AABB overlap, layers, self, active) run densely on
+   the fetched rows
+5. duplicate pair findings (the same pair shared by several cells, or
+   injected by a hash-bucket collision) are killed by the home-cell rule:
+   a pair counts only in the cell containing max(aabb_min_i, aabb_min_j)
 6. compaction to the per-body budget via top_k over the (already small)
    candidate row
 
@@ -82,9 +86,10 @@ def find_candidates(
     half_world = 0.5 * cell_size * grid_dim
     inv_cs = 1.0 / cell_size
 
-    # oversized AABBs can't use the 2x2x2 insertion; they become implicit
-    # globals only if flagged; otherwise clamp (correctness degrades only
-    # for bodies larger than a cell — configure cell_size >= max body size)
+    # the 2x2x2 insertion is exact only when every grid AABB spans
+    # <= 2*cell_size per axis; world.collide() enforces that invariant by
+    # clamping the speculative margin and routing over-span non-dynamic
+    # bodies through the global list before calling here
     cmin = jnp.clip(jnp.floor((aabb_min + half_world) * inv_cs).astype(jnp.int32),
                     0, grid_dim - 1)
     cmax = jnp.clip(jnp.floor((aabb_max + half_world) * inv_cs).astype(jnp.int32),
@@ -104,59 +109,88 @@ def find_candidates(
     key8 = (cell8[..., 0] * grid_dim + cell8[..., 1]) * grid_dim + cell8[..., 2]
     key8 = jnp.where(covered & in_grid[:, None], key8, sentinel)  # (N, 8)
 
-    body_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-    body8 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, 8))
-    packed = jnp.sort((key8.reshape(-1) << body_bits) | body8.reshape(-1))
-    key_sorted = packed >> body_bits
-    body_sorted = packed & ((1 << body_bits) - 1)        # (8N,)
+    # 2. hash the cell space down to O(bodies) buckets: a dense
+    # grid_dim^3-cell table costs ~5 ms/step of init/reshape traffic at
+    # 10K bodies (64^3 cells = 67 MB) while being ~99% empty. Bucket
+    # collisions between occupied cells only ADD candidates (killed by the
+    # AABB/home-cell filters below); colliding cells share the bucket's
+    # slot capacity — the same fixed-capacity drop contract as everywhere
+    # else. Small grids index directly (no collisions at all). Hashing
+    # also shrinks the sort key, keeping the fast packed single-operand
+    # sort path at every grid size.
+    h_target = 1 << max(int(np.ceil(np.log2(max(4 * n, 1024)))), 1)
+    if n_cells <= h_target:
+        n_buckets = n_cells
+        sentinel_bucket = sentinel
+        hkey8 = key8
+    else:
+        n_buckets = h_target + 1
+        sentinel_bucket = h_target
+        hmul = jnp.uint32(2654435761)
+        h = (key8.astype(jnp.uint32) * hmul) >> jnp.uint32(12)
+        hkey8 = jnp.where(key8 >= sentinel, sentinel_bucket,
+                          (h & jnp.uint32(h_target - 1)).astype(jnp.int32))
 
-    # 2. dense cell -> run table (two scatters over the sorted keys)
+    body_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    key_bits = max(int(np.ceil(np.log2(n_buckets + 1))), 1)
+    body8 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, 8))
+    if key_bits + body_bits <= 31:
+        # single packed sort (key<<bits | body): one operand, fastest path
+        packed = jnp.sort((hkey8.reshape(-1) << body_bits) | body8.reshape(-1))
+        key_sorted = packed >> body_bits
+        body_sorted = packed & ((1 << body_bits) - 1)    # (8N,)
+    else:
+        # huge body counts: int32 pack overflows; variadic sort fallback
+        # (wrapped-negative keys would be silently dropped by the scatter,
+        # killing collisions for half the grid — the round-2 bug)
+        key_sorted, body_sorted = jax.lax.sort(
+            (hkey8.reshape(-1), body8.reshape(-1)), num_keys=1)
+
+    # 3. dense (bucket, slot) -> 8-lane RECORD ROW table via one row
+    # scatter. Each entry carries everything the pair filter needs:
+    # [body id | aabb_min3 | aabb_max3 | layer + 8*active]. Slot within a
+    # bucket's run comes from run-position arithmetic (cummax of run-start
+    # indices); entries beyond cand_per_cell drop. Candidates come back as
+    # per-CELL row gathers (N*8 rows) — TPU gathers price per row, and
+    # both earlier designs (per-(body,cell,slot) scalar gather at 4.7 ms;
+    # per-candidate record gather at N*8C rows, 1.2 ms) were hot.
     m = key_sorted.shape[0]
     idxs = jnp.arange(m, dtype=jnp.int32)
     run_start = jnp.concatenate(
         [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
-    run_end = jnp.concatenate(
-        [key_sorted[1:] != key_sorted[:-1], jnp.ones((1,), bool)])
-    start_tab = jnp.full((n_cells,), m, jnp.int32).at[
-        jnp.where(run_start, key_sorted, n_cells)].set(idxs, mode="drop")
-    end_tab = jnp.zeros((n_cells,), jnp.int32).at[
-        jnp.where(run_end, key_sorted, n_cells)].set(idxs + 1, mode="drop")
+    seg_start = jax.lax.cummax(jnp.where(run_start, idxs, 0))
+    slot = idxs - seg_start                              # (8N,)
+    c_per = cand_per_cell
 
-    # 3. scan the body's own 8 cells: run positions + ONE candidate gather
-    scan_key = jnp.where(covered, key8, sentinel)        # (N, 8)
-    start = start_tab[scan_key]                          # (N, 8) tiny gathers
-    end = end_tab[scan_key]
-    take = jnp.arange(cand_per_cell, dtype=jnp.int32)
-    gpos = start[:, :, None] + take[None, None, :]       # (N, 8, C)
-    in_run = gpos < end[:, :, None]
-    gpos = jnp.clip(gpos, 0, m - 1)
-    cand = body_sorted[gpos.reshape(n, -1)]              # (N, 8C) THE gather
-    cand_valid = in_run.reshape(n, -1)
+    meta = layer.astype(jnp.float32) + 8.0 * active.astype(jnp.float32)
+    record8 = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.float32)[:, None],
+         aabb_min, aabb_max, meta[:, None]], axis=-1)    # (N, 8)
+    src_rows = record8[body_sorted]                      # (8N, 8) row gather
+    pos = jnp.where((slot < c_per) & (key_sorted < sentinel_bucket),
+                    key_sorted * c_per + slot, n_buckets * c_per)
+    cell_tab = jnp.full((n_buckets * c_per, 8), -1.0, jnp.float32).at[
+        pos].set(src_rows, mode="drop").reshape(n_buckets, c_per * 8)
+
+    # 4. each body row-gathers its own 8 cells' candidate record lists
+    scan_key = jnp.where(covered, key8, sentinel)        # (N, 8) true keys
+    scan_bucket = jnp.where(covered, hkey8, sentinel_bucket)
+    rows = cell_tab[scan_bucket].reshape(n, 8 * c_per, 8)  # (N*8)-row gather
+    cand = rows[..., 0].astype(jnp.int32)                # (N, 8C), -1 empty
+    jmin = rows[..., 1:4]
+    jmax = rows[..., 4:7]
+    jmeta = rows[..., 7].astype(jnp.int32)
     k8c = cand.shape[1]
+    cand_valid = cand >= 0
+    cand = jnp.maximum(cand, 0)
 
-    # 4. per-body pair record, gathered ONCE: [min3 | max3 | layer |
-    # layer-accept-bits | active&dynamic flags | home-clamp coords]
+    # 4. pair filters, all dense on the fetched rows
     accept_bits = jnp.sum(
         layer_table[layer].astype(jnp.int32)
         * (1 << jnp.arange(layer_table.shape[0], dtype=jnp.int32))[None, :],
         axis=-1)                                          # int bitmask per body
-    flags = (active.astype(jnp.int32)
-             + 2 * dynamic.astype(jnp.int32)
-             + 4 * is_global.astype(jnp.int32))
-    record = jnp.concatenate(
-        [aabb_min, aabb_max,
-         layer.astype(jnp.float32)[:, None],
-         accept_bits.astype(jnp.float32)[:, None],
-         flags.astype(jnp.float32)[:, None],
-         jnp.zeros((n, 3), jnp.float32)],
-        axis=-1)                                          # (N, 12)
-    rec_j = record[cand]                                  # (N, 8C, 12) gather
-
-    jmin = rec_j[..., 0:3]
-    jmax = rec_j[..., 3:6]
-    jlayer = rec_j[..., 6].astype(jnp.int32)
-    jflags = rec_j[..., 8].astype(jnp.int32)
-    j_active = (jflags & 1) == 1
+    jlayer = jmeta & 7
+    j_active = jmeta >= 8
 
     i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     valid = cand_valid & (cand != i_idx)
@@ -167,17 +201,21 @@ def find_candidates(
     # AABB overlap (dense)
     valid &= jnp.all(aabb_min[:, None, :] <= jmax, axis=-1)
     valid &= jnp.all(jmin <= aabb_max[:, None, :], axis=-1)
-    # home-cell dedup: the pair counts only in the cell holding the
-    # component-wise max of the two AABB minima
+    # home-cell dedup: the pair counts only in the TRUE cell holding the
+    # component-wise max of the two AABB minima (cheap dense math; also
+    # kills candidates that arrived via a hash-bucket collision, since
+    # their home cell is never the scanned cell). Exact because
+    # world.collide() guarantees every span fits the 2x2x2 insertion.
     home = jnp.clip(jnp.floor(
         (jnp.maximum(aabb_min[:, None, :], jmin) + half_world) * inv_cs
     ).astype(jnp.int32), 0, grid_dim - 1)
     home_key = (home[..., 0] * grid_dim + home[..., 1]) * grid_dim \
         + home[..., 2]
-    scanned = jnp.repeat(scan_key, cand_per_cell, axis=1)  # (N, 8C)
+    scanned = jnp.repeat(scan_key, c_per, axis=1)        # (N, 8C)
     valid &= home_key == scanned
 
-    # 5. compact to the per-body budget (stable order)
+    # 5. compact to the per-body budget (stable ascending-id order — the
+    # same order in both rows of a pair)
     rank_key = jnp.where(
         valid, k8c - jnp.arange(k8c, dtype=jnp.int32)[None, :], 0)
     _, sel = jax.lax.top_k(rank_key, max_candidates)      # (N, K)

@@ -7,10 +7,12 @@ of per-pair virtual dispatch, every supported shape-pair kernel runs
 vectorized over the whole candidate pair list and `jnp.select` picks the
 right result per pair — branch-free, VPU-friendly.
 
-Supported pairs: sphere-sphere, sphere-box, sphere-capsule, sphere-plane,
-box-box (vertex-face manifolds; edge-edge axes are not yet generated),
-box-plane, capsule-plane, capsule-capsule, capsule-box (segment-point
-approximation).
+Supported pairs: sphere/box/capsule/plane cross products (box-box runs the
+full 15-axis SAT including the 9 edge-edge cross axes), hull pairs
+(vertex-face SAT over face normals of both hulls), heightfield pairs
+(candidate-point surface sampling), triangle-mesh pairs (bucketed
+closest-point-on-triangle), and compound pairs (per-child dispatch,
+including hull-vs-compound).
 
 Manifold layout per pair (fixed MAX_POINTS=4, masked):
 - `point`  f32[..., 4, 3]: world contact position
@@ -189,10 +191,16 @@ def capsule_sphere(pa, qa, ra, hha, pb, rb, margin):
 
 
 def capsule_box(pa, qa, ra, hha, pb, qb, half_b, margin):
-    """Approximate: closest capsule-segment point to box center -> sphere-box."""
+    """Capsule vs box: sphere-box contacts at the two segment endpoints AND
+    at the segment point closest to the box, merged (deepest 4). A capsule
+    lying flat on a face gets the 2-endpoint manifold it needs to rest
+    without jitter; a capsule across an edge gets the mid contact plus
+    tilted endpoint contacts (round-2 weak #5: the old single-point
+    closest-to-center approximation rolled/jittered on edges)."""
     a0, a1 = _capsule_segment(pa, qa, hha)
     ca = _closest_on_segment(a0, a1, pb)
-    return sphere_box(ca, ra, pb, qb, half_b, margin)
+    mans = [sphere_box(e, ra, pb, qb, half_b, margin) for e in (a0, a1, ca)]
+    return _merge_top4(mans)
 
 
 # -- box kernels --------------------------------------------------------------
@@ -224,15 +232,10 @@ def box_plane(pa, qa, half_a, n_w, d_w, margin):
     corners = _box_corners_world(pa, qa, half_a)  # (..., 8, 3)
     s = _dot3(corners, n_w[..., None, :]) + d_w[..., None]
     pen = -s  # corner below plane -> positive
-    # top-4 deepest corners
-    top_pen, top_idx = _top4(pen)
-    point = _take4_rows(corners, top_idx)
-    m = _empty_manifold(pa.shape[:-1])
-    m["point"] = point
-    m["normal"] = jnp.broadcast_to((-n_w)[..., None, :], point.shape)
-    m["pen"] = top_pen
-    m["valid"] = top_pen > -jnp.asarray(margin)[..., None]
-    return m
+    marg = jnp.asarray(margin)[..., None]
+    pen = jnp.where(pen > -marg, pen, -1e30)
+    nrm = jnp.broadcast_to((-n_w)[..., None, :], corners.shape)
+    return _top4_manifold(pa.shape[:-1], pen, corners, nrm)
 
 
 def _top4(x: Array) -> Tuple[Array, Array]:
@@ -244,6 +247,38 @@ def _top4(x: Array) -> Tuple[Array, Array]:
         x = jnp.concatenate([x, pad], axis=-1)
     val, idx = jax.lax.top_k(x, MAX_POINTS)
     return val, jnp.minimum(idx, n - 1)
+
+
+def _top4_sorted(pen: Array, columns) -> Tuple[Array, list]:
+    """Keep the 4 deepest candidates of `pen` (..., n) along with per-
+    candidate payload `columns` (list of (..., n) arrays) — ONE variadic
+    lax.sort instead of top_k + one-hot row contractions (the batched
+    (.., 4, n) one-hot einsums ran at ~11 GB/s and were a top-3 cost of
+    the 10K-body step; a width-n bitonic sort is pure VPU work)."""
+    n = pen.shape[-1]
+    if n < MAX_POINTS:
+        padshape = pen.shape[:-1] + (MAX_POINTS - n,)
+        pen = jnp.concatenate(
+            [pen, jnp.full(padshape, -1e30, pen.dtype)], axis=-1)
+        columns = [jnp.concatenate(
+            [c, jnp.zeros(padshape, c.dtype)], axis=-1) for c in columns]
+    out = jax.lax.sort([-pen] + list(columns), num_keys=1)
+    return -out[0][..., :MAX_POINTS], [c[..., :MAX_POINTS] for c in out[1:]]
+
+
+def _top4_manifold(shape, pen: Array, point: Array, normal: Array,
+                   flip_normal: bool = False) -> Dict[str, Array]:
+    """Manifold of the 4 deepest candidates; pen (..., n) already carries
+    -1e30 for invalid slots; point/normal (..., n, 3)."""
+    cols = [point[..., i] for i in range(3)] + [normal[..., i] for i in range(3)]
+    top_pen, out = _top4_sorted(pen, cols)
+    m = _empty_manifold(shape)
+    m["pen"] = top_pen
+    m["point"] = jnp.stack(out[0:3], axis=-1)
+    nrm = jnp.stack(out[3:6], axis=-1)
+    m["normal"] = -nrm if flip_normal else nrm
+    m["valid"] = top_pen > -1e29
+    return m
 
 
 def _take4_rows(x: Array, idx: Array) -> Array:
@@ -331,8 +366,9 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     pen = jnp.concatenate([pen_b, pen_a], axis=-1)  # (..., 16)
     point = jnp.concatenate([corners_b, corners_a], axis=-2)
 
-    top_pen, top_idx = _top4(pen)
-    face_point = _take4_rows(point, top_idx)
+    top_pen, cols4 = _top4_sorted(
+        pen, [point[..., 0], point[..., 1], point[..., 2]])
+    face_point = jnp.stack(cols4, axis=-1)
 
     # ---- edge-axis contact ---------------------------------------------
     en = m3.select_row(eaxes, best_edge)
@@ -407,11 +443,28 @@ def _hull_world(p, q, params, tables):
     return verts_w, vvalid, faces_w, fvalid
 
 
-def _cloud_cloud(pts_a, va, axes_a, fa, pts_b, vb, axes_b, fb, d_ab, margin):
+def _cloud_cloud(pts_a, va, axes_a, fa, pts_b, vb, axes_b, fb, d_ab, margin,
+                 edges_a=None, ea_valid=None, edges_b=None, eb_valid=None):
     """Generic convex-cloud SAT manifold. pts/axes are world-space with
-    validity masks; d_ab = pb - pa fixes the normal orientation A -> B."""
-    axes = jnp.concatenate([axes_a, axes_b], axis=-2)       # (..., F, 3)
-    avalid = jnp.concatenate([fa, fb], axis=-1)
+    validity masks; d_ab = pb - pa fixes the normal orientation A -> B.
+
+    edges_a/edges_b: optional (..., E, 3) distinct edge DIRECTIONS of each
+    body — their pairwise cross products join the SAT axis set, closing
+    the round-2 gap where oblique hull-hull edge contacts interpenetrated
+    (face-normal axes alone miss edge-edge separating axes)."""
+    axes_list = [axes_a, axes_b]
+    valid_list = [fa, fb]
+    if edges_a is not None and edges_b is not None:
+        cross = jnp.cross(edges_a[..., :, None, :], edges_b[..., None, :, :])
+        cl = m3.length(cross)
+        e_sh = cross.shape[:-3] + (cross.shape[-3] * cross.shape[-2], 3)
+        cross = (cross / jnp.maximum(cl, 1e-9)[..., None]).reshape(e_sh)
+        cvalid = ((ea_valid[..., :, None] & eb_valid[..., None, :])
+                  & (cl > 1e-6)).reshape(e_sh[:-1])
+        axes_list.append(cross)
+        valid_list.append(cvalid)
+    axes = jnp.concatenate(axes_list, axis=-2)              # (..., F, 3)
+    avalid = jnp.concatenate(valid_list, axis=-1)
 
     def project(pts, valid, axes):
         # (..., F, P) dot products; invalid verts excluded from min/max
@@ -449,12 +502,15 @@ def _cloud_cloud(pts_a, va, axes_a, fa, pts_b, vb, axes_b, fb, d_ab, margin):
     pen = jnp.minimum(pen, best_overlap[..., None])
     point = jnp.concatenate([pts_b, pts_a], axis=-2)
 
-    top_pen, top_idx = _top4(pen)
+    marg = jnp.asarray(margin)[..., None]
+    pen = jnp.where((pen > -marg) & ~separated[..., None], pen, -1e30)
+    top_pen, cols4 = _top4_sorted(
+        pen, [point[..., 0], point[..., 1], point[..., 2]])
     m = _empty_manifold(pts_a.shape[:-2])
     m["pen"] = top_pen
-    m["point"] = _take4_rows(point, top_idx)
+    m["point"] = jnp.stack(cols4, axis=-1)
     m["normal"] = jnp.broadcast_to(n[..., None, :], m["normal"].shape)
-    m["valid"] = (top_pen > -jnp.asarray(margin)[..., None]) & ~separated[..., None]
+    m["valid"] = top_pen > -1e29
     return m
 
 
@@ -467,18 +523,35 @@ def _box_cloud(p, q, half):
             axes, jnp.ones(shape + (3,), bool))
 
 
+def _hull_world_edges(q, params, tables):
+    """World-rotated distinct edge directions of a hull (..., E, 3)."""
+    hidx = params[..., 0].astype(jnp.int32)
+    dirs_l = tables["hull_edge_dirs"][hidx]
+    evalid = tables["hull_edge_valid"][hidx]
+    rot = m3.quat_to_mat3(q)
+    return m3.einsum("...ij,...kj->...ki", rot, dirs_l), evalid
+
+
 def hull_hull(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
     va_pts, va, fa_n, fa = _hull_world(pa, qa, prm_a, tables)
     vb_pts, vb, fb_n, fb = _hull_world(pb, qb, prm_b, tables)
+    ea, eav = _hull_world_edges(qa, prm_a, tables)
+    eb, ebv = _hull_world_edges(qb, prm_b, tables)
     return _cloud_cloud(va_pts, va, fa_n, fa, vb_pts, vb, fb_n, fb,
-                        pb - pa, margin)
+                        pb - pa, margin,
+                        edges_a=ea, ea_valid=eav, edges_b=eb, eb_valid=ebv)
 
 
 def box_hull(pa, qa, half_a, pb, qb, prm_b, tables, margin):
     a_pts, av, a_axes, af = _box_cloud(pa, qa, half_a)
     b_pts, bv, b_axes, bf = _hull_world(pb, qb, prm_b, tables)
+    # box edge directions = its 3 local axes (already a_axes rows)
+    eb, ebv = _hull_world_edges(qb, prm_b, tables)
+    shape = pa.shape[:-1]
     return _cloud_cloud(a_pts, av, a_axes, af, b_pts, bv, b_axes, bf,
-                        pb - pa, margin)
+                        pb - pa, margin,
+                        edges_a=a_axes, ea_valid=jnp.ones(shape + (3,), bool),
+                        edges_b=eb, eb_valid=ebv)
 
 
 def sphere_hull(pa, ra, pb, qb, prm_b, tables, margin):
@@ -518,15 +591,10 @@ def hull_plane(pa, qa, prm_a, n_w, d_w, tables, margin):
     """Hull vertices below the plane, deepest 4 (box_plane generalized)."""
     verts_w, vv, _, _ = _hull_world(pa, qa, prm_a, tables)
     s = m3.einsum("...pi,...i->...p", verts_w, n_w) + d_w[..., None]
-    pen = jnp.where(vv, -s, -1e30)
-    top_pen, top_idx = _top4(pen)
-    point = _take4_rows(verts_w, top_idx)
-    m = _empty_manifold(pa.shape[:-1])
-    m["point"] = point
-    m["normal"] = jnp.broadcast_to((-n_w)[..., None, :], point.shape)
-    m["pen"] = top_pen
-    m["valid"] = top_pen > -jnp.asarray(margin)[..., None]
-    return m
+    marg = jnp.asarray(margin)[..., None]
+    pen = jnp.where(vv & (-s > -marg), -s, -1e30)
+    nrm = jnp.broadcast_to((-n_w)[..., None, :], verts_w.shape)
+    return _top4_manifold(pa.shape[:-1], pen, verts_w, nrm)
 
 
 # -- heightfield kernels --------------------------------------------------------
@@ -581,17 +649,15 @@ def _points_vs_heightfield(points_w, pvalid, radius, pb, qb, prm_b, tables,
     p_l = m3.einsum("...ji,...pj->...pi", rot, points_w - pb[..., None, :])
     n_l, p_on, inside = _hf_plane_at(p_l, prm_b[..., None, :], tables)
     pen = radius - m3.dot(n_l, p_l - p_on)
-    pen = jnp.where(pvalid & inside, pen, -1e30)
+    marg = jnp.asarray(margin)
+    while marg.ndim < pen.ndim:
+        marg = marg[..., None]
+    pen = jnp.where(pvalid & inside & (pen > -marg), pen, -1e30)
     n_w = m3.einsum("...ij,...pj->...pi", rot, n_l)
     # contact point on the body surface (sphere-offset along the normal)
     point = points_w - n_w * radius[..., None]
-    top_pen, top_idx = _top4(pen)
-    m = _empty_manifold(points_w.shape[:-2])
-    m["pen"] = top_pen
-    m["point"] = _take4_rows(point, top_idx)
-    m["normal"] = -_take4_rows(n_w, top_idx)
-    m["valid"] = top_pen > -jnp.asarray(margin)[..., None]
-    return m
+    return _top4_manifold(points_w.shape[:-2], pen, point, n_w,
+                          flip_normal=True)
 
 
 def sphere_heightfield(pa, ra, pb, qb, prm_b, tables, margin):
@@ -628,8 +694,9 @@ def hull_heightfield(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
 # A compound is up to MAX_CHILDREN convex children (sphere/box/capsule) with
 # local offsets (StaticCompoundShape analog). Contact = union of per-child
 # manifolds, deepest 4 kept. Compound children are statically unrolled;
-# compound-vs-compound pairs are not generated (documented limitation — the
-# reference supports them via Jolt's recursive dispatch).
+# compound-vs-compound runs every child pair (MAX_CHILDREN^2, the analog of
+# Jolt's recursive dispatch), and hull-vs-compound runs each child against
+# the hull.
 
 
 def _convex_pair(ta, pa, qa, prm_a, tb, pb, qb, prm_b, margin, present):
@@ -691,14 +758,7 @@ def _merge_top4(manifolds):
         [jnp.where(m["valid"], m["pen"], -1e30) for m in manifolds], axis=-1)
     point = jnp.concatenate([m["point"] for m in manifolds], axis=-2)
     normal = jnp.concatenate([m["normal"] for m in manifolds], axis=-2)
-    valid = jnp.concatenate([m["valid"] for m in manifolds], axis=-1)
-    top_pen, top_idx = _top4(pen)
-    out = _empty_manifold(pen.shape[:-1])
-    out["pen"] = top_pen
-    out["point"] = _take4_rows(point, top_idx)
-    out["normal"] = _take4_rows(normal, top_idx)
-    out["valid"] = m3.gather_scalars(valid.astype(jnp.float32), top_idx) > 0.5
-    return out
+    return _top4_manifold(pen.shape[:-1], pen, point, normal)
 
 
 def _compound_children_world(pb, qb, prm_b, tables):
@@ -727,6 +787,32 @@ def convex_compound(ta, pa, qa, prm_a, pb, qb, prm_b, tables, margin, present):
                            margin, present)
         man["valid"] = man["valid"] & (ctype[..., k] != sh.EMPTY)[..., None]
         mans.append(man)
+    return _merge_top4(mans)
+
+
+def compound_compound(pa, qa, prm_a, pb, qb, prm_b, tables, margin,
+                      present):
+    """Compound A vs compound B: every child pair through _convex_pair,
+    deepest 4 kept (closes the round-2 gap where two multi-part bodies
+    passed through each other; the reference handles this via Jolt's
+    recursive shape dispatch)."""
+    ta_c, pa_c, ppos_a, pquat_a = _compound_children_world(
+        pa, qa, prm_a, tables)
+    tb_c, pb_c, ppos_b, pquat_b = _compound_children_world(
+        pb, qb, prm_b, tables)
+    mans = []
+    for i in range(sh.MAX_CHILDREN):
+        for j in range(sh.MAX_CHILDREN):
+            man = _convex_pair(
+                ta_c[..., i], ppos_a[..., i, :], pquat_a[..., i, :],
+                pa_c[..., i, :],
+                tb_c[..., j], ppos_b[..., j, :], pquat_b[..., j, :],
+                pb_c[..., j, :],
+                margin, present)
+            man["valid"] = man["valid"] & (
+                (ta_c[..., i] != sh.EMPTY)
+                & (tb_c[..., j] != sh.EMPTY))[..., None]
+            mans.append(man)
     return _merge_top4(mans)
 
 
@@ -792,7 +878,218 @@ def compound_heightfield(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
     return _merge_top4(mans)
 
 
+
+
+# -- triangle-mesh kernels ----------------------------------------------------
+#
+# MESH bodies (static concave level geometry, MeshShape analog) store a
+# triangle soup binned into a uniform local grid of fixed-capacity buckets
+# (shapes.py ShapeTable.mesh). Contact generation mirrors the heightfield
+# pattern: candidate points (sphere center / capsule endpoints / box corners
+# / hull verts) look up their containing cell's bucket and test its
+# triangles with a branch-free closest-point-on-triangle; the deepest 4
+# contacts survive. One-sided: contacts only push out the triangle's front
+# face (CCW winding), with back-side capture capped at half a grid cell so
+# thin walls don't catapult bodies through.
+
+
+def _closest_on_triangle(p, a, b, c):
+    """Branch-free closest point on triangle abc to p (Ericson 5.1.5),
+    batched over leading dims."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = m3.dot(ab, ap)
+    d2 = m3.dot(ac, ap)
+    bp = p - b
+    d3 = m3.dot(ab, bp)
+    d4 = m3.dot(ac, bp)
+    cp = p - c
+    d5 = m3.dot(ab, cp)
+    d6 = m3.dot(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-12)
+    v = vb / denom
+    w = vc / denom
+    interior = a + ab * v[..., None] + ac * w[..., None]
+
+    t_ab = jnp.clip(d1 / jnp.where(jnp.abs(d1 - d3) < 1e-12, 1e-12, d1 - d3),
+                    0.0, 1.0)
+    on_ab = a + ab * t_ab[..., None]
+    t_ac = jnp.clip(d2 / jnp.where(jnp.abs(d2 - d6) < 1e-12, 1e-12, d2 - d6),
+                    0.0, 1.0)
+    on_ac = a + ac * t_ac[..., None]
+    t_bc = jnp.clip(
+        (d4 - d3) / jnp.where(jnp.abs((d4 - d3) + (d5 - d6)) < 1e-12, 1e-12,
+                              (d4 - d3) + (d5 - d6)), 0.0, 1.0)
+    on_bc = b + (c - b) * t_bc[..., None]
+
+    out = interior
+    out = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+                    on_ab, out)
+    out = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None], on_ac, out)
+    out = jnp.where(((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0))[..., None],
+                    on_bc, out)
+    out = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a, out)
+    out = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None], b, out)
+    out = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None], c, out)
+    return out
+
+
+def _points_vs_mesh(points_w, pvalid, radius, pb, qb, prm_b, tables, margin):
+    """Contacts for candidate points (..., P, 3) against the mesh body at
+    (pb, qb). radius: per-point sphere radius. Returns top-4 manifold;
+    normals point A -> B (into the mesh surface)."""
+    rot = m3.quat_to_mat3(qb)
+    p_l = m3.einsum("...ji,...pj->...pi", rot, points_w - pb[..., None, :])
+    shp = p_l.shape[:-1]                          # (..., P)
+
+    midx = jnp.broadcast_to(prm_b[..., 0].astype(jnp.int32)[..., None], shp)
+    info = tables["mesh_info"][midx]              # (..., P, 8)
+    origin = info[..., 0:3]
+    cell = info[..., 3]
+    g = tables["mesh_cells"].shape[1]
+    g_dim = int(round(g ** (1.0 / 3.0)))
+    while g_dim ** 3 < g:
+        g_dim += 1
+
+    c_idx = jnp.clip(((p_l - origin) / cell[..., None]).astype(jnp.int32),
+                     0, g_dim - 1)
+    ckey = (c_idx[..., 0] * g_dim + c_idx[..., 1]) * g_dim + c_idx[..., 2]
+    bucket = tables["mesh_cells"][midx, ckey]     # (..., P, B)
+    tri = tables["mesh_tris"][midx[..., None], jnp.maximum(bucket, 0)]
+    # tri: (..., P, B, 3, 3) local triangle vertices
+    a, b_, c_ = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    n_f = m3.normalize(jnp.cross(b_ - a, c_ - a))
+
+    pq = p_l[..., None, :]                        # (..., P, 1, 3)
+    closest = _closest_on_triangle(pq, a, b_, c_)
+    d = pq - closest
+    dist = m3.length(d)
+    side = m3.dot(d, n_f)                         # signed by front/back
+    # front side: euclidean distance to the closest point (correct edge/
+    # vertex rounding). Back side: distance along the FACE normal only — a
+    # point just under the surface near an internal edge must read as a
+    # shallow face contact, not a deep lateral "edge" contact (the classic
+    # internal-edge catch; Jolt solves it with active-edge flags).
+    sdist = jnp.where(side >= 0.0, dist, side)
+    # normal: from surface toward the point for front-side separation;
+    # face normal when on/behind the plane (pushes back out the front)
+    n_l = jnp.where(((dist > 1e-6) & (side > 0.0))[..., None],
+                    d / jnp.maximum(dist, 1e-6)[..., None], n_f)
+    pen = radius[..., None] - sdist
+    # back-side capture cap: deeper than half a cell = wrong-face capture
+    back_cap = radius[..., None] + 0.5 * cell[..., None]
+    marg = jnp.asarray(margin)
+    while marg.ndim < pen.ndim:
+        marg = marg[..., None]
+    valid = (bucket >= 0) & pvalid[..., None] & (pen > -marg)
+    valid &= pen < back_cap
+
+    n_w = m3.einsum("...ij,...pbj->...pbi", rot, n_l)
+    point = points_w[..., None, :] - n_w * radius[..., None, None]
+
+    flat = shp[:-1] + (shp[-1] * bucket.shape[-1],)
+    pen_f = jnp.where(valid, pen, -1e30).reshape(flat)
+    return _top4_manifold(shp[:-1], pen_f, point.reshape(flat + (3,)),
+                          n_w.reshape(flat + (3,)), flip_normal=True)
+
+
+def sphere_mesh(pa, ra, pb, qb, prm_b, tables, margin):
+    pts = pa[..., None, :]
+    return _points_vs_mesh(pts, jnp.ones(pts.shape[:-1], bool),
+                           ra[..., None], pb, qb, prm_b, tables, margin)
+
+
+def capsule_mesh(pa, qa, ra, hha, pb, qb, prm_b, tables, margin):
+    e0, e1 = _capsule_segment(pa, qa, hha)
+    pts = jnp.stack([e0, 0.5 * (e0 + e1), e1], axis=-2)
+    return _points_vs_mesh(pts, jnp.ones(pts.shape[:-1], bool),
+                           jnp.broadcast_to(ra[..., None], pts.shape[:-1]),
+                           pb, qb, prm_b, tables, margin)
+
+
+def box_mesh(pa, qa, half_a, pb, qb, prm_b, tables, margin):
+    pts = _box_corners_world(pa, qa, half_a)
+    return _points_vs_mesh(pts, jnp.ones(pts.shape[:-1], bool),
+                           jnp.zeros(pts.shape[:-1]), pb, qb, prm_b, tables,
+                           margin)
+
+
+def hull_mesh(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
+    pts, pvalid, _, _ = _hull_world(pa, qa, prm_a, tables)
+    return _points_vs_mesh(pts, pvalid, jnp.zeros(pts.shape[:-1]),
+                           pb, qb, prm_b, tables, margin)
+
+
+def compound_mesh(pa, qa, prm_a, pb, qb, prm_b, tables, margin):
+    """Compound A vs mesh B: each child's support points vs the mesh."""
+    ctype, cparams, cpos_w, cquat_w = _compound_children_world(
+        pa, qa, prm_a, tables)
+    mans = []
+    for k in range(sh.MAX_CHILDREN):
+        tk = ctype[..., k]
+        pk, qk, prmk = cpos_w[..., k, :], cquat_w[..., k, :], cparams[..., k, :]
+        sphere_m = sphere_mesh(pk, prmk[..., 0], pb, qb, prm_b, tables,
+                               margin)
+        box_m = box_mesh(pk, qk, prmk[..., :3], pb, qb, prm_b, tables,
+                         margin)
+        cap_m = capsule_mesh(pk, qk, prmk[..., 0], prmk[..., 1], pb, qb,
+                             prm_b, tables, margin)
+        man = _empty_manifold(pa.shape[:-1])
+        for field in ("point", "normal", "pen", "valid"):
+            acc = man[field]
+            for cond, m_ in ((tk == sh.SPHERE, sphere_m),
+                             (tk == sh.BOX, box_m), (tk == sh.CAPSULE, cap_m)):
+                c = cond
+                while c.ndim < acc.ndim:
+                    c = c[..., None]
+                acc = jnp.where(c, m_[field], acc)
+            man[field] = acc
+        mans.append(man)
+    return _merge_top4(mans)
+
+
+
+
+def hull_compound(pa, qa, prm_a, pb, qb, prm_b, tables, margin, present):
+    """Hull A vs compound B: each compound child (sphere/box/capsule) tests
+    against the hull with the existing convex-vs-hull kernels (closes the
+    round-2 gap where HULL(4) x COMPOUND(5) pairs silently produced no
+    contacts). Normals are flipped to point A(hull) -> B(compound)."""
+    ctype, cparams, cpos_w, cquat_w = _compound_children_world(
+        pb, qb, prm_b, tables)
+    mans = []
+    for k in range(sh.MAX_CHILDREN):
+        tk = ctype[..., k]
+        pk, qk, prmk = cpos_w[..., k, :], cquat_w[..., k, :], cparams[..., k, :]
+        # child -> hull manifolds (normal child->hull); flip for A->B
+        sphere_m = _flip(sphere_hull(pk, prmk[..., 0], pa, qa, prm_a,
+                                     tables, margin))
+        box_m = _flip(box_hull(pk, qk, prmk[..., :3], pa, qa, prm_a,
+                               tables, margin))
+        cap_m = _flip(capsule_hull(pk, qk, prmk[..., 0], prmk[..., 1],
+                                   pa, qa, prm_a, tables, margin))
+        man = _empty_manifold(pa.shape[:-1])
+        for field in ("point", "normal", "pen", "valid"):
+            acc = man[field]
+            for cond, m_ in ((tk == sh.SPHERE, sphere_m),
+                             (tk == sh.BOX, box_m), (tk == sh.CAPSULE, cap_m)):
+                c = cond
+                while c.ndim < acc.ndim:
+                    c = c[..., None]
+                acc = jnp.where(c, m_[field], acc)
+            man[field] = acc
+        mans.append(man)
+    return _merge_top4(mans)
+
+
 # -- dispatch -----------------------------------------------------------------
+
+
 
 
 def generate_contacts(
@@ -801,6 +1098,7 @@ def generate_contacts(
     margin: float,
     present_types: frozenset = None,
     tables: Dict[str, Array] = None,
+    row_major_k: int = None,
 ) -> Dict[str, Array]:
     """Contact manifolds for candidate pairs.
 
@@ -817,19 +1115,29 @@ def generate_contacts(
     separate array gathers — TPU random gathers pay per op and per element,
     not per byte.
     """
-    ta0, tb0 = stype[pair_i], stype[pair_j]
-    swap = ta0 > tb0
-    a = jnp.where(swap, pair_j, pair_i)
-    b = jnp.where(swap, pair_i, pair_j)
-
     body_margin = margin if (hasattr(margin, "ndim") and margin.ndim == 1
                              and margin.shape[0] == pos.shape[0]) else None
     cols = [pos, quat, params, stype.astype(jnp.float32)[:, None]]
     if body_margin is not None:
         cols.append(body_margin[:, None])
     record = jnp.concatenate(cols, axis=-1)
-    rec_a = record[a]                             # (P, 12|13)
-    rec_b = record[b]
+    n = pos.shape[0]
+    p_total = pair_i.shape[0]
+    if row_major_k is not None and p_total == n * row_major_k:
+        # pair_i = repeat(arange(n), k): the row-body record fetch is a
+        # structured repeat, not a random gather (saves one P-row gather)
+        rec_i = jnp.repeat(record, row_major_k, axis=0)
+    else:
+        rec_i = record[pair_i]
+    rec_j = record[pair_j]                        # (P, 12|13) THE gather
+    ta0 = rec_i[:, 11].astype(jnp.int32)
+    tb0 = rec_j[:, 11].astype(jnp.int32)
+    swap = ta0 > tb0
+    a = jnp.where(swap, pair_j, pair_i)
+    b = jnp.where(swap, pair_i, pair_j)
+    # canonical (type-sorted) ordering applied densely to fetched rows
+    rec_a = jnp.where(swap[:, None], rec_j, rec_i)
+    rec_b = jnp.where(swap[:, None], rec_i, rec_j)
     pa, qa, prm_a = rec_a[:, 0:3], rec_a[:, 3:7], rec_a[:, 7:11]
     pb, qb, prm_b = rec_b[:, 0:3], rec_b[:, 3:7], rec_b[:, 7:11]
     ta = rec_a[:, 11].astype(jnp.int32)
@@ -932,6 +1240,34 @@ def generate_contacts(
             add((ta == sh.COMPOUND) & (tb == sh.HEIGHTFIELD),
                 lambda: compound_heightfield(pa, qa, prm_a, pb, qb, prm_b,
                                              tables, margin))
+        if have(sh.HULL):
+            add((ta == sh.HULL) & (tb == sh.COMPOUND),
+                lambda: hull_compound(pa, qa, prm_a, pb, qb, prm_b,
+                                      tables, margin, present))
+        add((ta == sh.COMPOUND) & (tb == sh.COMPOUND),
+            lambda: compound_compound(pa, qa, prm_a, pb, qb, prm_b,
+                                      tables, margin, present))
+
+    # triangle-mesh pairs (MeshShape; always the B side, largest type id)
+    if have(sh.SPHERE, sh.MESH):
+        add((ta == sh.SPHERE) & (tb == sh.MESH),
+            lambda: sphere_mesh(pa, prm_a[..., 0], pb, qb, prm_b, tables,
+                                margin))
+    if have(sh.BOX, sh.MESH):
+        add((ta == sh.BOX) & (tb == sh.MESH),
+            lambda: box_mesh(pa, qa, prm_a[..., :3], pb, qb, prm_b, tables,
+                             margin))
+    if have(sh.CAPSULE, sh.MESH):
+        add((ta == sh.CAPSULE) & (tb == sh.MESH),
+            lambda: capsule_mesh(pa, qa, prm_a[..., 0], prm_a[..., 1],
+                                 pb, qb, prm_b, tables, margin))
+    if have(sh.HULL, sh.MESH):
+        add((ta == sh.HULL) & (tb == sh.MESH),
+            lambda: hull_mesh(pa, qa, prm_a, pb, qb, prm_b, tables, margin))
+    if have(sh.COMPOUND, sh.MESH):
+        add((ta == sh.COMPOUND) & (tb == sh.MESH),
+            lambda: compound_mesh(pa, qa, prm_a, pb, qb, prm_b, tables,
+                                  margin))
 
     out = _empty_manifold(pair_i.shape)
     for field in ("point", "normal", "pen", "valid"):

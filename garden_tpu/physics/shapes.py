@@ -14,6 +14,8 @@ Shape params layout (f32[4]):
 - COMPOUND:    [compound_index, -, -, -]
 - PLANE:       [nx, ny, nz, d]  with n.x*x+n.y*y+n.z*z + d = 0, inside n side
 - HEIGHTFIELD: [hf_index, cell_size, nx, nz]  (grid centered on local origin)
+- MESH:        [mesh_index, -, -, -]  (triangle soup in a uniform local grid;
+               static-only, like Jolt MeshShape — physics.hpp:103-153)
 
 Convex hulls, heightfields and compounds carry more data than 4 floats, so
 they live in fixed-capacity side tables on the ShapeTable (hull vertex/face
@@ -43,13 +45,15 @@ HULL = 4
 COMPOUND = 5
 PLANE = 6
 HEIGHTFIELD = 7
+MESH = 8
 
 SHAPE_NAMES = {EMPTY: "empty", SPHERE: "sphere", BOX: "box",
                CAPSULE: "capsule", HULL: "hull", COMPOUND: "compound",
-               PLANE: "plane", HEIGHTFIELD: "heightfield"}
+               PLANE: "plane", HEIGHTFIELD: "heightfield", MESH: "mesh"}
 
 MAX_HULL_VERTS = 32
 MAX_HULL_FACES = 32
+MAX_HULL_DIRS = 8
 MAX_CHILDREN = 4
 
 
@@ -109,7 +113,9 @@ class ShapeTable:
 
     def __init__(self, capacity: int = 1024, max_hulls: int = 16,
                  max_heightfields: int = 4, hf_dim: int = 128,
-                 max_compounds: int = 32) -> None:
+                 max_compounds: int = 32, max_meshes: int = 4,
+                 mesh_max_tris: int = 4096, mesh_grid: int = 8,
+                 mesh_bucket: int = 32) -> None:
         self.capacity = capacity
         self.types = np.zeros((capacity,), dtype=np.int32)
         self.params = np.zeros((capacity, 4), dtype=np.float32)
@@ -121,6 +127,11 @@ class ShapeTable:
         self.hull_vert_valid = np.zeros((max_hulls, MAX_HULL_VERTS), bool)
         self.hull_face_n = np.zeros((max_hulls, MAX_HULL_FACES, 3), np.float32)
         self.hull_face_valid = np.zeros((max_hulls, MAX_HULL_FACES), bool)
+        # distinct edge directions (deduped by +-direction) for the
+        # edge-cross SAT axes of hull-hull / box-hull pairs
+        self.hull_edge_dirs = np.zeros((max_hulls, MAX_HULL_DIRS, 3),
+                                       np.float32)
+        self.hull_edge_valid = np.zeros((max_hulls, MAX_HULL_DIRS), bool)
         self._hull_mass: Dict[int, Tuple[float, np.ndarray]] = {}
         self._n_hulls = 0
         # heightfield pool (HeightFieldShape analog); grids up to hf_dim^2
@@ -135,6 +146,18 @@ class ShapeTable:
                                  (max_compounds, MAX_CHILDREN, 1))
         self._comp_mass: Dict[int, Tuple[float, np.ndarray]] = {}
         self._n_comp = 0
+        # triangle-mesh pool (MeshShape analog, physics.hpp:103-153):
+        # triangle soup binned into a uniform local-space grid of
+        # fixed-capacity buckets (the TPU analog of Jolt's mesh BVH)
+        self.mesh_grid = mesh_grid
+        self.mesh_bucket = mesh_bucket
+        self.mesh_tris = np.zeros((max_meshes, mesh_max_tris, 3, 3),
+                                  np.float32)
+        self.mesh_cells = np.full(
+            (max_meshes, mesh_grid ** 3, mesh_bucket), -1, np.int32)
+        # [origin xyz | cell size | grid dim | tri count | pad pad]
+        self.mesh_info = np.zeros((max_meshes, 8), np.float32)
+        self._n_mesh = 0
 
     def _intern(self, stype: int, params, density: float) -> int:
         params = np.asarray(params, dtype=np.float32)
@@ -202,6 +225,26 @@ class ShapeTable:
         nf = face_n.shape[0]
         self.hull_face_n[h, :nf] = face_n
         self.hull_face_valid[h, :nf] = True
+        # distinct edge directions from the hull simplices (for the
+        # edge-cross SAT axes; a box-like hull yields its 3 axes)
+        dirs: List[np.ndarray] = []
+        for tri in simplices:
+            for a_, b_ in ((0, 1), (1, 2), (2, 0)):
+                d = tri[b_] - tri[a_]
+                nrm = np.linalg.norm(d)
+                if nrm < 1e-9:
+                    continue
+                d = d / nrm
+                if not any(abs(np.dot(d, u)) > 1.0 - 1e-4 for u in dirs):
+                    dirs.append(d)
+                if len(dirs) >= MAX_HULL_DIRS:
+                    break
+            if len(dirs) >= MAX_HULL_DIRS:
+                break
+        ne = len(dirs)
+        if ne:
+            self.hull_edge_dirs[h, :ne] = np.asarray(dirs, np.float32)
+            self.hull_edge_valid[h, :ne] = True
         self._hull_mass[h] = (mass, inertia)
         idx = self._intern_raw(HULL, [float(h), convex_radius, 0.0, 0.0],
                                density, key)
@@ -232,6 +275,71 @@ class ShapeTable:
         self.hf_heights[f, nz:, nx:] = hts[-1, -1]
         return self._intern_raw(
             HEIGHTFIELD, [float(f), cell, float(nx), float(nz)], 1000.0, key)
+
+    def mesh(self, vertices: np.ndarray, indices: np.ndarray) -> int:
+        """Static triangle-mesh collider (MeshShape, physics.hpp:103-153):
+        arbitrary concave geometry, e.g. a glTF level. `vertices` (V, 3)
+        local-space positions, `indices` (T, 3) CCW triangles (outward
+        normals by right-hand rule). Triangles are binned into a uniform
+        grid of fixed-capacity buckets over the mesh AABB; bucket overflow
+        drops triangles (mirrors the engine's fixed-capacity contracts).
+        Mesh bodies must be STATIC (Jolt MeshShape is non-dynamic too)."""
+        verts = np.asarray(vertices, np.float32)
+        idx = np.asarray(indices, np.int32).reshape(-1, 3)
+        if idx.shape[0] > self.mesh_tris.shape[1]:
+            raise ValueError(
+                f"mesh has {idx.shape[0]} triangles; max "
+                f"{self.mesh_tris.shape[1]}")
+        key = hashlib.blake2b(
+            verts.tobytes() + idx.tobytes(), digest_size=16).digest()
+        if key in self._dedup:
+            return self._dedup[key]
+        if self._n_mesh >= self.mesh_tris.shape[0]:
+            raise RuntimeError("mesh capacity exhausted")
+        m = self._n_mesh
+        self._n_mesh += 1
+        tris = verts[idx]                       # (T, 3, 3)
+        t = tris.shape[0]
+        self.mesh_tris[m, :t] = tris
+        g = self.mesh_grid
+        lo = tris.reshape(-1, 3).min(axis=0)
+        hi = tris.reshape(-1, 3).max(axis=0)
+        # uniform cell size (cubical cells) padded slightly so border
+        # triangles land inside the grid
+        cell = float(max((hi - lo).max() / g, 1e-6)) * 1.001
+        origin = (lo + hi) * 0.5 - 0.5 * cell * g
+        counts = np.zeros((g, g, g), np.int32)
+        cells = self.mesh_cells[m].reshape(g, g, g, self.mesh_bucket)
+        # bin with a half-cell inflation: query points probe only their OWN
+        # cell, so a point slightly past a face (penetration, speculative
+        # margin) must still find the triangle from the neighboring cell.
+        # Matches the narrowphase's half-cell back-side capture cap.
+        inflate = 0.5 * cell
+        tmin = ((tris.min(axis=1) - inflate - origin) / cell).astype(np.int32)
+        tmax = ((tris.max(axis=1) + inflate - origin) / cell).astype(np.int32)
+        tmin = np.clip(tmin, 0, g - 1)
+        tmax = np.clip(tmax, 0, g - 1)
+        dropped = 0
+        for ti in range(t):
+            for cx in range(tmin[ti, 0], tmax[ti, 0] + 1):
+                for cy in range(tmin[ti, 1], tmax[ti, 1] + 1):
+                    for cz in range(tmin[ti, 2], tmax[ti, 2] + 1):
+                        c = counts[cx, cy, cz]
+                        if c < self.mesh_bucket:
+                            cells[cx, cy, cz, c] = ti
+                            counts[cx, cy, cz] = c + 1
+                        else:
+                            dropped += 1
+        if dropped:
+            import warnings
+            warnings.warn(
+                f"mesh bucket overflow: {dropped} (cell, tri) insertions "
+                f"dropped (raise mesh_bucket or mesh_grid)")
+        self.mesh_info[m, 0:3] = origin
+        self.mesh_info[m, 3] = cell
+        self.mesh_info[m, 4] = g
+        self.mesh_info[m, 5] = t
+        return self._intern_raw(MESH, [float(m), 0.0, 0.0, 0.0], 1000.0, key)
 
     def compound(self, children: Sequence[Tuple[int, Tuple, Tuple]]) -> int:
         """Compound of up to MAX_CHILDREN convex children: each entry is
@@ -329,6 +437,8 @@ class ShapeTable:
             "hull_vert_valid": jnp.asarray(self.hull_vert_valid),
             "hull_face_n": jnp.asarray(self.hull_face_n),
             "hull_face_valid": jnp.asarray(self.hull_face_valid),
+            "hull_edge_dirs": jnp.asarray(self.hull_edge_dirs),
+            "hull_edge_valid": jnp.asarray(self.hull_edge_valid),
             "hull_ext": jnp.asarray(self.hull_local_extent()),
             "hf_heights": jnp.asarray(self.hf_heights),
             "comp_type": jnp.asarray(self.comp_type),
@@ -336,6 +446,9 @@ class ShapeTable:
             "comp_pos": jnp.asarray(self.comp_pos),
             "comp_quat": jnp.asarray(self.comp_quat),
             "comp_ext": jnp.asarray(self.compound_local_extent()),
+            "mesh_tris": jnp.asarray(self.mesh_tris),
+            "mesh_cells": jnp.asarray(self.mesh_cells),
+            "mesh_info": jnp.asarray(self.mesh_info),
         }
 
     def count(self) -> int:
@@ -460,7 +573,8 @@ def local_aabb(stype: Array, params: Array,
     big = jnp.full_like(sphere_ext, 1e9)
     conds = [(stype == SPHERE)[..., None], (stype == BOX)[..., None],
              (stype == CAPSULE)[..., None],
-             ((stype == PLANE) | (stype == HEIGHTFIELD))[..., None]]
+             ((stype == PLANE) | (stype == HEIGHTFIELD)
+              | (stype == MESH))[..., None]]
     vals = [sphere_ext, box_ext, cap_ext, big]
     if hull_ext is not None:
         conds.append((stype == HULL)[..., None])

@@ -97,16 +97,19 @@ def solve_velocity(
 
     pos = bodies["pos"]
 
-    # ALL static partner attributes fetched with ONE packed row gather
-    # (TPU gathers price per row; eight separate (N, S) gathers cost ~8x):
-    # [pos3 | inv_mass | split | inertia_w9 | ang_factor3 | friction |
-    #  restitution] = 19 columns
+    # ALL static partner attributes AND the pre-solve partner velocities
+    # fetched with ONE packed row gather (TPU gathers price per row; the
+    # separate velocity-table fetch for the restitution reference velocity
+    # cost another ~2 ms at 10K bodies): [pos3 | inv_mass | split |
+    # inertia_w9 | ang_factor3 | friction | restitution | linvel3 |
+    # angvel3] = 25 columns
     body_tab = jnp.concatenate(
         [pos, inv_mass[:, None], split[:, None],
          inv_inertia_w.reshape(-1, 9), bodies["angular_factor"],
-         bodies["friction"][:, None], bodies["restitution"][:, None]],
-        axis=1)                             # (N, 19)
-    par_tab = body_tab[partner]             # (N, S, 19) the one gather
+         bodies["friction"][:, None], bodies["restitution"][:, None],
+         bodies["linvel"], bodies["angvel"]],
+        axis=1)                             # (N, 25)
+    par_tab = body_tab[partner]             # (N, S, 25) the one gather
     pos_p = par_tab[..., 0:3]
     inv_mass_p = par_tab[..., 3]
     split_p = par_tab[..., 4]
@@ -114,6 +117,8 @@ def solve_velocity(
     angf_par = par_tab[..., 14:17]
     friction_p = par_tab[..., 17]
     restitution_p = par_tab[..., 18]
+    linvel_p0 = par_tab[..., 19:22]
+    angvel_p0 = par_tab[..., 22:25]
 
     r_own = point - pos[:, None, :]
     r_par = point - pos_p
@@ -161,7 +166,11 @@ def solve_velocity(
         v_par = par[..., 0:3] + jnp.cross(par[..., 3:6], r_par)
         return v_par - v_own
 
-    vn0 = m3.dot(rel_vel(bodies["linvel"], bodies["angvel"]), normal)
+    # pre-solve approach speed from the packed fetch (no extra gather)
+    v_own0 = bodies["linvel"][:, None, :] + jnp.cross(
+        bodies["angvel"][:, None, :], r_own)
+    v_par0 = linvel_p0 + jnp.cross(angvel_p0, r_par)
+    vn0 = m3.dot(v_par0 - v_own0, normal)
     bounce = jnp.where(vn0 < -restitution_threshold, -restitution * vn0, 0.0)
     # penetration recovery velocity, capped (Jolt caps recovery speed so
     # deep impact-frame penetrations don't launch bodies)
@@ -190,6 +199,12 @@ def solve_velocity(
     def iteration(_, carry):
         linvel, angvel, acc_n, acc_t1, acc_t2 = carry
 
+        # ONE partner gather per iteration: the friction pass reuses this
+        # velocity snapshot, corrected by the own body's normal-impulse
+        # delta (computable densely, no gather). The partner side of that
+        # delta is half an iteration stale — Jacobi-consistent, and
+        # measured indistinguishable on stack settling while removing half
+        # the solver loop's gather traffic (the loop is gather-bound).
         v = rel_vel(linvel, angvel)
         vn = m3.dot(v, normal)
 
@@ -197,9 +212,16 @@ def solve_velocity(
         new_acc = jnp.maximum(acc_n + dlam, 0.0)
         dlam = jnp.where(responsive, new_acc - acc_n, 0.0)
         acc_n = jnp.where(responsive, new_acc, acc_n)
-        linvel, angvel = apply(linvel, angvel, dlam[..., None] * normal)
+        imp_n = dlam[..., None] * normal
+        linvel2, angvel2 = apply(linvel, angvel, imp_n)
 
-        v = rel_vel(linvel, angvel)
+        # own-body velocity delta at each contact point (dense)
+        dlin = linvel2 - linvel
+        dang = angvel2 - angvel
+        dv_own = dlin[:, None, :] + jnp.cross(dang[:, None, :], r_own)
+        v = v - dv_own            # partner side stale by half an iteration
+        linvel, angvel = linvel2, angvel2
+
         max_f = friction * acc_n
         dt1 = -m3.dot(v, t1) / k_t1
         new_t1 = jnp.clip(acc_t1 + dt1, -max_f, max_f)
@@ -248,11 +270,15 @@ def solve_position(
     iterations: int,
     slop: float,
     beta: float = 0.8,
+    init_disp: Optional[Array] = None,
 ) -> Array:
     """Positional (split-impulse) penetration correction, row-reduced.
 
     Linear-only Jacobi projection with mass splitting; velocities untouched.
-    `pen` (N, S) is the penetration measured at the current `pos`."""
+    `pen` (N, S) is the penetration measured at collide time; `init_disp`
+    (N, 3) is displacement already applied since then (the integration
+    step) — folding it into the per-iteration relative-displacement gather
+    saves a separate (N, S, 3) partner gather for the initial adjustment."""
     partner = contacts["partner"]
     normal = contacts["normal"]
     is_sensor = bodies["is_sensor"]
@@ -261,15 +287,25 @@ def solve_position(
 
     count = jnp.sum(responsive.astype(jnp.float32), axis=1)
     split = jnp.maximum(count, 1.0)
-    k = jnp.maximum(
-        inv_mass[:, None] * split[:, None] + inv_mass[partner] * split[partner],
-        1e-9,
-    )
+    # only the product inv_mass*split of the partner is needed, and it
+    # rides in the same 4-lane row as the displacement — ONE row gather
+    # per iteration total
+    prod = inv_mass * split
     lin_factor = bodies["linear_factor"]
 
-    corr = jnp.zeros_like(pen)
+    # total displacement since collide time (integration + corrections)
+    dtot = (init_disp if init_disp is not None
+            else jnp.zeros_like(pos))
+    k = None
     for _ in range(iterations):  # unrolled (see solve_velocity note)
-        sep = pen - corr
+        tab = jnp.concatenate([dtot, prod[:, None]], axis=1)   # (N, 4)
+        par = tab[partner]                                     # ONE gather
+        if k is None:
+            k = jnp.maximum(prod[:, None] + par[..., 3], 1e-9)
+        # remaining penetration = collide-time pen minus relative
+        # separation the displacements have produced along the normal
+        rel = m3.dot(par[..., 0:3] - dtot[:, None, :], normal)
+        sep = pen - rel
         # cap positional pushout per iteration: impact-frame penetrations
         # resolve over a few steps instead of teleporting
         lam = jnp.where(
@@ -278,6 +314,5 @@ def solve_position(
         # own body moves along -normal (away from partner)
         dpos = -jnp.sum(lam[..., None] * normal, axis=1) * inv_mass[:, None] * lin_factor
         pos = pos + dpos
-        # remaining penetration shrinks by the relative separation along n
-        corr = corr + m3.dot(dpos[partner] - dpos[:, None, :], normal)
+        dtot = dtot + dpos
     return pos

@@ -147,7 +147,10 @@ class PhysicsWorld:
             if is_sensor:
                 layer = LAYER_SENSOR
         b["layer"][i] = layer
-        b["is_global"][i] = stype in (sh.PLANE, sh.HEIGHTFIELD)
+        b["is_global"][i] = stype in (sh.PLANE, sh.HEIGHTFIELD, sh.MESH)
+        if motion == DYNAMIC and stype == sh.MESH:
+            # Jolt MeshShape is static-only too (physics.hpp:103-153)
+            raise ValueError("mesh-shaped bodies must be STATIC/KINEMATIC")
         if motion == DYNAMIC:
             # host-side numpy: 10K add_body calls must not dispatch device ops
             mass, inertia = self.shapes.body_mass_properties(shape)
@@ -218,6 +221,7 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     # speculative margin scales with speed (Jolt's velocity-based
     # speculative contact distance): fast bodies see their contacts one
     # step early, so the solver can land them exactly instead of tunneling
+    scope = jax.named_scope
     h = 1.0 / config.simulation_rate
     speed = jnp.linalg.norm(b["linvel"], axis=-1)
     margin = config.speculative_margin + speed * h * 1.1
@@ -226,21 +230,42 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     comp_ext = shapes_t["comp_ext"][params[:, 0].astype(jnp.int32)
                                     % shapes_t["comp_ext"].shape[0]]
     aabb_min, aabb_max = broadphase.body_aabbs(
-        b["pos"], b["quat"], stype, params, margin=margin[:, None],
+        b["pos"], b["quat"], stype, params, margin=0.0,
         hull_ext=hull_ext, comp_ext=comp_ext,
     )
+    # The grid inserts each AABB into at most 2x2x2 cells, so the expanded
+    # span must stay <= 2*cell_size per axis or candidate pairs are silently
+    # lost (the home cell of an overlap can fall outside the insertion
+    # block). Clamp the speculative margin to guarantee the invariant —
+    # implied speed limit: v_max ~= (2*cell_size - shape_span)/2 / (1.1*h),
+    # e.g. ~49 m/s for a 0.9-unit box in 2.0-unit cells at 60 Hz (the floor
+    # keeps at least the configured baseline margin). STATIC/KINEMATIC
+    # bodies whose span still exceeds 2 cells (large level geometry) fall
+    # back to the grid-bypassing global list; dynamic bodies must be sized
+    # under 2*cell_size (the global list is one-sided and would break the
+    # solver's symmetric row layout).
+    span = jnp.max(aabb_max - aabb_min, axis=-1)
+    margin = jnp.minimum(
+        margin, jnp.maximum((2.0 * config.cell_size - span) * 0.5 - 1e-3,
+                            config.speculative_margin))
+    is_global = b["is_global"] | (
+        (span + 2.0 * margin > 2.0 * config.cell_size)
+        & (b["motion"] != DYNAMIC))
+    aabb_min = aabb_min - margin[:, None]
+    aabb_max = aabb_max + margin[:, None]
     dynamic = b["motion"] == DYNAMIC
-    cand_idx, cand_valid = broadphase.find_candidates(
-        b["pos"], aabb_min, aabb_max,
-        active=b["has"], dynamic=dynamic,
-        layer=b["layer"], layer_table=state["layer_table"],
-        is_global=b["is_global"],
-        cell_size=config.cell_size,
-        grid_dim=config.grid_dim,
-        cand_per_cell=config.max_bodies_per_cell,
-        max_candidates=config.max_contacts_per_body,
-        max_globals=config.max_globals,
-    )
+    with scope("broadphase"):
+        cand_idx, cand_valid = broadphase.find_candidates(
+            b["pos"], aabb_min, aabb_max,
+            active=b["has"], dynamic=dynamic,
+            layer=b["layer"], layer_table=state["layer_table"],
+            is_global=is_global,
+            cell_size=config.cell_size,
+            grid_dim=config.grid_dim,
+            cand_per_cell=config.max_bodies_per_cell,
+            max_candidates=config.max_contacts_per_body,
+            max_globals=config.max_globals,
+        )
     n, k = cand_idx.shape
     pair_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)
     pair_j = cand_idx.reshape(-1)
@@ -248,13 +273,15 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
 
     # per-body margin rides the narrowphase's packed record (one gather
     # instead of two extra 245K-element gathers here)
-    man = narrowphase.generate_contacts(
-        b["pos"], b["quat"], stype, params,
-        pair_i, pair_j, pair_valid,
-        margin=margin,
-        present_types=present_types,
-        tables=shapes_t,
-    )
+    with scope("narrowphase"):
+        man = narrowphase.generate_contacts(
+            b["pos"], b["quat"], stype, params,
+            pair_i, pair_j, pair_valid,
+            margin=margin,
+            present_types=present_types,
+            tables=shapes_t,
+            row_major_k=k,
+        )
     # re-orient: manifold normals point A->B in canonical (type-sorted)
     # order; the row layout wants row-body -> partner
     flip = (man["a"] != pair_i)[:, None, None]
@@ -280,15 +307,16 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     # single one-hot MXU contraction (TPU random gathers run ~30x slower;
     # separate per-field contractions lower to slow reduce_sums).
     s_act = min(config.max_active_contacts, s)
-    rank = jnp.where(contacts["valid"],
-                     s - jnp.arange(s, dtype=jnp.int32)[None, :], 0)
-    _, sel = jax.lax.top_k(rank, s_act)                    # (N, s_act)
-    packed = jnp.concatenate(
-        [contacts["point"], contacts["normal"],
-         contacts["pen"][..., None],
-         contacts["valid"].astype(jnp.float32)[..., None],
-         contacts["partner"].astype(jnp.float32)[..., None]], axis=-1)
-    cpk = m3.gather_rows(packed, sel)                      # (N, s_act, 9)
+    with scope("contact_compact"):
+        rank = jnp.where(contacts["valid"],
+                         s - jnp.arange(s, dtype=jnp.int32)[None, :], 0)
+        _, sel = jax.lax.top_k(rank, s_act)                # (N, s_act)
+        packed = jnp.concatenate(
+            [contacts["point"], contacts["normal"],
+             contacts["pen"][..., None],
+             contacts["valid"].astype(jnp.float32)[..., None],
+             contacts["partner"].astype(jnp.float32)[..., None]], axis=-1)
+        cpk = m3.gather_rows(packed, sel)                  # (N, s_act, 9)
     compact = {
         "point": cpk[..., 0:3],
         "normal": cpk[..., 3:6],
@@ -322,22 +350,25 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     b = dict(b, linvel=linvel, angvel=angvel)
     state = dict(state, bodies=b)
 
-    contacts = collide(state, config, present_types)
+    with jax.named_scope("collide"):
+        contacts = collide(state, config, present_types)
     # warm starting: impulses persist in the COMPACTED layout, identified by
     # key = partner*4 + manifold-point index. Matching old slots to new is a
     # dense (s_act x s_act) comparison + one MXU contraction — no gathers,
     # no full-layout scatter (the round-1 design carried a 4x-wider slot
     # array through two random gathers per step).
     mp = narrowphase.MAX_POINTS
-    new_key = jnp.where(contacts["valid"],
-                        contacts["partner"] * mp + contacts["slot"] % mp, -1)
-    old_key = state["warm"]["key"]
-    match = ((new_key[:, :, None] == old_key[:, None, :])
-             & (new_key >= 0)[:, :, None]).astype(jnp.float32)
-    wpack = jnp.stack([state["warm"]["n"], state["warm"]["t1"],
-                       state["warm"]["t2"]], axis=-1)      # (N, s_act, 3)
-    wc = jnp.einsum("nso,nod->nsd", match, wpack)
-    warm_compact = {"n": wc[..., 0], "t1": wc[..., 1], "t2": wc[..., 2]}
+    with jax.named_scope("warm_match"):
+        new_key = jnp.where(
+            contacts["valid"],
+            contacts["partner"] * mp + contacts["slot"] % mp, -1)
+        old_key = state["warm"]["key"]
+        match = ((new_key[:, :, None] == old_key[:, None, :])
+                 & (new_key >= 0)[:, :, None]).astype(jnp.float32)
+        wpack = jnp.stack([state["warm"]["n"], state["warm"]["t1"],
+                           state["warm"]["t2"]], axis=-1)  # (N, s_act, 3)
+        wc = jnp.einsum("nso,nod->nsd", match, wpack)
+        warm_compact = {"n": wc[..., 0], "t1": wc[..., 1], "t2": wc[..., 2]}
     linvel, angvel, warm_c = solver.solve_velocity(
         b, contacts, dt,
         iterations=config.solver_iterations,
@@ -374,15 +405,13 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     # positional penetration correction (split impulse), with collide-time
     # penetrations adjusted by the integration displacement along the normal
     if config.position_iterations > 0:
-        disp = pos - b["pos"]
-        pen_now = contacts["pen"] - m3.dot(
-            disp[contacts["partner"]] - disp[:, None, :], contacts["normal"]
-        )
-        pos = solver.solve_position(
-            pos, b, contacts, pen_now,
-            iterations=config.position_iterations,
-            slop=config.penetration_slop,
-        )
+        with jax.named_scope("solve_position"):
+            pos = solver.solve_position(
+                pos, b, contacts, contacts["pen"],
+                iterations=config.position_iterations,
+                slop=config.penetration_slop,
+                init_disp=pos - b["pos"],
+            )
         if "constraints" in state:
             from garden_tpu.physics import constraints as con
             pos = con.project_positions(

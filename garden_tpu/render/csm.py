@@ -15,6 +15,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from garden_tpu.core import math3d as m3
 from garden_tpu.core.config import ShadowConfig
@@ -77,28 +78,59 @@ def render_cascades(
     cfg: ShadowConfig,
     max_per_tile: int = 256,
     tri_world: Array = None,
+    tri_translucent: Array = None,
+    tri_tint: Array = None,
 ) -> Array:
-    """Depth-only raster per cascade -> (cascades, S, S) reverse-Z maps.
+    """Shadow raster per cascade -> (cascades, S, S, 8) packed maps:
+    lane 0 = opaque reverse-Z depth (the D16 map, csm.hpp:56-64),
+    lanes 1:4 = translucent caster transmittance tint (the sRGB translucent
+    map — sunlight through tinted glass), lane 4 = nearest translucent
+    caster depth, lanes 5:8 pad. Packing all planes into one 8-lane row
+    keeps the resolve at ONE per-pixel row gather (gathers price per row).
 
     tri_world: optional pre-gathered (T, 3, 3) world triangle vertices —
     shares ONE gather across cascades and the main pass instead of a
-    per-cascade clip[indices] gather."""
+    per-cascade clip[indices] gather. tri_translucent/tri_tint enable the
+    translucent map ((T,) mask + (T, 4) rgba); omitted = opaque only."""
     size = cfg.map_size
     if tri_world is None:
         tri_world = world_positions[indices]             # (T, 3, 3)
     t = tri_world.shape[0]
     flat = tri_world.reshape(t * 3, 3)
+    with_trans = tri_translucent is not None and tri_tint is not None
     maps = []
     for lvp in light_view_projs:
         tri_clip = m3.apply_mat4_h(lvp, flat).reshape(t, 3, 4)
         # front faces only: sufficient for closed casters, and it keeps the
         # same winding convention as the main pass
-        setup = raster.setup_triangles_tv(tri_clip, tri_valid, size, size)
+        opaque_mask = tri_valid & (~tri_translucent if with_trans
+                                   else jnp.ones_like(tri_valid))
+        setup = raster.setup_triangles_tv(tri_clip, opaque_mask, size, size)
         # foot=2: shadow casters are small in light space; a 4x smaller pair
         # emission quarters the binning sort (big tris use the global list)
         tiles, counts = raster.bin_triangles(setup, size, size, 128,
                                              max_per_tile, foot=2)
-        maps.append(raster.rasterize_depth(setup, tiles, counts, size, size, 128))
+        depth = raster.rasterize_depth(setup, tiles, counts, size, size, 128)
+        if with_trans:
+            tsetup = raster.setup_triangles_tv(
+                tri_clip, tri_valid & tri_translucent, size, size)
+            ttiles, tcounts = raster.bin_triangles(
+                tsetup, size, size, 128, max_per_tile // 2, foot=2)
+            tdepth = raster.rasterize_depth(tsetup, ttiles, tcounts,
+                                            size, size, 128)
+            # transmitted tint: translucent casters blend src-over onto a
+            # fully-lit white background in bin order, z-tested against
+            # the opaque depth (only casters the sun reaches matter)
+            tint = raster.rasterize_sorted_blend(
+                tsetup, tri_tint, ttiles, tcounts, depth,
+                jnp.ones((size, size, 3), jnp.float32), size, size, 128)
+        else:
+            tdepth = jnp.zeros_like(depth)
+            tint = jnp.ones((size, size, 3), jnp.float32)
+        packed = jnp.concatenate(
+            [depth[..., None], tint, tdepth[..., None],
+             jnp.zeros((size, size, 3), jnp.float32)], axis=-1)
+        maps.append(packed)
     return jnp.stack(maps)
 
 
@@ -106,13 +138,15 @@ def resolve_shadow(
     position: Array,         # (H, W, 3) world positions
     normal: Array,           # (H, W, 3)
     view_depth: Array,       # (H, W) distance from camera (for cascade pick)
-    shadow_maps: Array,      # (C, S, S)
+    shadow_maps: Array,      # (C, S, S, 8) packed (see render_cascades)
     light_view_projs: Array,  # (C, 4, 4)
     cfg: ShadowConfig,
     splits: List[float],
     light_dir: Array,
 ) -> Array:
-    """PCF shadow factor (H, W), 1 = lit (the csm.gsl resolve analog)."""
+    """PCF shadow factor (H, W, 3), (1,1,1) = fully lit: the scalar opaque
+    factor times the translucent casters' transmittance tint (the csm.gsl
+    resolve + translucent-map modulation)."""
     size = cfg.map_size
     c_count = shadow_maps.shape[0]
 
@@ -123,7 +157,9 @@ def resolve_shadow(
     full_shape = position.shape[:2]
     if step > 1:
         from garden_tpu.ops.blur import decimate2x
-        for _ in range(step // 2):
+        # power-of-two knob (validated in ShadowConfig): each level is one
+        # 2x decimation, so step=2 -> 1 level, 4 -> 2, 8 -> 3
+        for _ in range(int(np.log2(step))):
             position = decimate2x(position)
             normal = decimate2x(normal)
             view_depth = decimate2x(view_depth)
@@ -160,11 +196,18 @@ def resolve_shadow(
     # factor: per-pixel gathers cost ~15ms each at 1080p on TPU, so the PCF
     # softening moves from light space (9 gathers) to screen space (8 dense
     # shifted adds, ~free) — visually equivalent for small radii
-    maps_flat = shadow_maps.reshape(-1)
-    flat = cascade * (size * size)         + jnp.clip(v.astype(jnp.int32), 0, size - 1) * size         + jnp.clip(u.astype(jnp.int32), 0, size - 1)
-    occ = maps_flat[flat]
+    maps_flat = shadow_maps.reshape(-1, shadow_maps.shape[-1])
+    flat = cascade * (size * size) \
+        + jnp.clip(v.astype(jnp.int32), 0, size - 1) * size \
+        + jnp.clip(u.astype(jnp.int32), 0, size - 1)
+    row = maps_flat[flat]                     # ONE row gather: all planes
+    occ = row[..., 0]
     lit = jnp.where(z >= occ, 1.0, 0.0)
     lit = jnp.where(inside & in_range, lit, 1.0)
+    # translucent modulation: receivers beyond a translucent caster get its
+    # transmitted tint (sRGB translucent map, csm.hpp:56-64)
+    tint = jnp.where(((z < row[..., 4]) & inside & in_range)[..., None],
+                     row[..., 1:4], 1.0)
 
     r = cfg.pcf_radius
     if r > 0:
@@ -179,9 +222,10 @@ def resolve_shadow(
                 acc = acc + sh
                 n += 1
         lit = acc / n
+    lit = lit[..., None] * tint               # (H, W, 3)
     if step > 1:
         from garden_tpu.ops.blur import upsample2x_to
-        for _ in range(step // 2):
+        for _ in range(int(np.log2(step))):
             target = (min(lit.shape[0] * 2, full_shape[0]),
                       min(lit.shape[1] * 2, full_shape[1]))
             lit = upsample2x_to(lit, *target)

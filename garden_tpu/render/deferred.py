@@ -181,12 +181,10 @@ class DeferredRenderer:
         tiles_m, counts_m = raster.bin_triangles(
             setup, w, h, cfg.tile_size, cfg.max_tris_per_tile,
             priority=prio_ftb)
-        vis = raster.rasterize_visibility(setup, tiles_m, counts_m, w, h,
-                                          cfg.tile_size)
 
         # velocity inputs: previous-frame vertex screen positions ride in
         # the shading record (deferred.cpp:463-489 velocity pass analog)
-        records = None
+        prev_screen = None
         if cfg.use_velocity:
             prev_inst = (prev_inst_matrices if prev_inst_matrices is not None
                          else inst_matrices)
@@ -198,12 +196,17 @@ class DeferredRenderer:
             prev_screen = jnp.stack(
                 [(pndc[..., 0] * 0.5 + 0.5) * w,
                  (0.5 - pndc[..., 1] * 0.5) * h], axis=-1)
-            records = gbuffer.pack_triangle_records(scene, world_nrm,
-                                                    prev_screen=prev_screen,
-                                                    inv_w=setup["inv_w"])
+        records = gbuffer.pack_triangle_records(scene, world_nrm,
+                                                prev_screen=prev_screen,
+                                                inv_w=setup["inv_w"])
+        # fused raster + record shading: per-pixel attributes materialize
+        # on the MXU while the tile's records are in VMEM, replacing the
+        # per-pixel record gather (the round-2 frame's hottest op)
+        vis, attrs = raster.rasterize_visibility_shaded(
+            setup, records, tiles_m, counts_m, w, h, cfg.tile_size)
         g = gbuffer.shade_gbuffer(
             vis, setup, scene, world_pos, world_nrm,
-            constants=constants, records=records,
+            constants=constants, attrs=attrs,
             with_velocity=cfg.use_velocity,
             textures=scene.get("textures") if self.scene_host.any_textured
             else None)
@@ -246,16 +249,28 @@ class DeferredRenderer:
                                     splits[i], splits[i + 1], near)
                 for i in range(scfg.cascade_count)
             ]
+            # translucent casters render into the per-cascade sRGB
+            # translucent map (csm.hpp:56-64) when the scene has any
+            tri_trans = None
+            tri_tint = None
+            if self.any_translucent or self.any_sorted or self.any_refract:
+                tri_trans = nonopaque
+                mat_id_s = scene["inst_material"][
+                    jnp.maximum(scene["tri_instance"], 0)]
+                mat_s = scene["materials"][mat_id_s]
+                tri_tint = jnp.concatenate(
+                    [mat_s[:, 0:3], mat_s[:, 9:10]], axis=-1)
             shadow_maps = csm_mod.render_cascades(
                 world_pos, scene["indices"], scene["tri_valid"], lvps, scfg,
                 tri_world=tri_world,
+                tri_translucent=tri_trans, tri_tint=tri_tint,
             )
             view_depth = m3.length(g["position"] - constants["camera_pos"])
             shadow = csm_mod.resolve_shadow(
                 g["position"], g["normal"], view_depth, shadow_maps,
                 jnp.stack(lvps), scfg, splits, constants["light_dir"],
             )
-            shadow = jnp.where(g["visible"], shadow, 1.0)
+            shadow = jnp.where(g["visible"][..., None], shadow, 1.0)
 
         # HBAO into the lighting AO term (hbao.cpp analog)
         ao = None
@@ -297,7 +312,8 @@ class DeferredRenderer:
                     # the cloud layer's transmittance (clouds.cpp shadows)
                     cshadow = clouds_mod.cloud_shadow(
                         g["position"], to_light, time=constants["time"])
-                    shadow = shadow * jnp.where(g["visible"], cshadow, 1.0)
+                    shadow = shadow * jnp.where(
+                        g["visible"], cshadow, 1.0)[..., None]
             sh = atm.sky_sh(to_light)
             refl = m3.reflect(-jnp.broadcast_to(
                 m3.normalize(constants["camera_pos"] - g["position"]),
@@ -436,9 +452,13 @@ class DeferredRenderer:
         if scale != 1.0:
             ldr = jax.image.resize(ldr, (cfg.height, cfg.width, 3), "linear")
 
-        # AA on the LDR buffer (fxaa.hpp:37), at display resolution
+        # AA on the LDR buffer (fxaa.hpp:37 / smaa.hpp:37), display res
         if cfg.use_fxaa:
-            ldr = fxaa_mod.apply_fxaa(ldr)
+            if getattr(cfg, "aa_mode", "fxaa") == "smaa":
+                from garden_tpu.render import smaa as smaa_mod
+                ldr = smaa_mod.apply_smaa(ldr)
+            else:
+                ldr = fxaa_mod.apply_fxaa(ldr)
 
         # UI pass after LdrRender (deferred.cpp:723-775): sprites + text
         if ui_atlas is not None and ui_sprites is not None:

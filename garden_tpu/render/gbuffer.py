@@ -90,15 +90,23 @@ def shade_gbuffer(
     records: Optional[Array] = None,
     with_velocity: bool = False,
     textures: Optional[Array] = None,
+    attrs: Optional[Array] = None,
 ) -> Dict[str, Array]:
-    """Reconstruct per-pixel attributes -> G-buffer planes (H, W, C)."""
+    """Reconstruct per-pixel attributes -> G-buffer planes (H, W, C).
+
+    attrs: optional (REC, H, W) per-pixel records already materialized by
+    the fused raster (raster.rasterize_visibility_shaded) — skips the
+    per-pixel record gather entirely (the round-2 frame's hottest op)."""
     tri = jnp.maximum(vis["tri_id"], 0)          # (H, W)
     visible = vis["tri_id"] >= 0
 
-    if records is None:
-        records = pack_triangle_records(scene, world_normals,
-                                        inv_w=setup["inv_w"])
-    rec = records[tri]                           # (H, W, 36): the ONE gather
+    if attrs is not None:
+        rec = jnp.moveaxis(attrs, 0, -1)         # (H, W, REC) dense
+    else:
+        if records is None:
+            records = pack_triangle_records(scene, world_normals,
+                                            inv_w=setup["inv_w"])
+        rec = records[tri]                       # (H, W, 36): the ONE gather
 
     b0 = vis["b0"]
     b1 = vis["b1"]

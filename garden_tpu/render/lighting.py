@@ -60,7 +60,7 @@ def resolve(
     g: Dict[str, Array],
     constants: Dict[str, Array],
     sun_intensity: float = 4.0,
-    shadow: Optional[Array] = None,     # (H, W) 1 = lit
+    shadow: Optional[Array] = None,     # (H, W) or (H, W, 3), 1 = lit
     ao: Optional[Array] = None,         # (H, W)
     ambient_intensity: float = 0.35,
     ambient_sh: Optional[Array] = None,  # (9, 3) sky SH radiance
@@ -84,7 +84,9 @@ def resolve(
         g["base_color"], g["metallic"], g["roughness"], g["reflectance"],
     ) * sun_intensity
     if shadow is not None:
-        direct = direct * shadow[..., None]
+        if shadow.ndim == 2:
+            shadow = shadow[..., None]
+        direct = direct * shadow
 
     if ambient_sh is not None:
         from garden_tpu.render import atmosphere as atm

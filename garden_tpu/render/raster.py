@@ -377,6 +377,213 @@ def rasterize_visibility(
     }
 
 
+
+
+def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
+                         b0_ref, b1_ref, attrs_ref, depth_s, id_s, b0_s,
+                         b1_s, slot_s,
+                         *, tile: int, tiles_x: int, rec: int, chunk: int):
+    """Visibility raster + in-VMEM record shading.
+
+    Phase 1 (VPU): the tournament raster loop of `_raster_kernel`, extended
+    to track each pixel's winning LOCAL slot (position in this tile's
+    triangle list) alongside the global triangle id. All running state
+    lives in FLAT (1, n_px) f32 scratch: Mosaic cannot reshape i1/i32
+    vectors between (tile, tile) and (1, n_px), so the loop never leaves
+    the flat layout; outputs reshape f32 once at the end.
+
+    Phase 2 (MXU): per-pixel shading attributes materialize as a one-hot
+    contraction attrs[:, px] = records @ onehot(slot[px]) while the tile's
+    (rec, C) record block is still in VMEM. This replaces the per-pixel
+    row gather of the (T, rec) record table from HBM — the single most
+    expensive op of the round-2 frame (~2M random rows, ~14 ms at 1080p).
+    The one-hot is built in chunks of `chunk` pixels to bound VMEM.
+    """
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile_idx = ty * tiles_x + tx
+    n_px = tile * tile
+    ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
+    col = (ixf % tile).astype(jnp.float32)
+    row = (ixf // tile).astype(jnp.float32)
+    px = (tx * tile + 0.5) + col            # (1, n_px)
+    py = (ty * tile + 0.5) + row
+
+    depth_s[:] = jnp.zeros((1, n_px), jnp.float32)
+    id_s[:] = jnp.full((1, n_px), -1.0, jnp.float32)
+    b0_s[:] = jnp.zeros((1, n_px), jnp.float32)
+    b1_s[:] = jnp.zeros((1, n_px), jnp.float32)
+    slot_s[:] = jnp.full((1, n_px), -1.0, jnp.float32)
+
+    def body(cb, _):
+        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (B, 16)
+        x0 = d[:, 0:1]
+        y0 = d[:, 1:2]
+        x1 = d[:, 2:3]
+        y1 = d[:, 3:4]
+        x2 = d[:, 4:5]
+        y2 = d[:, 5:6]
+        z0 = d[:, 6:7]
+        z1 = d[:, 7:8]
+        z2 = d[:, 8:9]
+        inv_area = d[:, 9:10]
+        tri_id = d[:, 10:11]
+        e0 = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+        e1 = (px - x2) * (y0 - y2) - (py - y2) * (x0 - x2)
+        e2 = (px - x0) * (y1 - y0) - (py - y0) * (x1 - x0)
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        b0 = e0 * inv_area
+        b1 = e1 * inv_area
+        z = b0 * z0 + b1 * z1 + (1.0 - b0 - b1) * z2
+        cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
+        zc = jnp.where(cand, z, 0.0)
+        slot0 = (cb * TRI_BLOCK + jax.lax.broadcasted_iota(
+            jnp.int32, (TRI_BLOCK, 1), 0)).astype(jnp.float32)
+
+        def merge(za, ia, ba, bb, sa, zb, ib, b2a, b2b, sb):
+            take_b = zb > za
+            return (jnp.where(take_b, zb, za), jnp.where(take_b, ib, ia),
+                    jnp.where(take_b, b2a, ba), jnp.where(take_b, b2b, bb),
+                    jnp.where(take_b, sb, sa))
+
+        zs = zc
+        ids = jnp.broadcast_to(tri_id, zc.shape)
+        b0s, b1s = b0, b1
+        slots = jnp.broadcast_to(slot0, zc.shape)
+        k = TRI_BLOCK
+        while k > 1:
+            h = k // 2
+            zs, ids, b0s, b1s, slots = merge(
+                zs[:h], ids[:h], b0s[:h], b1s[:h], slots[:h],
+                zs[h:k], ids[h:k], b0s[h:k], b1s[h:k], slots[h:k])
+            k = h
+
+        keep = zs > depth_s[:]               # (1, n_px), flat throughout
+        depth_s[:] = jnp.where(keep, zs, depth_s[:])
+        id_s[:] = jnp.where(keep, ids, id_s[:])
+        b0_s[:] = jnp.where(keep, b0s, b0_s[:])
+        b1_s[:] = jnp.where(keep, b1s, b1_s[:])
+        slot_s[:] = jnp.where(keep, slots, slot_s[:])
+        return 0
+
+    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    depth_ref[:] = depth_s[:].reshape(tile, tile)
+    id_ref[:] = id_s[:].reshape(tile, tile).astype(jnp.int32)
+    b0_ref[:] = b0_s[:].reshape(tile, tile)
+    b1_ref[:] = b1_s[:].reshape(tile, tile)
+
+    # phase 2: records -> per-pixel attrs by one-hot matmul, chunked
+    c = shade_ref.shape[2]
+    rows_per_chunk = chunk // tile
+    recs = shade_ref[0]                               # (rec, C)
+    for ch in range(n_px // chunk):
+        sl = slot_s[0:1, pl.ds(ch * chunk, chunk)]    # (1, chunk) f32
+        iota_c = jax.lax.broadcasted_iota(
+            jnp.int32, (c, chunk), 0).astype(jnp.float32)
+        onehot = (iota_c == sl).astype(jnp.float32)   # (C, chunk)
+        part = jnp.dot(recs, onehot,
+                       preferred_element_type=jnp.float32)  # (rec, chunk)
+        attrs_ref[:, pl.ds(ch * rows_per_chunk, rows_per_chunk), :] = \
+            part.reshape(rec, rows_per_chunk, tile)
+
+
+def rasterize_visibility_shaded(
+    setup: Dict[str, Array],
+    shade_records: Array,   # (T, REC) per-triangle shading records
+    tile_tris: Array,       # (tiles, C)
+    counts: Array,          # (tiles,)
+    width: int,
+    height: int,
+    tile: int,
+) -> Tuple[Dict[str, Array], Array]:
+    """Fused visibility raster + record shading.
+
+    Returns (vis dict as rasterize_visibility, attrs (REC, H, W)) where
+    attrs[:, y, x] is the winning triangle's shading record at each pixel
+    (zeros where no triangle covers the pixel). See _raster_shade_kernel.
+    """
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // tile)
+    n_tiles = tiles_x * tiles_y
+    if not _interpret() and not tpu_tile_legal(tile, width, height):
+        raise ValueError(
+            f"rasterize_visibility_shaded: tile={tile} is not TPU-legal for "
+            f"a {height}x{width} frame. Use tile_size=128."
+        )
+    pad_to = 128  # lane alignment for the (REC, C) record block
+    if tile_tris.shape[1] % pad_to:
+        pad = pad_to - tile_tris.shape[1] % pad_to
+        tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
+    c = tile_tris.shape[1]
+
+    t_count = setup["valid"].shape[0]
+    xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
+    records = jnp.concatenate(
+        [xy, setup["z"], setup["inv_area"][:, None],
+         jnp.zeros((t_count, 6), jnp.float32)],
+        axis=-1,
+    )  # (T, 16)
+    safe = jnp.maximum(tile_tris, 0)
+    data = records[safe]                                    # (tiles, C, 16)
+    data = data.at[:, :, 10].set(tile_tris.astype(jnp.float32))
+
+    rec_w = shade_records.shape[1]
+    rec_pad = (-rec_w) % 8                                  # sublane align
+    srec = jnp.pad(shade_records, ((0, 0), (0, rec_pad)))
+    rec = srec.shape[1]
+    # per-tile shade records, pre-transposed to (REC, C) so the kernel's
+    # matmul needs no in-VMEM transpose; invalid slots contribute zeros
+    shade = jnp.where((tile_tris >= 0)[:, :, None], srec[safe], 0.0)
+    shade = shade.transpose(0, 2, 1)                        # (tiles, REC, C)
+
+    grid = (tiles_y, tiles_x)
+    out_block = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+                             memory_space=pltpu.VMEM)
+    h_pad = tiles_y * tile
+    w_pad = tiles_x * tile
+    counts2d = counts.reshape(n_tiles, 1)
+    n_px = tile * tile
+    chunk = min(2048, n_px)
+
+    depth, tri_id, b0, b1, attrs = pl.pallas_call(
+        functools.partial(_raster_shade_kernel, tile=tile, tiles_x=tiles_x,
+                          rec=rec, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rec, c), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_block, out_block, out_block, out_block,
+                   pl.BlockSpec((rec, tile, tile),
+                                lambda ty, tx: (0, ty, tx),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((rec, h_pad, w_pad), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, n_px), jnp.float32)
+                        for _ in range(5)],
+        interpret=_interpret(),
+    )(counts2d, data, shade)
+
+    vis = {
+        "depth": depth[:height, :width],
+        "tri_id": tri_id[:height, :width],
+        "b0": b0[:height, :width],
+        "b1": b1[:height, :width],
+    }
+    return vis, attrs[:rec_w, :height, :width]
+
+
 def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
                   ro_ref, go_ref, bo_ref, *, tile: int, tiles_x: int):
     """Ordered alpha-blend raster: triangles composite src-over IN BIN ORDER

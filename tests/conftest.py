@@ -21,6 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+# persistent compile cache: the suite is dominated by per-test jit compiles
+# on CPU; caching them across runs turns the ~20-minute full suite into a
+# few minutes after the first run (VERDICT round-2 weak #7)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_report_header(config):

@@ -227,3 +227,76 @@ def test_async_resource_pipeline(tmp_path):
     rs.wait_all()
     assert abs(float(h1.value[0, 0, 1]) - 1.0) < 2 / 255
     rs.shutdown()
+
+
+def test_exr_roundtrip(tmp_path):
+    """Minimal EXR reader: uncompressed FLOAT and ZIPS HALF scanlines
+    (resource.hpp:136-151 lists exr among supported image formats)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from garden_tpu.assets.images import load_exr, load_image
+
+    def write_exr(path, img, compression=0, half=False):
+        h, w, _ = img.shape
+        ptype = 1 if half else 2
+        px = np.float16 if half else np.float32
+        chans = b""
+        for name in (b"B", b"G", b"R"):
+            chans += (name + b"\x00" + struct.pack("<i", ptype)
+                      + b"\x00\x00\x00\x00" + struct.pack("<ii", 1, 1))
+        chans += b"\x00"
+
+        def attr(name, atype, payload):
+            return (name + b"\x00" + atype + b"\x00"
+                    + struct.pack("<i", len(payload)) + payload)
+
+        dw = struct.pack("<4i", 0, 0, w - 1, h - 1)
+        hdr = b"\x76\x2f\x31\x01" + struct.pack("<i", 2)
+        hdr += attr(b"channels", b"chlist", chans)
+        hdr += attr(b"compression", b"compression", bytes([compression]))
+        hdr += attr(b"dataWindow", b"box2i", dw)
+        hdr += attr(b"displayWindow", b"box2i", dw)
+        hdr += attr(b"lineOrder", b"lineOrder", b"\x00")
+        hdr += attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        hdr += attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
+        hdr += attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        hdr += b"\x00"
+        blocks = []
+        for y in range(h):
+            line = b""
+            for c in (2, 1, 0):  # B, G, R (alphabetical channel order)
+                line += img[y, :, c].astype(px).tobytes()
+            if compression == 2:  # ZIPS: predictor + interleave + deflate
+                arr = np.frombuffer(line, np.uint8)
+                half_n = (len(arr) + 1) // 2
+                inter = np.empty(len(arr), np.uint8)
+                inter[:half_n] = arr[0::2]
+                inter[half_n:] = arr[1::2]
+                d = inter.astype(np.int64)
+                enc = np.empty_like(d)
+                enc[0] = d[0]
+                enc[1:] = (d[1:] - d[:-1] + 128) % 256
+                line = zlib.compress(enc.astype(np.uint8).tobytes())
+            blocks.append(struct.pack("<ii", y, len(line)) + line)
+        base = len(hdr) + 8 * h
+        offsets = b""
+        o = base
+        for bl in blocks:
+            offsets += struct.pack("<q", o)
+            o += len(bl)
+        with open(path, "wb") as f:
+            f.write(hdr + offsets + b"".join(blocks))
+
+    img = (np.random.RandomState(0).rand(6, 9, 3) * 4.0).astype(np.float32)
+    p1 = str(tmp_path / "f32.exr")
+    write_exr(p1, img, compression=0, half=False)
+    got = load_exr(p1)
+    np.testing.assert_allclose(got[..., :3], img, rtol=1e-6)
+
+    p2 = str(tmp_path / "h16.exr")
+    write_exr(p2, img, compression=2, half=True)
+    got = load_image(p2)   # via the extension dispatch
+    np.testing.assert_allclose(got[..., :3], img, rtol=2e-3)

@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,3 +61,35 @@ def test_checkpoint_roundtrip(tmp_path):
     n2 = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0))(restored)
     np.testing.assert_array_equal(np.asarray(n1["bodies"]["pos"]),
                                   np.asarray(n2["bodies"]["pos"]))
+
+
+@pytest.mark.slow
+def test_multihost_dcn_smoke():
+    """Two-process jax.distributed smoke (SURVEY 5.8 multi-host DCN path):
+    a world batch sharded across two 'hosts' over a localhost coordinator,
+    stepped and psum-reduced. Each process runs in a subprocess since
+    jax.distributed can only initialize once per process."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), coord],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i}: OK" in out, out

@@ -416,3 +416,323 @@ def test_capsule_and_hull_raycasts():
                        jnp.array([1.0, 0.0, 0.0]), 0.25)
     assert bool(s.hit) and int(s.body) == 0
     np.testing.assert_allclose(float(s.distance), 10.0 - 0.75, atol=1e-3)
+
+
+def test_broadphase_large_grid_many_bodies_no_key_overflow():
+    """grid_dim=64 with >8K bodies overflows a 31-bit (cell<<bits|body)
+    pack (19+14 bits); the variadic-sort fallback must keep collisions
+    working in the UPPER half of the grid (positive x), where wrapped
+    negative keys used to drop every candidate silently."""
+    cfg = PhysicsConfig(max_bodies=10240, grid_dim=64, cell_size=2.0,
+                        gravity=(0.0, 0.0, 0.0))
+    w = make_world(cfg)
+    s = w.shapes.sphere(0.5)
+    # overlapping pair deep in the positive-x half of the centered grid
+    w.add_body(s, position=(40.0, 0.0, 0.0))
+    w.add_body(s, position=(40.6, 0.0, 0.0))
+    # and a separated control pair in the negative half
+    w.add_body(s, position=(-40.0, 0.0, 0.0))
+    w.add_body(s, position=(-35.0, 0.0, 0.0))
+    for i in range(10236):
+        w.add_body(s, position=((i % 50) * 1.2 - 30.0,
+                                3.0 + (i // 2500) * 1.2,
+                                ((i // 50) % 50) * 1.2 - 30.0))
+    state = w.device_state()
+    contacts = jax.jit(lambda st: pw.collide(st, cfg))(state)
+    touching = np.asarray(contacts["valid"] & (contacts["pen"] > 0))
+    partner = np.asarray(contacts["partner"])
+    assert touching[0].any() and (partner[0][touching[0]] == 1).any()
+    assert touching[1].any() and (partner[1][touching[1]] == 0).any()
+    assert not (touching[2] & (partner[2] == 3)).any()
+
+
+def test_broadphase_fast_body_margin_clamp_keeps_candidates():
+    """A fast body's speculative AABB used to span >2 cells and silently
+    lose its candidates (home cell outside the clamped insertion block);
+    the margin clamp must keep the pair visible and the speculative
+    contact must stop the body at the wall."""
+    cfg = dataclasses.replace(CFG, gravity=(0.0, 0.0, 0.0))
+    w = make_world(cfg)
+    wall = w.shapes.box((0.5, 2.0, 2.0))
+    w.add_body(wall, position=(6.0, 0.0, 0.0), motion=pw.STATIC)
+    # 40 m/s toward the wall: raw margin would be ~0.73+speculative, and
+    # adding tangential speed pushes the span past 2 cells pre-clamp
+    w.add_body(w.shapes.sphere(0.4), position=(4.0, 0.0, 0.0),
+               linvel=(40.0, 0.0, 0.0))
+    state = w.device_state()
+    # one step in, the gap (~0.43) is inside the speculative margin: the
+    # pair must be visible through the broadphase despite the margin clamp
+    state = run_steps(state, cfg, 1)
+    contacts = jax.jit(lambda st: pw.collide(st, cfg))(state)
+    valid = np.asarray(contacts["valid"])
+    partner = np.asarray(contacts["partner"])
+    assert (valid[1] & (partner[1] == 0)).any(), "speculative pair lost"
+    state = run_steps(state, cfg, 11)
+    x = float(state["bodies"]["pos"][1, 0])
+    assert x < 5.2, f"tunneled through the wall: x={x}"
+
+
+def test_broadphase_oversized_static_box_is_global():
+    """A static box wider than 2 cells can't use the 2x2x2 grid insertion;
+    it must fall back to the global list so bodies still land on it."""
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    w.add_body(w.shapes.box((10.0, 0.5, 10.0)), position=(0, -0.5, 0),
+               motion=pw.STATIC)  # 20-unit slab in 2-unit cells
+    w.add_body(w.shapes.sphere(0.5), position=(7.0, 1.0, 7.0))
+    state = run_steps(w.device_state(), cfg, 90)
+    y = float(state["bodies"]["pos"][1, 1])
+    assert 0.4 < y < 0.6, f"fell through the oversized slab: y={y}"
+
+
+# -- triangle-mesh shape (MeshShape analog) ----------------------------------
+
+
+def _mesh_ground_world(cfg=None):
+    cfg = cfg or dataclasses.replace(CFG)
+    w = make_world(cfg)
+    v = np.array([[-10, 0, -10], [10, 0, -10], [10, 0, 10], [-10, 0, 10]],
+                 np.float32)
+    f = np.array([[0, 2, 1], [0, 3, 2]], np.int32)  # CCW from +y
+    w.add_body(w.shapes.mesh(v, f), motion=pw.STATIC)
+    return w
+
+
+@pytest.mark.slow
+def test_bodies_rest_on_mesh_ground():
+    """Sphere/box/capsule settle on a triangle-mesh ground, including the
+    box straddling the quad's internal diagonal edge (the classic
+    internal-edge catch must not fling or tilt it)."""
+    w = _mesh_ground_world()
+    w.add_body(w.shapes.sphere(0.5), position=(1.0, 2.0, 1.0))
+    w.add_body(w.shapes.box((0.4, 0.4, 0.4)), position=(-2.0, 2.0, -2.0))
+    w.add_body(w.shapes.capsule(0.3, 0.4), position=(3.0, 2.0, -3.0))
+    types = w.shapes.present_types()
+    state = run_steps(w.device_state(), w.config, 180, types)
+    pos = np.asarray(state["bodies"]["pos"])
+    assert abs(pos[1][1] - 0.5) < 0.06, pos[1]
+    assert abs(pos[2][1] - 0.4) < 0.06, pos[2]
+    assert 0.2 < pos[3][1] < 0.8, pos[3]
+
+
+def test_sphere_rolls_on_mesh_ramp():
+    """glTF-style concave level geometry: a mesh ramp redirects a dropped
+    sphere sideways (normals from triangle faces, not just up)."""
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    # ramp: two triangles tilted 30 degrees around z, apex at x=0
+    v = np.array([[0, 2, -4], [0, 2, 4], [4, 0, -4], [4, 0, 4],
+                  [-4, 0, -4], [-4, 0, 4]], np.float32)
+    f = np.array([[0, 2, 3], [0, 3, 1],      # +x slope
+                  [0, 1, 5], [0, 5, 4]], np.int32)  # -x slope
+    w.add_body(w.shapes.mesh(v, f), motion=pw.STATIC)
+    w.add_body(w.shapes.sphere(0.4), position=(0.8, 3.0, 0.0))
+    types = w.shapes.present_types()
+    state = run_steps(w.device_state(), cfg, 90, types)
+    pos = np.asarray(state["bodies"]["pos"])[1]
+    assert pos[0] > 1.5, pos  # rolled down the +x slope
+    assert np.isfinite(pos).all()
+
+
+def test_mesh_static_only():
+    w = _mesh_ground_world()
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2]], np.int32)
+    m = w.shapes.mesh(v, f)
+    with pytest.raises(ValueError):
+        w.add_body(m, motion=pw.DYNAMIC)
+
+
+def test_mesh_raycast_and_casts():
+    w = _mesh_ground_world()
+    from garden_tpu.physics import queries as pq
+    state = w.device_state()
+    hit = pq.cast_ray(state, jnp.array([5.0, 2.0, 5.0]),
+                      jnp.array([0.0, -1.0, 0.0]))
+    assert bool(hit.hit) and int(hit.body) == 0
+    np.testing.assert_allclose(float(hit.distance), 2.0, atol=0.05)
+    s = pq.cast_sphere(state, jnp.array([5.0, 2.0, 5.0]),
+                       jnp.array([0.0, -1.0, 0.0]), 0.25)
+    assert bool(s.hit) and abs(float(s.distance) - 1.75) < 0.1
+
+
+def test_hull_and_compound_shape_casts():
+    """Round-2 gap: cast_sphere must see HULL and COMPOUND targets (a
+    character on hull/compound stairs got NO_HIT probes)."""
+    from garden_tpu.physics import queries as pq
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    hull_pts = np.array([[x, y, z] for x in (-1, 1) for y in (-0.25, 0.25)
+                         for z in (-1, 1)], np.float32)
+    hull = w.shapes.hull(hull_pts)
+    w.add_body(hull, position=(3.0, 0.25, 0.0), motion=pw.STATIC)
+    box = w.shapes.box((0.5, 0.5, 0.5))
+    sphs = w.shapes.sphere(0.3)
+    comp = w.shapes.compound([(box, (0, 0.5, 0), (0, 0, 0, 1)),
+                              (sphs, (0, 1.3, 0), (0, 0, 0, 1))])
+    w.add_body(comp, position=(-3.0, 0.0, 0.0), motion=pw.STATIC)
+    state = w.device_state()
+    hit = pq.cast_sphere(state, jnp.array([3.0, 3.0, 0.0]),
+                         jnp.array([0.0, -1.0, 0.0]), 0.3)
+    assert bool(hit.hit) and int(hit.body) == 0
+    np.testing.assert_allclose(float(hit.distance), 2.2, atol=0.1)
+    hit = pq.cast_sphere(state, jnp.array([-3.0, 3.0, 0.0]),
+                         jnp.array([0.0, -1.0, 0.0]), 0.3)
+    assert bool(hit.hit) and int(hit.body) == 1
+
+
+@pytest.mark.slow
+def test_generic_cast_shape_conservative_advancement():
+    """castShape parity: sweep a BOX down onto a hull and onto a mesh
+    (pairs no analytic sphere cast covers)."""
+    from garden_tpu.physics import queries as pq
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    hull_pts = np.array([[x, y, z] for x in (-1, 1) for y in (-0.25, 0.25)
+                         for z in (-1, 1)], np.float32)
+    w.add_body(w.shapes.hull(hull_pts), position=(3.0, 0.25, 0.0),
+               motion=pw.STATIC)
+    v = np.array([[-10, 0, -10], [10, 0, -10], [10, 0, 10], [-10, 0, 10]],
+                 np.float32)
+    f = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    w.add_body(w.shapes.mesh(v, f), motion=pw.STATIC)
+    box = w.shapes.box((0.5, 0.5, 0.5))
+    state = w.device_state()
+    types = w.shapes.present_types()
+    hit = pq.cast_shape(state, box, jnp.array([3.0, 3.0, 0.0]),
+                        jnp.array([0.0, 0.0, 0.0, 1.0]),
+                        jnp.array([0.0, -1.0, 0.0]), max_distance=10.0,
+                        present_types=types)
+    assert bool(hit.hit) and int(hit.body) == 0
+    np.testing.assert_allclose(float(hit.distance), 2.0, atol=0.15)
+    hit = pq.cast_shape(state, box, jnp.array([6.0, 4.0, 6.0]),
+                        jnp.array([0.0, 0.0, 0.0, 1.0]),
+                        jnp.array([0.0, -1.0, 0.0]), max_distance=20.0,
+                        present_types=types)
+    assert bool(hit.hit) and int(hit.body) == 1
+    np.testing.assert_allclose(float(hit.distance), 3.5, atol=0.3)
+
+
+def test_hull_vs_compound_contacts():
+    """Round-2 advisor gap: HULL x COMPOUND pairs produced no contacts."""
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    hull_pts = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                         for z in (-0.5, 0.5)], np.float32)
+    hull = w.shapes.hull(hull_pts)
+    box = w.shapes.box((0.4, 0.4, 0.4))
+    comp = w.shapes.compound([(box, (0, 0, 0), (0, 0, 0, 1))])
+    w.add_body(comp, position=(0.0, 0.4, 0.0))
+    w.add_body(hull, position=(0.0, 1.4, 0.0))  # hull stacked on compound
+    types = w.shapes.present_types()
+    state = run_steps(w.device_state(), cfg, 120, types)
+    pos = np.asarray(state["bodies"]["pos"])
+    # hull rests on the compound instead of falling through it
+    assert pos[2][1] > 1.2, pos
+    assert np.isfinite(pos).all()
+
+
+@pytest.mark.slow
+def test_sleeping_stack_wakes_on_impact():
+    """allowSleeping parity (Jolt semantics): a stack that has gone to
+    sleep must WAKE and respond when a fast projectile hits it —
+    wake-on-contact, not just freeze (round-2 weak #6 pinned)."""
+    cfg = dataclasses.replace(CFG, sleep_enabled=True)
+    w = make_world(cfg)
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    box = w.shapes.box((0.5, 0.5, 0.5))
+    b0 = w.add_body(box, position=(0, 0.5, 0), friction=0.6)
+    b1 = w.add_body(box, position=(0, 1.5, 0), friction=0.6)
+    proj = w.add_body(w.shapes.sphere(0.4), position=(-30.0, 1.5, 0.0),
+                      mass_override=200.0)
+    state = w.device_state()
+    h = 1.0 / cfg.simulation_rate
+    stepf = jax.jit(lambda s: pw.step(s, cfg, h))
+    for _ in range(90):   # settle + fall asleep (timer 0.5s)
+        state = stepf(state)
+    assert bool(state["bodies"]["sleeping"][b1]), "stack never slept"
+    # fire the projectile at the top box
+    lv = state["bodies"]["linvel"].at[proj].set(
+        jnp.array([25.0, 0.0, 0.0]))
+    ps = state["bodies"]["pos"].at[proj].set(
+        jnp.array([-3.0, 1.5, 0.0]))
+    state = dict(state, bodies=dict(state["bodies"], linvel=lv, pos=ps))
+    for _ in range(30):
+        state = stepf(state)
+    pos = np.asarray(state["bodies"]["pos"])
+    vel = np.asarray(state["bodies"]["linvel"])
+    # the top box was knocked off: moved and/or moving
+    assert pos[b1, 0] > 0.3 or abs(vel[b1, 0]) > 0.5, (pos[b1], vel[b1])
+    assert np.isfinite(pos).all()
+
+
+@pytest.mark.slow
+def test_hull_hull_oblique_edge_contact():
+    """Two box-like hulls meeting edge-on obliquely must resolve via the
+    edge-cross SAT axes (round-2 weak #5: face-axis-only hull SAT let
+    oblique edge contacts interpenetrate). Stable over 300 steps."""
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    pts = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                    for z in (-0.5, 0.5)], np.float32)
+    hull = w.shapes.hull(pts)
+    w.add_body(hull, position=(0, 0.5, 0), friction=0.6)
+    # upper hull rotated 45 deg about X and 45 deg about Z: its lower edge
+    # crosses the lower hull's top edge obliquely
+    s, c = np.sin(np.pi / 8), np.cos(np.pi / 8)
+    qx = np.array([s, 0.0, 0.0, c])
+    qz = np.array([0.0, 0.0, s, c])
+    av, aw = qx[:3], qx[3]
+    bv, bw = qz[:3], qz[3]
+    v = aw * bv + bw * av + np.cross(av, bv)
+    q = np.array([v[0], v[1], v[2], aw * bw - np.dot(av, bv)], np.float32)
+    w.add_body(hull, position=(0.0, 1.75, 0.0), rotation=q, friction=0.6)
+    types = w.shapes.present_types()
+    state = run_steps(w.device_state(), cfg, 300, types)
+    pos = np.asarray(state["bodies"]["pos"])
+    # upper hull must stay supported well above the lower one (no sink-in)
+    assert pos[2, 1] > 1.15, pos[2]
+    assert pos[1, 1] > 0.4, pos[1]
+    assert np.isfinite(pos).all()
+
+
+def test_compound_vs_compound_contact():
+    """Two compound bodies must collide (round-2 gap: compound-compound
+    pairs were not generated at all): an aligned stack of two two-child
+    compounds rests instead of falling through."""
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
+    box = w.shapes.box((0.4, 0.4, 0.4))
+    # symmetric twin-box compound (stable footprint)
+    comp = w.shapes.compound([(box, (-0.5, 0, 0), (0, 0, 0, 1)),
+                              (box, (0.5, 0, 0), (0, 0, 0, 1))])
+    w.add_body(comp, position=(0.0, 0.4, 0.0), friction=0.6)
+    w.add_body(comp, position=(0.0, 1.3, 0.0), friction=0.6)
+    types = w.shapes.present_types()
+    state = run_steps(w.device_state(), cfg, 150, types)
+    pos = np.asarray(state["bodies"]["pos"])
+    # upper compound rests on the lower one (not fallen through)
+    assert pos[2, 1] > 1.05, pos[2]
+    assert np.isfinite(pos).all()
+
+
+def test_capsule_resting_on_box_edge():
+    """A capsule lying across a box edge must settle without rolling off
+    sideways from a wrong-normal single contact (round-2 weak #5)."""
+    cfg = dataclasses.replace(CFG)
+    w = make_world(cfg)
+    w.add_body(w.shapes.box((0.5, 0.5, 2.0)), position=(0, 0.5, 0),
+               motion=pw.STATIC)
+    # capsule axis along X, resting across the box's top surface
+    s, c = np.sin(np.pi / 4), np.cos(np.pi / 4)
+    w.add_body(w.shapes.capsule(0.2, 0.5), position=(0.0, 1.3, 0.0),
+               rotation=(0.0, 0.0, s, c), friction=0.6)
+    types = w.shapes.present_types()
+    state = run_steps(w.device_state(), cfg, 300, types)
+    pos = np.asarray(state["bodies"]["pos"])
+    # settled on top of the box (radius above the top face), not fallen off
+    assert 1.1 < pos[1, 1] < 1.3, pos[1]
+    assert abs(pos[1, 0]) < 0.3 and abs(pos[1, 2]) < 0.3, pos[1]

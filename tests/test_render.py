@@ -353,3 +353,125 @@ def test_aerial_perspective():
     assert float(s_far.mean()) > float(s_near.mean())   # more in-scatter
     assert np.isfinite(np.asarray(t_far)).all()
     assert (np.asarray(t_near) <= 1.0 + 1e-5).all()
+
+
+def test_aerial_perspective_matches_froxel_integration():
+    """Parity evidence for replacing the reference's 32^3 camera-volume
+    froxel LUT (shaders/atmosphere/constants.h:25) with 4-step analytic
+    aerial perspective: against a 64-step numerical integration of the
+    same single-scattering model (what the froxel volume tabulates), the
+    4-step version stays within a few percent over the 0-60 km depth
+    range the volume covers."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garden_tpu.core import math3d as m3
+    from garden_tpu.render import atmosphere as atm
+
+    sun = m3.normalize(jnp.array([0.3, 0.8, 0.2]))
+    # grid of view directions x depths
+    dirs = m3.normalize(jnp.array([
+        [1.0, 0.0, 0.0], [0.7, 0.2, 0.0], [0.7, -0.05, 0.1],
+        [0.0, 0.3, 1.0], [-0.5, 0.1, 0.5],
+    ]))
+    depths = jnp.array([0.5, 2.0, 10.0, 30.0, 60.0])
+
+    def reference_integration(depth_km, view_dir, steps=64):
+        """Fine Riemann quadrature of the same model — the froxel-volume
+        ground truth (each froxel slice stores exactly this integral)."""
+        v = m3.normalize(view_dir)
+        mu_v = v[..., 1]
+        cos_sun = m3.dot(v, sun)
+        ph_r = atm._phase_rayleigh(cos_sun)[..., None]
+        ph_m = atm._phase_mie(cos_sun)[..., None]
+        beta_r = jnp.asarray(atm.BETA_RAYLEIGH, jnp.float32)
+        dt = depth_km / steps
+        lum = jnp.zeros(v.shape[:-1] + (3,), jnp.float32)
+        tau = jnp.zeros(v.shape[:-1] + (3,), jnp.float32)
+        for i in range(steps):
+            t = (i + 0.5) * dt
+            y = jnp.maximum(0.2 + t * mu_v, 0.0)
+            dens_r = jnp.exp(-y / atm.H_RAYLEIGH)[..., None]
+            dens_m = jnp.exp(-y / atm.H_MIE)[..., None]
+            step_tau = (beta_r * dens_r + (atm.BETA_MIE_SCAT + atm.BETA_MIE_ABS)
+                        * dens_m) * dt[..., None]
+            t_view = jnp.exp(-(tau + 0.5 * step_tau))
+            t_sun = atm.sun_transmittance(y, jnp.broadcast_to(sun[1], y.shape))
+            scat = (beta_r * dens_r * ph_r
+                    + atm.BETA_MIE_SCAT * dens_m * ph_m)
+            lum = lum + atm.SUN_INTENSITY * scat * t_sun * t_view * dt[..., None]
+            tau = tau + step_tau
+        return jnp.exp(-tau), lum
+
+    for d in depths:
+        dd = jnp.full((dirs.shape[0],), d)
+        t4, s4 = atm.aerial_perspective(dd, dirs, sun)
+        t64, s64 = reference_integration(dd, dirs)
+        np.testing.assert_allclose(np.asarray(t4), np.asarray(t64),
+                                   rtol=0.05, atol=5e-3)
+        # in-scatter: relative to the sky's magnitude at that depth
+        ref_mag = float(jnp.max(jnp.abs(s64))) + 1e-6
+        assert float(jnp.max(jnp.abs(s4 - s64))) / ref_mag < 0.08
+
+
+def test_translucent_casters_tint_shadows():
+    """CSM translucent map (csm.hpp:56-64): a translucent red panel must
+    cast a red-tinted shadow on the ground (round-2 gap: depth-only maps
+    meant translucent casters shadowed nothing)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garden_tpu.core import math3d as m3
+    from garden_tpu.core.config import RenderConfig, ShadowConfig
+    from garden_tpu.render import mesh as rmesh
+    from garden_tpu.render.deferred import DeferredRenderer
+    from garden_tpu.systems.camera import common_constants
+
+    rcfg = RenderConfig(width=128, height=128, tile_size=128,
+                        max_vertices=512, max_triangles=512, max_instances=8,
+                        use_clouds=False, use_oit=True,
+                        shadow=ShadowConfig(map_size=128, cascade_count=2,
+                                            distance=40.0))
+    sc = rmesh.SceneBuffers(512, 512, 8)
+    gm = sc.add_material(rmesh.Material(base_color=(0.6, 0.6, 0.6)))
+    rm = sc.add_material(rmesh.Material(base_color=(1.0, 0.1, 0.1),
+                                        alpha=0.6))
+    sc.add_instance(rmesh.plane_grid(20.0, 2), material=gm)
+    sc.add_instance(rmesh.cube(1.5), material=rm)
+    ren = DeferredRenderer(rcfg, sc)
+    scene = ren.device_scene()
+    eye = jnp.array([0.0, 6.0, 10.0])
+    view = m3.look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = m3.perspective_reverse_z(1.0, 1.0, 0.1)
+    constants = common_constants(eye, view, proj,
+                                 jnp.array([0.0, -1.0, 0.01]),
+                                 (128, 128), 0.0, 1 / 60)
+    inst = jnp.broadcast_to(jnp.eye(4), (8, 4, 4))
+    inst = inst.at[1].set(m3.compose_trs(
+        jnp.array([[0.0, 3.0, 0.0]]), jnp.array([[0.0, 0, 0, 1.0]]),
+        jnp.ones((1, 3)))[0])
+    out = ren.render(scene, inst, constants, ren.initial_frame_state())
+    sh = np.asarray(out["shadow"])
+    assert sh.shape[-1] == 3
+    tinted = (sh[..., 0] > sh[..., 1] + 0.05).sum()
+    assert tinted > 50, f"no red-tinted shadow pixels ({tinted})"
+    assert np.isfinite(np.asarray(out["image"]).astype(np.float32)).all()
+
+
+def test_smaa_smooths_staircase():
+    """SMAA 1x (smaa.hpp:37 parity): a hard staircase edge gains
+    intermediate coverage values; flat regions stay untouched."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garden_tpu.render import smaa
+
+    img = np.zeros((32, 32, 3), np.float32)
+    for y in range(32):
+        img[y, : min(2 + y // 2, 32)] = 1.0
+    out = np.asarray(smaa.apply_smaa(jnp.asarray(img)))
+    mids = ((out > 0.05) & (out < 0.95)).sum()
+    assert mids > 20, mids
+    flat = jnp.ones((16, 16, 3)) * 0.5
+    np.testing.assert_allclose(np.asarray(smaa.apply_smaa(flat)), 0.5,
+                               atol=1e-6)

@@ -120,7 +120,7 @@ def main():
             shadow = csm_mod.resolve_shadow(g["position"], g["normal"], vd,
                                             maps, jnp.stack(lvps), scfg,
                                             splits, constants["light_dir"])
-            shadow = jnp.where(g["visible"], shadow, 1.0)
+            shadow = jnp.where(g["visible"][..., None], shadow, 1.0)
             if upto == "shadow":
                 return phys, shadow
             out = ren.render(scene, inst, constants, fs)
