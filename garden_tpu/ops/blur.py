@@ -128,3 +128,45 @@ def ggx_blur_chain(img: Array, levels: int = 4) -> list:
     for _ in range(levels):
         chain.append(downsample2x(gaussian_blur(chain[-1], radius=1)))
     return chain
+
+
+def bilateral_upsample_to(x: Array, guide_lo: Array, guide_full: Array,
+                          th: int, tw: int) -> Array:
+    """Depth-guided (joint bilateral) upsample of a low-res factor `x`
+    (h, w[, c]) to (th, tw[, c]) using a low-res guide (h, w) and the
+    full-res guide (th, tw) — typically view depth. Each output pixel
+    blends the repeated low-res neighborhood weighted by guide similarity,
+    so decimated shadow/AO factors keep crisp silhouettes at depth edges
+    (the industry half-res-resolve + bilateral-upsample pattern). All
+    dense ops (repeat + shifted adds); handles any power-of-two ratio by
+    repeated 2x application."""
+    chan = x.ndim == 3
+    if not chan:
+        x = x[..., None]
+
+    def up_to(a, h, w):
+        while a.shape[0] < h or a.shape[1] < w:
+            a = jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
+        return a[:h, :w]
+
+    upx = up_to(x, th, tw)
+    upg = up_to(guide_lo[..., None], th, tw)[..., 0]
+
+    def shift2(a, dy, dx):
+        pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
+        pad += [(0, 0)] * (a.ndim - 2)
+        p = jnp.pad(a, pad, mode="edge")
+        return p[max(dy, 0):max(dy, 0) + th, max(dx, 0):max(dx, 0) + tw]
+
+    eps = 1e-3
+    acc = jnp.zeros((th, tw, x.shape[-1]), x.dtype)
+    wsum = jnp.zeros((th, tw, 1), x.dtype)
+    scale = jnp.maximum(jnp.abs(guide_full), 1.0)
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1), (0, -1), (-1, 0)):
+        cand = shift2(upx, dy, dx)
+        g = shift2(upg[..., None], dy, dx)[..., 0]
+        w = 1.0 / (jnp.abs(g - guide_full) / scale + eps)
+        acc = acc + cand * w[..., None]
+        wsum = wsum + w[..., None]
+    out = acc / jnp.maximum(wsum, 1e-9)
+    return out if chan else out[..., 0]

@@ -424,9 +424,10 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
 #
 # Hulls are point clouds + outward face normals from the ShapeTable side pools
 # (ConvexHullShape analog, physics.hpp:103-153). The contact strategy mirrors
-# the box path: SAT over both hulls' face normals, then vertices past the
-# opposing support plane. Edge-cross axes are not enumerated for general hulls
-# (up to 32x32 crosses); face-axis SAT covers resting/stacking configurations.
+# the box path: SAT over both hulls' face normals PLUS the pairwise cross
+# products of each hull's distinct edge directions (up to 8 per hull, deduped
+# at build time — not 32x32 raw edge crosses), then vertices past the
+# opposing support plane. Edge contacts resolve along the winning cross axis.
 
 
 def _hull_world(p, q, params, tables):

@@ -98,20 +98,49 @@ def render_cascades(
     t = tri_world.shape[0]
     flat = tri_world.reshape(t * 3, 3)
     with_trans = tri_translucent is not None and tri_tint is not None
+    # ONE batched transform for all cascades (three separate apply_mat4_h
+    # calls cost ~2.3 ms of reshape copies at 123K tris)
+    c_count = len(light_view_projs)
+    lvp_all = jnp.stack(list(light_view_projs))          # (C, 4, 4)
+    hpos = jnp.concatenate([flat, jnp.ones_like(flat[..., :1])], axis=-1)
+    clip_all = m3.einsum("cij,vj->cvi", lvp_all, hpos)   # (C, V, 4)
+
+    # CASCADE ATLAS: all cascades raster side by side in one (S, C*S)
+    # target — one binning pass + one Pallas launch instead of three
+    # (per-cascade binning fixed costs measured ~8 ms/frame at 2048^2).
+    # Triangles carry their cascade index so clipped geometry extending
+    # past its ortho bounds cannot bleed into the neighbor's region
+    # (the atlas guard in raster._depth_kernel).
+    opaque_mask = tri_valid & (~tri_translucent if with_trans
+                               else jnp.ones_like(tri_valid))
+    fields = {k: [] for k in ("sx", "sy", "z", "inv_w", "inv_area",
+                              "xmin", "xmax", "ymin", "ymax", "valid")}
+    for ci in range(c_count):
+        s_i = raster.setup_triangles_tv(clip_all[ci].reshape(t, 3, 4),
+                                        opaque_mask, size, size)
+        off = jnp.float32(ci * size)
+        s_i["sx"] = s_i["sx"] + off
+        s_i["xmin"] = s_i["xmin"] + off
+        s_i["xmax"] = s_i["xmax"] + off
+        for k in fields:
+            fields[k].append(s_i[k])
+    atlas_setup = {k: jnp.concatenate(v, axis=0) for k, v in fields.items()}
+    tri_atlas = jnp.repeat(jnp.arange(c_count, dtype=jnp.int32), t)
+    tiles, counts = raster.bin_triangles(atlas_setup, c_count * size, size,
+                                         128, max_per_tile, foot=2)
+    atlas_depth = raster.rasterize_depth(atlas_setup, tiles, counts,
+                                         c_count * size, size, 128,
+                                         atlas_span=size,
+                                         tri_atlas=tri_atlas)
+    # (S, C*S) -> (C, S, S)
+    depth_all = jnp.swapaxes(
+        atlas_depth.reshape(size, c_count, size), 0, 1)
+
     maps = []
-    for lvp in light_view_projs:
-        tri_clip = m3.apply_mat4_h(lvp, flat).reshape(t, 3, 4)
-        # front faces only: sufficient for closed casters, and it keeps the
-        # same winding convention as the main pass
-        opaque_mask = tri_valid & (~tri_translucent if with_trans
-                                   else jnp.ones_like(tri_valid))
-        setup = raster.setup_triangles_tv(tri_clip, opaque_mask, size, size)
-        # foot=2: shadow casters are small in light space; a 4x smaller pair
-        # emission quarters the binning sort (big tris use the global list)
-        tiles, counts = raster.bin_triangles(setup, size, size, 128,
-                                             max_per_tile, foot=2)
-        depth = raster.rasterize_depth(setup, tiles, counts, size, size, 128)
+    for ci in range(c_count):
+        depth = depth_all[ci]
         if with_trans:
+            tri_clip = clip_all[ci].reshape(t, 3, 4)
             tsetup = raster.setup_triangles_tv(
                 tri_clip, tri_valid & tri_translucent, size, size)
             ttiles, tcounts = raster.bin_triangles(
@@ -150,11 +179,15 @@ def resolve_shadow(
     size = cfg.map_size
     c_count = shadow_maps.shape[0]
 
-    # decimated resolve: the shadow-map lookup gather dominates; resolve at
-    # half resolution and upsample the factor at the end. Decimation is a
-    # dense mean-pool (a strided slice lowers to a ~3 GB/s gather on TPU).
+    # decimated resolve: the shadow-map lookup gather is latency-bound per
+    # pixel (full-res packed-row taps measured 46 ms/frame at 1080p), so
+    # the compare tap runs every `resolve_step` pixels and the factor
+    # upsamples DEPTH-GUIDED (joint bilateral) so silhouettes stay crisp
+    # at geometry edges. The translucent tint map is low-frequency and
+    # always resolves at >= quarter density.
     step = max(int(getattr(cfg, "resolve_step", 1)), 1)
     full_shape = position.shape[:2]
+    view_depth_full = view_depth
     if step > 1:
         from garden_tpu.ops.blur import decimate2x
         # power-of-two knob (validated in ShadowConfig): each level is one
@@ -196,18 +229,61 @@ def resolve_shadow(
     # factor: per-pixel gathers cost ~15ms each at 1080p on TPU, so the PCF
     # softening moves from light space (9 gathers) to screen space (8 dense
     # shifted adds, ~free) — visually equivalent for small radii
-    maps_flat = shadow_maps.reshape(-1, shadow_maps.shape[-1])
+    # depth compare: SCALAR tap from a contiguous depth plane (scalar
+    # gathers price per element; 8-lane packed rows at full res cost 3x)
+    depth_plane = shadow_maps[..., 0].reshape(-1)
     flat = cascade * (size * size) \
         + jnp.clip(v.astype(jnp.int32), 0, size - 1) * size \
         + jnp.clip(u.astype(jnp.int32), 0, size - 1)
-    row = maps_flat[flat]                     # ONE row gather: all planes
-    occ = row[..., 0]
+    occ = depth_plane[flat]
     lit = jnp.where(z >= occ, 1.0, 0.0)
     lit = jnp.where(inside & in_range, lit, 1.0)
-    # translucent modulation: receivers beyond a translucent caster get its
-    # transmitted tint (sRGB translucent map, csm.hpp:56-64)
-    tint = jnp.where(((z < row[..., 4]) & inside & in_range)[..., None],
-                     row[..., 1:4], 1.0)
+
+    # translucent modulation at quarter density (the tint map is
+    # low-frequency): recompute the projection on further-decimated
+    # positions — strided slices of the full-res index arrays lower to
+    # slow gathers on TPU (~6 ms measured), dense decimation + a small
+    # re-projection is ~free
+    from garden_tpu.ops.blur import bilateral_upsample_to, decimate2x
+    tsub = max(4 // step, 1)
+    if tsub > 1:
+        pos_t, nrm_t, vd_t = position, normal, view_depth
+        for _ in range(int(np.log2(tsub))):
+            pos_t = decimate2x(pos_t)
+            nrm_t = decimate2x(nrm_t)
+            vd_t = decimate2x(vd_t)
+        casc_t = jnp.zeros_like(vd_t, dtype=jnp.int32)
+        for i in range(1, c_count):
+            casc_t = jnp.where(vd_t > splits[i], i, casc_t)
+        hpos_t = jnp.concatenate(
+            [pos_t + nrm_t * cfg.bias_normal,
+             jnp.ones_like(pos_t[..., :1])], -1)
+        u_t = jnp.zeros_like(vd_t)
+        v_t = jnp.zeros_like(vd_t)
+        z_t = jnp.zeros_like(vd_t)
+        for i in range(c_count):
+            h_i = m3.einsum("ij,hwj->hwi", light_view_projs[i], hpos_t)
+            uvz = h_i[..., :3] / jnp.maximum(h_i[..., 3:4], 1e-9)
+            sel = casc_t == i
+            u_t = jnp.where(sel, (uvz[..., 0] * 0.5 + 0.5) * size, u_t)
+            v_t = jnp.where(sel, (0.5 - uvz[..., 1] * 0.5) * size, v_t)
+            z_t = jnp.where(sel, uvz[..., 2], z_t)
+        z_t = z_t + cfg.bias_constant
+        ok_t = ((u_t >= 1) & (u_t < size - 1) & (v_t >= 1)
+                & (v_t < size - 1) & (vd_t < splits[-1]))
+        flat_t = casc_t * (size * size) \
+            + jnp.clip(v_t.astype(jnp.int32), 0, size - 1) * size \
+            + jnp.clip(u_t.astype(jnp.int32), 0, size - 1)
+    else:
+        flat_t, z_t, ok_t = flat, z, inside & in_range
+    trow = shadow_maps[..., 1:5].reshape(-1, 4)[flat_t]
+    tint_lo = jnp.where(((z_t < trow[..., 3]) & ok_t)[..., None],
+                        trow[..., 0:3], 1.0)
+    if tsub > 1:
+        tint = jnp.repeat(jnp.repeat(tint_lo, tsub, axis=0), tsub, axis=1)
+        tint = tint[:lit.shape[0], :lit.shape[1]]
+    else:
+        tint = tint_lo
 
     r = cfg.pcf_radius
     if r > 0:
@@ -222,13 +298,9 @@ def resolve_shadow(
                 acc = acc + sh
                 n += 1
         lit = acc / n
-    lit = lit[..., None] * tint               # (H, W, 3)
+    lit = lit[..., None] * tint               # (h, w, 3)
     if step > 1:
-        from garden_tpu.ops.blur import upsample2x_to
-        for _ in range(int(np.log2(step))):
-            target = (min(lit.shape[0] * 2, full_shape[0]),
-                      min(lit.shape[1] * 2, full_shape[1]))
-            lit = upsample2x_to(lit, *target)
-        if lit.shape[:2] != tuple(full_shape):
-            lit = upsample2x_to(lit, *full_shape)
+        # depth-guided upsample: crisp shadow silhouettes at depth edges
+        lit = bilateral_upsample_to(lit, view_depth, view_depth_full,
+                                    full_shape[0], full_shape[1])
     return lit

@@ -202,12 +202,52 @@ def bin_triangles(
     big_tile = jnp.broadcast_to(big_list[None, :], (n_tiles, max_big))
 
     tile_tris = jnp.concatenate([big_tile, tile_tris], axis=1)
-    counts = jnp.sum(tile_tris >= 0, axis=1).astype(jnp.int32)
-    # compact: move valid entries to the front so the kernel's dynamic trip
-    # count covers them (big list may have holes)
-    order2 = jnp.argsort(jnp.where(tile_tris >= 0, 0, 1), axis=1, stable=True)
-    tile_tris = jnp.take_along_axis(tile_tris, order2, axis=1)
+    # no hole compaction: the only holes sit in the shared big-list prefix
+    # and every raster kernel skips tri_id < 0 slots, so the trip count
+    # just covers the last valid big slot plus the tile's (already dense)
+    # grid entries. The old argsort+take_along compaction cost ~2.5 ms at
+    # 2048^2 cascade scale vs a few spare skipped blocks here.
+    big_iota = jnp.arange(max_big, dtype=jnp.int32)
+    big_span = jnp.max(jnp.where(big_list >= 0, big_iota + 1, 0))
+    grid_count = jnp.sum(tile_tris[:, max_big:] >= 0, axis=1)
+    # grid entries start at index max_big, so any tile WITH grid entries
+    # must loop across the whole big prefix (holes are skipped in-kernel);
+    # tiles with only big entries stop at the last valid big slot
+    counts = jnp.where(grid_count > 0, max_big + grid_count,
+                       big_span).astype(jnp.int32)
     return tile_tris, counts
+
+
+
+
+def _pack_edge_records(setup: Dict[str, Array]) -> Array:
+    """(T, 16) per-triangle records in edge-COEFFICIENT form:
+    [a0 a1 a2 | b0 b1 b2 | c0 c1 c2 | S | z2 | dz0 | dz1 | inv_area |
+     tri_id(slot 14 set by callers) | pad].
+
+    e_k(px, py) = a_k*px + b_k*py + c_k, and e0+e1+e2 = S (= -area,
+    positive for front faces), so the raster inner loop is 2 FMAs per edge
+    plus one subtraction for e2 — about half the per-(triangle, pixel) VPU
+    work of evaluating the three edge determinants from vertex positions
+    (the raster kernels are VPU-compute-bound; measured ~2x on cascade-
+    saturated tiles). Built with whole-(T,3) column math (rolls), since
+    per-column slices of (T,3) arrays force layout copies on TPU."""
+    sx, sy, z = setup["sx"], setup["sy"], setup["z"]      # (T, 3)
+    sx1 = jnp.roll(sx, -1, axis=1)                        # (x1, x2, x0)
+    sy1 = jnp.roll(sy, -1, axis=1)
+    sx2 = jnp.roll(sx, -2, axis=1)                        # (x2, x0, x1)
+    sy2 = jnp.roll(sy, -2, axis=1)
+    a = sy2 - sy1                                         # (T, 3)
+    b = -(sx2 - sx1)
+    c = sy1 * (sx2 - sx1) - sx1 * (sy2 - sy1)
+    # S = e0 at v0 (e1, e2 vanish there)
+    s_const = (a[:, 0] * sx[:, 0] + b[:, 0] * sy[:, 0] + c[:, 0])[:, None]
+    z2 = z[:, 2:3]
+    dz = z[:, 0:2] - z2                                   # (T, 2)
+    t_count = sx.shape[0]
+    return jnp.concatenate(
+        [a, b, c, s_const, z2, dz, setup["inv_area"][:, None],
+         jnp.zeros((t_count, 2), jnp.float32)], axis=-1)  # (T, 16)
 
 
 TRI_BLOCK = 16  # triangles per kernel iteration (sublane batch; 16 amortizes
@@ -241,27 +281,17 @@ def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
     b1_ref[:] = jnp.zeros((tile, tile), jnp.float32)
 
     def body(cb, _):
-        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (8, 16)
-        x0 = d[:, 0:1]
-        y0 = d[:, 1:2]
-        x1 = d[:, 2:3]
-        y1 = d[:, 3:4]
-        x2 = d[:, 4:5]
-        y2 = d[:, 5:6]
-        z0 = d[:, 6:7]
-        z1 = d[:, 7:8]
-        z2 = d[:, 8:9]
-        inv_area = d[:, 9:10]
-        tri_id = d[:, 10:11]
-        # edge functions: front faces are CW after the y-flip, so interior
-        # pixels have e_i >= 0 and e0+e1+e2 = -area > 0.  (8, n_px) each.
-        e0 = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
-        e1 = (px - x2) * (y0 - y2) - (py - y2) * (x0 - x2)
-        e2 = (px - x0) * (y1 - y0) - (py - y0) * (x1 - x0)
+        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (B, 16)
+        # edge-coefficient records (_pack_edge_records): e = a*px + b*py + c
+        e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
+        e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
+        e2 = d[:, 9:10] - e0 - e1            # e0+e1+e2 = S (= -area)
+        inv_area = d[:, 13:14]
+        tri_id = d[:, 14:15]
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         b0 = e0 * inv_area
         b1 = e1 * inv_area
-        z = b0 * z0 + b1 * z1 + (1.0 - b0 - b1) * z2
+        z = d[:, 10:11] + b0 * d[:, 11:12] + b1 * d[:, 12:13]
         # padded/invalid slots have inv_area == 0 -> z == z2 but tri_id < 0
         cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
         zc = jnp.where(cand, z, 0.0)
@@ -328,18 +358,10 @@ def rasterize_visibility(
     # no second indexed input. Records are packed densely FIRST so the
     # per-tile fetch is ONE contiguous row gather (11 separate field gathers
     # cost ~10x more: TPU random gathers pay per element, not per byte).
-    t_count = setup["valid"].shape[0]
-    # [x0 y0 x1 y1 x2 y2] via one interleave (per-column slices of (T,3)
-    # arrays each force a layout copy on TPU — measured ~8ms of copies)
-    xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
-    records = jnp.concatenate(
-        [xy, setup["z"], setup["inv_area"][:, None],
-         jnp.zeros((t_count, 6), jnp.float32)],
-        axis=-1,
-    )  # (T, 16)
+    records = _pack_edge_records(setup)                     # (T, 16)
     safe = jnp.maximum(tile_tris, 0)
     data = records[safe]                                    # (tiles, C, 16)
-    data = data.at[:, :, 10].set(tile_tris.astype(jnp.float32))
+    data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
 
     grid = (tiles_y, tiles_x)
     out_block = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
@@ -417,24 +439,16 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
 
     def body(cb, _):
         d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (B, 16)
-        x0 = d[:, 0:1]
-        y0 = d[:, 1:2]
-        x1 = d[:, 2:3]
-        y1 = d[:, 3:4]
-        x2 = d[:, 4:5]
-        y2 = d[:, 5:6]
-        z0 = d[:, 6:7]
-        z1 = d[:, 7:8]
-        z2 = d[:, 8:9]
-        inv_area = d[:, 9:10]
-        tri_id = d[:, 10:11]
-        e0 = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
-        e1 = (px - x2) * (y0 - y2) - (py - y2) * (x0 - x2)
-        e2 = (px - x0) * (y1 - y0) - (py - y0) * (x1 - x0)
+        # edge-coefficient records (_pack_edge_records): e = a*px + b*py + c
+        e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
+        e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
+        e2 = d[:, 9:10] - e0 - e1            # e0+e1+e2 = S (= -area)
+        inv_area = d[:, 13:14]
+        tri_id = d[:, 14:15]
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         b0 = e0 * inv_area
         b1 = e1 * inv_area
-        z = b0 * z0 + b1 * z1 + (1.0 - b0 - b1) * z2
+        z = d[:, 10:11] + b0 * d[:, 11:12] + b1 * d[:, 12:13]
         cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
         zc = jnp.where(cand, z, 0.0)
         slot0 = (cb * TRI_BLOCK + jax.lax.broadcasted_iota(
@@ -518,16 +532,10 @@ def rasterize_visibility_shaded(
         tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
     c = tile_tris.shape[1]
 
-    t_count = setup["valid"].shape[0]
-    xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
-    records = jnp.concatenate(
-        [xy, setup["z"], setup["inv_area"][:, None],
-         jnp.zeros((t_count, 6), jnp.float32)],
-        axis=-1,
-    )  # (T, 16)
+    records = _pack_edge_records(setup)                     # (T, 16)
     safe = jnp.maximum(tile_tris, 0)
     data = records[safe]                                    # (tiles, C, 16)
-    data = data.at[:, :, 10].set(tile_tris.astype(jnp.float32))
+    data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
 
     rec_w = shade_records.shape[1]
     rec_pad = (-rec_w) % 8                                  # sublane align
@@ -710,6 +718,50 @@ def rasterize_sorted_blend(
                       b[:height, :width]], axis=-1)
 
 
+def _depth_kernel(count_ref, data_ref, depth_ref,
+                  *, tile: int, tiles_x: int, atlas_span: int = 0):
+    """Depth-only raster (shadow cascades): the edge-coefficient loop of
+    _raster_kernel with a plain max-reduce instead of the id/barycentric
+    tournament — ~40% less VPU work per (triangle, pixel), and shadow maps
+    are the most raster-saturated passes of the frame (3 cascades at
+    2048^2 over a dense caster pile)."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile_idx = ty * tiles_x + tx
+    n_px = tile * tile
+    ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
+    col = (ixf % tile).astype(jnp.float32)
+    row = (ixf // tile).astype(jnp.float32)
+    px = (tx * tile + 0.5) + col
+    py = (ty * tile + 0.5) + row
+
+    depth_ref[:] = jnp.zeros((tile, tile), jnp.float32)
+
+    def body(cb, _):
+        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]
+        e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
+        e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
+        e2 = d[:, 9:10] - e0 - e1
+        inv_area = d[:, 13:14]
+        tri_id = d[:, 14:15]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        z = (d[:, 10:11] + e0 * inv_area * d[:, 11:12]
+             + e1 * inv_area * d[:, 12:13])
+        cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
+        if atlas_span > 0:
+            # cascade-atlas guard: lane 15 = sub-rect index; triangles
+            # whose clipped geometry extends past their cascade's ortho
+            # bounds must not bleed into the neighbor's atlas region
+            x0a = d[:, 15:16] * atlas_span
+            cand &= (px >= x0a) & (px < x0a + atlas_span)
+        zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(tile, tile)
+        depth_ref[:] = jnp.maximum(depth_ref[:], zs)
+        return 0
+
+    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+
 def rasterize_depth(
     setup: Dict[str, Array],
     tile_tris: Array,
@@ -717,11 +769,48 @@ def rasterize_depth(
     width: int,
     height: int,
     tile: int,
+    atlas_span: int = 0,
+    tri_atlas: Array = None,
 ) -> Array:
     """Depth-only raster (shadow maps: the CSM cascade passes,
-    csm.hpp:36-64). Same kernel, only the depth plane consumed."""
-    vis = rasterize_visibility(setup, tile_tris, counts, width, height, tile)
-    return vis["depth"]
+    csm.hpp:36-64) via the reduced _depth_kernel."""
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // tile)
+    n_tiles = tiles_x * tiles_y
+    if not _interpret() and not tpu_tile_legal(tile, width, height):
+        raise ValueError(
+            f"rasterize_depth: tile={tile} is not TPU-legal for a "
+            f"{height}x{width} target. Use tile_size=128.")
+    if tile_tris.shape[1] % TRI_BLOCK:
+        pad = TRI_BLOCK - tile_tris.shape[1] % TRI_BLOCK
+        tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
+    c = tile_tris.shape[1]
+    records = _pack_edge_records(setup)
+    if tri_atlas is not None:
+        records = records.at[:, 15].set(tri_atlas.astype(jnp.float32))
+    safe = jnp.maximum(tile_tris, 0)
+    data = records[safe]
+    data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
+    counts2d = counts.reshape(n_tiles, 1)
+    h_pad = tiles_y * tile
+    w_pad = tiles_x * tile
+    depth = pl.pallas_call(
+        functools.partial(_depth_kernel, tile=tile, tiles_x=tiles_x,
+                          atlas_span=atlas_span),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, 16),
+                         lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        interpret=_interpret(),
+    )(counts2d, data)
+    return depth[:height, :width]
 
 
 def render_pass(

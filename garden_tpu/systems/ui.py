@@ -77,6 +77,18 @@ def resolve_rects(store: Dict[str, np.ndarray], frame_w: float, frame_h: float
     return rects
 
 
+
+def _component_ids(w, *stores) -> "np.ndarray":
+    """Indices of alive entities that have ALL the given component stores —
+    a vectorized mask intersection, so per-widget host loops scan only the
+    actual widgets instead of the full entity capacity (round-2 weak #10:
+    4096-wide Python scans per widget system per frame)."""
+    mask = w._alive.copy()
+    for s in stores:
+        mask &= np.asarray(s["has"])
+    return np.nonzero(mask)[0]
+
+
 class UiTransformSystem(System):
     component = UI_TRANSFORM
 
@@ -105,9 +117,8 @@ class UiButtonSystem(System):
         rects = resolve_rects(t, *frame_size)
         cx, cy = cursor
         clicked = []
-        for e in range(w.capacity):
-            if not (w._alive[e] and t["has"][e] and b["has"][e]
-                    and t["visible"][e] and b["enabled"][e]):
+        for e in _component_ids(w, t, b):
+            if not (t["visible"][e] and b["enabled"][e]):
                 continue
             x, y, ww, hh = rects[e]
             inside = x <= cx < x + ww and y <= cy < y + hh
@@ -187,9 +198,8 @@ class UiLabelSystem(System):
             return
         rects = resolve_rects(t, *frame_size)
         scissor = _active_scissor(w, rects)
-        for e in range(w.capacity):
-            if not (w._alive[e] and t["has"][e] and l["has"][e]
-                    and t["visible"][e]):
+        for e in _component_ids(w, t, l):
+            if not t["visible"][e]:
                 continue
             x, y, _, hh = rects[e]
             mark = batch._count
@@ -228,9 +238,8 @@ class UiInputSystem(System):
             return
         rects = resolve_rects(t, *frame_size)
         cx, cy = cursor
-        for e in range(w.capacity):
-            if not (w._alive[e] and t["has"][e] and s["has"][e]
-                    and s["enabled"][e]):
+        for e in _component_ids(w, t, s):
+            if not s["enabled"][e]:
                 continue
             x, y, ww, hh = rects[e]
             s["focused"][e] = (x <= cx < x + ww and y <= cy < y + hh)
@@ -244,8 +253,8 @@ class UiInputSystem(System):
         s = w._stores.get("ui_input")
         if s is None:
             return
-        for e in range(w.capacity):
-            if not (w._alive[e] and s["has"][e] and s["focused"][e]):
+        for e in _component_ids(w, s):
+            if not s["focused"][e]:
                 continue
             txt = self._text.get(e, "")
             cur = int(s["cursor"][e])
@@ -273,9 +282,7 @@ class UiInputSystem(System):
             return
         rects = resolve_rects(t, *frame_size)
         scissor = _active_scissor(w, rects)
-        for e in range(w.capacity):
-            if not (w._alive[e] and t["has"][e] and s["has"][e]):
-                continue
+        for e in _component_ids(w, t, s):
             x, y, ww, hh = rects[e]
             mark = batch._count
             txt = self._text.get(e, "")
@@ -324,9 +331,8 @@ class UiTriggerSystem(System):
         rects = resolve_rects(t, *frame_size)
         cx, cy = cursor
         events: List[Tuple[int, str]] = []
-        for e in range(w.capacity):
-            if not (w._alive[e] and t["has"][e] and g["has"][e]
-                    and g["enabled"][e]):
+        for e in _component_ids(w, t, g):
+            if not g["enabled"][e]:
                 continue
             x, y, ww, hh = rects[e]
             inside = x <= cx < x + ww and y <= cy < y + hh

@@ -52,6 +52,7 @@ def test_sphere_rests_on_plane():
     assert speed < 0.05, speed
 
 
+@pytest.mark.slow
 def test_sphere_bounce_restitution():
     w = make_world()
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
@@ -87,6 +88,7 @@ def test_box_rests_on_plane():
     assert abs(pos[0]) < 1e-3 and abs(pos[2]) < 1e-3
 
 
+@pytest.mark.slow
 def test_box_stack_stable():
     w = make_world()
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
@@ -211,6 +213,7 @@ def test_box_box_edge_edge_axis():
     assert n[1] > 0.5, n
 
 
+@pytest.mark.slow
 def test_oblique_box_stack_no_interpenetration():
     """A 45-degree-rotated box dropped on an axis-aligned box must come to
     rest without sinking through (needs edge-edge axes in the manifold)."""
@@ -252,6 +255,7 @@ def test_box_rests_on_heightfield():
     assert surf + 0.3 < pos[1] < surf + 0.8, (pos, surf)
 
 
+@pytest.mark.slow
 def test_sphere_rolls_down_heightfield_slope():
     """Golden trajectory: on a frictionless slope the sphere slides downhill
     (-x for a +x-rising field); its x must decrease monotonically once
@@ -291,6 +295,7 @@ def test_hull_rests_on_plane():
     assert speed < 0.1, speed
 
 
+@pytest.mark.slow
 def test_hull_stack_at_rest():
     """Two stacked hulls stay stacked (hull-hull SAT manifold)."""
     w = make_world()
@@ -311,6 +316,7 @@ def test_hull_stack_at_rest():
     assert speed < 0.2, speed
 
 
+@pytest.mark.slow
 def test_compound_dumbbell_rests():
     """Compound of two spheres (dumbbell) rests on the plane on both ends
     (StaticCompoundShape analog)."""
@@ -360,6 +366,7 @@ def test_hull_mass_matches_box():
     np.testing.assert_allclose(inertia, bi, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sleeping_bodies_freeze():
     """Sleep system (allowSleeping analog): a settled body sleeps and holds
     its pose bit-exactly; velocities zero out."""
@@ -418,6 +425,7 @@ def test_capsule_and_hull_raycasts():
     np.testing.assert_allclose(float(s.distance), 10.0 - 0.75, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_broadphase_large_grid_many_bodies_no_key_overflow():
     """grid_dim=64 with >8K bodies overflows a 31-bit (cell<<bits|body)
     pack (19+14 bits); the variadic-sort fallback must keep collisions
@@ -515,6 +523,7 @@ def test_bodies_rest_on_mesh_ground():
     assert 0.2 < pos[3][1] < 0.8, pos[3]
 
 
+@pytest.mark.slow
 def test_sphere_rolls_on_mesh_ramp():
     """glTF-style concave level geometry: a mesh ramp redirects a dropped
     sphere sideways (normals from triangle faces, not just up)."""
@@ -613,6 +622,7 @@ def test_generic_cast_shape_conservative_advancement():
     np.testing.assert_allclose(float(hit.distance), 3.5, atol=0.3)
 
 
+@pytest.mark.slow
 def test_hull_vs_compound_contacts():
     """Round-2 advisor gap: HULL x COMPOUND pairs produced no contacts."""
     cfg = dataclasses.replace(CFG)
@@ -698,6 +708,7 @@ def test_hull_hull_oblique_edge_contact():
     assert np.isfinite(pos).all()
 
 
+@pytest.mark.slow
 def test_compound_vs_compound_contact():
     """Two compound bodies must collide (round-2 gap: compound-compound
     pairs were not generated at all): an aligned stack of two two-child
@@ -719,6 +730,7 @@ def test_compound_vs_compound_contact():
     assert np.isfinite(pos).all()
 
 
+@pytest.mark.slow
 def test_capsule_resting_on_box_edge():
     """A capsule lying across a box edge must settle without rolling off
     sideways from a wrong-normal single contact (round-2 weak #5)."""

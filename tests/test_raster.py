@@ -137,5 +137,7 @@ def test_overflow_drops_farthest_with_priority():
                                          max_per_tile=8, max_big=4,
                                          priority=prio)
     kept = sorted(int(x) for x in np.asarray(tiles[0]) if x >= 0)
-    assert int(counts[0]) == 8
+    # counts is the kernel trip bound: it spans the (hole-skipped) big-list
+    # prefix plus the tile's grid entries (no compaction — see bin_triangles)
+    assert int(counts[0]) == 4 + 8
     assert kept == sorted(range(T - 8, T))  # exactly the nearest 8
