@@ -63,6 +63,23 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(n2["bodies"]["pos"]))
 
 
+def test_dryrun_multichip_under_time_budget():
+    """Regression net for the round-3 MULTICHIP rc=124 timeout: the driver's
+    dryrun must finish quickly on the 8-device CPU mesh. The round-3 failure
+    was full-size 2048^2 shadow cascades leaking into the tiny-shape dryrun
+    (interpret-mode Pallas x 8 devices -> >570 s)."""
+    import time
+
+    import __graft_entry__ as graft
+
+    t0 = time.monotonic()
+    graft.dryrun_multichip(8)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120.0, (
+        f"dryrun_multichip(8) took {elapsed:.0f}s — the driver runs this "
+        "with a hard timeout; keep the dryrun config tiny")
+
+
 @pytest.mark.slow
 def test_multihost_dcn_smoke():
     """Two-process jax.distributed smoke (SURVEY 5.8 multi-host DCN path):
