@@ -54,6 +54,12 @@ class ShadowConfig:
 
     cascade_count: int = 3
     map_size: int = 2048                # reference default (csm.hpp:43)
+    # per-cascade map resolutions. None = uniform `map_size` for every
+    # cascade (the reference's layout, csm.hpp:43). Far cascades cover a
+    # larger world span but are viewed at proportionally larger distance,
+    # so e.g. (2048, 1024, 1024) keeps screen-space texel density roughly
+    # constant across splits at ~half the raster cost.
+    cascade_sizes: Optional[Tuple[int, ...]] = None
     distance: float = 100.0
     split_ratios: Tuple[float, float] = (0.1, 0.25)
     bias_constant: float = 0.0012
@@ -72,6 +78,15 @@ class ShadowConfig:
         if s < 1 or (s & (s - 1)) != 0:
             raise ValueError(
                 f"resolve_step must be a power of two >= 1, got {s}")
+        if self.cascade_sizes is not None:
+            if len(self.cascade_sizes) != self.cascade_count:
+                raise ValueError(
+                    f"cascade_sizes has {len(self.cascade_sizes)} entries "
+                    f"for {self.cascade_count} cascades")
+            if self.cascade_sizes[0] != max(self.cascade_sizes):
+                raise ValueError(
+                    "cascade_sizes[0] (the near cascade) must be the "
+                    "largest — it sets the atlas height")
 
 
 @dataclasses.dataclass(frozen=True)

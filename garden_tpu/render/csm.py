@@ -5,13 +5,26 @@ source/system/render/csm.cpp): 3 cascades fitted to slices of the camera
 frustum (split ratios (0.1, 0.25) of shadow distance 100), depth-only
 rasterization per cascade from the light's orthographic view, PCF-filtered
 compare on resolve with constant+normal bias. The reference renders cascades
-through IShadowMeshRenderSystem passes (mesh.cpp:795-847); here each cascade
-is one depth-only raster pass at shadow-map resolution.
+through IShadowMeshRenderSystem passes (mesh.cpp:795-847); here all cascades
+raster side by side into ONE mixed-resolution atlas:
+
+    y=0  +-----------------+--------+--------+
+         |                 |   c1   |   c2   |
+         |   cascade 0     +--------+--------+
+         |   (largest)     |  (unused rows:  |
+         |                 |   zero-count    |
+         +-----------------+   tiles, free)  |
+
+One triangle-setup pass vectorized over cascades, one binning sort, one
+Pallas depth launch. Per-cascade caster culling falls out of setup validity
+(triangles outside a cascade's ortho bounds never bin); far cascades can run
+at reduced resolution (ShadowConfig.cascade_sizes), which cuts raster VPU
+work roughly with pixel count while keeping screen-space texel density.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +36,21 @@ from garden_tpu.render import raster
 
 Array = jnp.ndarray
 
+NEAR_EPS = 1e-6
+
 
 def cascade_splits(cfg: ShadowConfig, near: float) -> List[float]:
     """View-space split depths [near, s1, s2, far] (csm.hpp:89-90)."""
     d = cfg.distance
     return [near] + [r * d for r in cfg.split_ratios] + [d]
+
+
+def cascade_layout(cfg: ShadowConfig) -> Tuple[Tuple[int, ...],
+                                               Tuple[int, ...], int, int]:
+    """(sizes, x_offsets, atlas_width, atlas_height) of the cascade atlas."""
+    sizes = cfg.cascade_sizes or (cfg.map_size,) * cfg.cascade_count
+    offs = tuple(int(np.cumsum((0,) + sizes)[i]) for i in range(len(sizes)))
+    return sizes, offs, int(sum(sizes)), int(max(sizes))
 
 
 def fit_cascade(
@@ -70,6 +93,62 @@ def fit_cascade(
     return m3.matmul(proj, view)
 
 
+def _setup_cascades(
+    clip_all: Array,        # (C, T, 3, 4) clip-space verts per cascade
+    tri_valid: Array,       # (T,) base triangle validity
+    sizes: Tuple[int, ...],
+    x_offsets: Tuple[int, ...],
+) -> Dict[str, Array]:
+    """Triangle setup for every cascade at once, in ATLAS pixel coords.
+
+    The batched twin of raster.setup_triangles_tv: per-cascade viewport size
+    and x-offset ride as (C, 1, ...) broadcasts, and every field flattens to
+    (C*T,) ready for one binning pass. Replaces the per-cascade
+    setup+concat loop that cost ~9 ms/frame of reshape/concat at 2048^2
+    (round-3 trace)."""
+    c, t = clip_all.shape[:2]
+    size = jnp.array(sizes, jnp.float32).reshape(c, 1, 1)     # (C, 1, 1)
+    xoff = jnp.array(x_offsets, jnp.float32).reshape(c, 1, 1)
+
+    w = clip_all[..., 3]                                       # (C, T, 3)
+    in_front = jnp.all(w > NEAR_EPS, axis=-1)
+    inv_w = 1.0 / jnp.maximum(w, NEAR_EPS)
+    ndc = clip_all[..., :3] * inv_w[..., None]                 # (C, T, 3, 3)
+    sx = (ndc[..., 0] * 0.5 + 0.5) * size + xoff
+    sy = (0.5 - ndc[..., 1] * 0.5) * size                      # y-down
+    z = ndc[..., 2]
+
+    ax = sx[..., 1] - sx[..., 0]
+    ay = sy[..., 1] - sy[..., 0]
+    bx = sx[..., 2] - sx[..., 0]
+    by = sy[..., 2] - sy[..., 0]
+    area = ax * by - ay * bx
+    front = area < -1e-8
+
+    xmin = jnp.min(sx, axis=-1)
+    xmax = jnp.max(sx, axis=-1)
+    ymin = jnp.min(sy, axis=-1)
+    ymax = jnp.max(sy, axis=-1)
+    # per-cascade viewport cull: this IS the per-cascade caster culling
+    # (mesh.cpp:795-847 culls per cascade frustum) — triangles outside a
+    # cascade's ortho bounds never reach binning for that cascade
+    x0 = xoff[..., 0]
+    s2 = size[..., 0]
+    on_screen = ((xmax >= x0) & (xmin < x0 + s2)
+                 & (ymax >= 0) & (ymin < s2))
+
+    valid = tri_valid[None, :] & in_front & front & on_screen
+    flat = lambda a: a.reshape((c * t,) + a.shape[2:])
+    return {
+        "sx": flat(sx), "sy": flat(sy), "z": flat(z), "inv_w": flat(inv_w),
+        "inv_area": flat(
+            jnp.where(valid, 1.0 / jnp.where(front, -area, 1.0), 0.0)),
+        "xmin": flat(xmin), "xmax": flat(xmax),
+        "ymin": flat(ymin), "ymax": flat(ymax),
+        "valid": flat(valid),
+    }
+
+
 def render_cascades(
     world_positions: Array,
     indices: Array,
@@ -80,19 +159,19 @@ def render_cascades(
     tri_world: Array = None,
     tri_translucent: Array = None,
     tri_tint: Array = None,
-) -> Array:
-    """Shadow raster per cascade -> (cascades, S, S, 8) packed maps:
-    lane 0 = opaque reverse-Z depth (the D16 map, csm.hpp:56-64),
-    lanes 1:4 = translucent caster transmittance tint (the sRGB translucent
-    map — sunlight through tinted glass), lane 4 = nearest translucent
-    caster depth, lanes 5:8 pad. Packing all planes into one 8-lane row
-    keeps the resolve at ONE per-pixel row gather (gathers price per row).
+) -> Tuple[Array, Optional[Array]]:
+    """Shadow raster for all cascades -> (depth_atlas, trans_atlas):
+    depth_atlas (H, W) = opaque reverse-Z depth (the D16 map, csm.hpp:56-64)
+    in the cascade-atlas layout of `cascade_layout`; trans_atlas (H, W, 4) =
+    translucent caster transmittance tint rgb + nearest translucent caster
+    depth (the sRGB translucent map — sunlight through tinted glass), or
+    None for opaque-only scenes.
 
     tri_world: optional pre-gathered (T, 3, 3) world triangle vertices —
     shares ONE gather across cascades and the main pass instead of a
     per-cascade clip[indices] gather. tri_translucent/tri_tint enable the
     translucent map ((T,) mask + (T, 4) rgba); omitted = opaque only."""
-    size = cfg.map_size
+    sizes, x_offsets, atlas_w, atlas_h = cascade_layout(cfg)
     if tri_world is None:
         tri_world = world_positions[indices]             # (T, 3, 3)
     t = tri_world.shape[0]
@@ -104,70 +183,91 @@ def render_cascades(
     lvp_all = jnp.stack(list(light_view_projs))          # (C, 4, 4)
     hpos = jnp.concatenate([flat, jnp.ones_like(flat[..., :1])], axis=-1)
     clip_all = m3.einsum("cij,vj->cvi", lvp_all, hpos)   # (C, V, 4)
+    clip_all = clip_all.reshape(c_count, t, 3, 4)
 
-    # CASCADE ATLAS: all cascades raster side by side in one (S, C*S)
-    # target — one binning pass + one Pallas launch instead of three
-    # (per-cascade binning fixed costs measured ~8 ms/frame at 2048^2).
-    # Triangles carry their cascade index so clipped geometry extending
-    # past its ortho bounds cannot bleed into the neighbor's region
-    # (the atlas guard in raster._depth_kernel).
+    bounds = tuple((x_offsets[ci], x_offsets[ci] + sizes[ci], sizes[ci])
+                   for ci in range(c_count))
+    tri_atlas = jnp.repeat(jnp.arange(c_count, dtype=jnp.int32), t)
+
     opaque_mask = tri_valid & (~tri_translucent if with_trans
                                else jnp.ones_like(tri_valid))
-    fields = {k: [] for k in ("sx", "sy", "z", "inv_w", "inv_area",
-                              "xmin", "xmax", "ymin", "ymax", "valid")}
-    for ci in range(c_count):
-        s_i = raster.setup_triangles_tv(clip_all[ci].reshape(t, 3, 4),
-                                        opaque_mask, size, size)
-        off = jnp.float32(ci * size)
-        s_i["sx"] = s_i["sx"] + off
-        s_i["xmin"] = s_i["xmin"] + off
-        s_i["xmax"] = s_i["xmax"] + off
-        for k in fields:
-            fields[k].append(s_i[k])
-    atlas_setup = {k: jnp.concatenate(v, axis=0) for k, v in fields.items()}
-    tri_atlas = jnp.repeat(jnp.arange(c_count, dtype=jnp.int32), t)
-    tiles, counts = raster.bin_triangles(atlas_setup, c_count * size, size,
+    atlas_setup = _setup_cascades(clip_all, opaque_mask, sizes, x_offsets)
+    tiles, counts = raster.bin_triangles(atlas_setup, atlas_w, atlas_h,
                                          128, max_per_tile, foot=2)
-    atlas_depth = raster.rasterize_depth(atlas_setup, tiles, counts,
-                                         c_count * size, size, 128,
-                                         atlas_span=size,
+    depth_atlas = raster.rasterize_depth(atlas_setup, tiles, counts,
+                                         atlas_w, atlas_h, 128,
+                                         atlas_bounds=bounds,
                                          tri_atlas=tri_atlas)
-    # (S, C*S) -> (C, S, S)
-    depth_all = jnp.swapaxes(
-        atlas_depth.reshape(size, c_count, size), 0, 1)
 
-    maps = []
-    for ci in range(c_count):
-        depth = depth_all[ci]
-        if with_trans:
-            tri_clip = clip_all[ci].reshape(t, 3, 4)
-            tsetup = raster.setup_triangles_tv(
-                tri_clip, tri_valid & tri_translucent, size, size)
-            ttiles, tcounts = raster.bin_triangles(
-                tsetup, size, size, 128, max_per_tile // 2, foot=2)
-            tdepth = raster.rasterize_depth(tsetup, ttiles, tcounts,
-                                            size, size, 128)
-            # transmitted tint: translucent casters blend src-over onto a
-            # fully-lit white background in bin order, z-tested against
-            # the opaque depth (only casters the sun reaches matter)
-            tint = raster.rasterize_sorted_blend(
-                tsetup, tri_tint, ttiles, tcounts, depth,
-                jnp.ones((size, size, 3), jnp.float32), size, size, 128)
-        else:
-            tdepth = jnp.zeros_like(depth)
-            tint = jnp.ones((size, size, 3), jnp.float32)
-        packed = jnp.concatenate(
-            [depth[..., None], tint, tdepth[..., None],
-             jnp.zeros((size, size, 3), jnp.float32)], axis=-1)
-        maps.append(packed)
-    return jnp.stack(maps)
+    trans_atlas = None
+    if with_trans:
+        tsetup = _setup_cascades(clip_all, tri_valid & tri_translucent,
+                                 sizes, x_offsets)
+        ttiles, tcounts = raster.bin_triangles(
+            tsetup, atlas_w, atlas_h, 128, max_per_tile // 2, foot=2)
+        tdepth = raster.rasterize_depth(tsetup, ttiles, tcounts,
+                                        atlas_w, atlas_h, 128,
+                                        atlas_bounds=bounds,
+                                        tri_atlas=tri_atlas)
+        # transmitted tint: translucent casters blend src-over onto a
+        # fully-lit white background in bin order, z-tested against the
+        # opaque depth (only casters the sun reaches matter)
+        tint_all = jnp.tile(tri_tint, (c_count, 1))
+        tint = raster.rasterize_sorted_blend(
+            tsetup, tint_all, ttiles, tcounts, depth_atlas,
+            jnp.ones((atlas_h, atlas_w, 3), jnp.float32),
+            atlas_w, atlas_h, 128,
+            atlas_bounds=bounds, tri_atlas=tri_atlas)
+        trans_atlas = jnp.concatenate([tint, tdepth[..., None]], axis=-1)
+    return depth_atlas, trans_atlas
+
+
+def _project_cascades(
+    position: Array,        # (h, w, 3) biased world positions
+    view_depth: Array,      # (h, w)
+    light_view_projs: Array,
+    cfg: ShadowConfig,
+    splits: List[float],
+) -> Tuple[Array, Array, Array, Array]:
+    """Per-pixel atlas (u, v), reverse-Z compare depth z, and validity.
+
+    Projects into EVERY cascade densely and selects by view distance — a
+    (h, w)-indexed gather of per-pixel matrices lowers catastrophically on
+    TPU; C dense einsums + selects are ~free."""
+    sizes, x_offsets, _, _ = cascade_layout(cfg)
+    c_count = len(sizes)
+    cascade = jnp.zeros_like(view_depth, dtype=jnp.int32)
+    for i in range(1, c_count):
+        cascade = jnp.where(view_depth > splits[i], i, cascade)
+
+    hpos = jnp.concatenate([position, jnp.ones_like(position[..., :1])], -1)
+    u = jnp.zeros_like(view_depth)
+    v = jnp.zeros_like(view_depth)
+    z = jnp.zeros_like(view_depth)
+    inside = jnp.zeros_like(view_depth, dtype=bool)
+    for i in range(c_count):
+        h = m3.einsum("ij,hwj->hwi", light_view_projs[i], hpos)
+        uvz = h[..., :3] / jnp.maximum(h[..., 3:4], 1e-9)
+        s_i = float(sizes[i])
+        x_i = float(x_offsets[i])
+        u_i = (uvz[..., 0] * 0.5 + 0.5) * s_i + x_i
+        v_i = (0.5 - uvz[..., 1] * 0.5) * s_i
+        sel = cascade == i
+        u = jnp.where(sel, u_i, u)
+        v = jnp.where(sel, v_i, v)
+        z = jnp.where(sel, uvz[..., 2], z)
+        inside |= sel & ((u_i >= x_i + 1) & (u_i < x_i + s_i - 1)
+                         & (v_i >= 1) & (v_i < s_i - 1))
+    ok = inside & (view_depth < splits[-1])
+    return u, v, z + cfg.bias_constant, ok
 
 
 def resolve_shadow(
     position: Array,         # (H, W, 3) world positions
     normal: Array,           # (H, W, 3)
     view_depth: Array,       # (H, W) distance from camera (for cascade pick)
-    shadow_maps: Array,      # (C, S, S, 8) packed (see render_cascades)
+    depth_atlas: Array,      # (Ha, Wa) opaque cascade-atlas depth
+    trans_atlas: Optional[Array],  # (Ha, Wa, 4) tint+depth, or None
     light_view_projs: Array,  # (C, 4, 4)
     cfg: ShadowConfig,
     splits: List[float],
@@ -176,8 +276,7 @@ def resolve_shadow(
     """PCF shadow factor (H, W, 3), (1,1,1) = fully lit: the scalar opaque
     factor times the translucent casters' transmittance tint (the csm.gsl
     resolve + translucent-map modulation)."""
-    size = cfg.map_size
-    c_count = shadow_maps.shape[0]
+    atlas_w = depth_atlas.shape[1]
 
     # decimated resolve: the shadow-map lookup gather is latency-bound per
     # pixel (full-res packed-row taps measured 46 ms/frame at 1080p), so
@@ -197,93 +296,55 @@ def resolve_shadow(
             normal = decimate2x(normal)
             view_depth = decimate2x(view_depth)
 
-    # cascade selection by view distance
-    cascade = jnp.zeros_like(view_depth, dtype=jnp.int32)
-    for i in range(1, c_count):
-        cascade = jnp.where(view_depth > splits[i], i, cascade)
-    in_range = view_depth < splits[-1]
-
     # normal-offset bias (csm.hpp bias settings)
     offset_pos = position + normal * cfg.bias_normal
-    hpos = jnp.concatenate([offset_pos, jnp.ones_like(position[..., :1])], -1)
-
-    # project into EVERY cascade densely and select (a (H,W)-indexed gather
-    # of per-pixel matrices lowers catastrophically on TPU; 3 dense einsums
-    # + selects are ~free)
-    u = jnp.zeros_like(view_depth)
-    v = jnp.zeros_like(view_depth)
-    z = jnp.zeros_like(view_depth)
-    for i in range(c_count):
-        h = m3.einsum("ij,hwj->hwi", light_view_projs[i], hpos)
-        uvz = h[..., :3] / jnp.maximum(h[..., 3:4], 1e-9)
-        sel = cascade == i
-        u = jnp.where(sel, (uvz[..., 0] * 0.5 + 0.5) * size, u)
-        v = jnp.where(sel, (0.5 - uvz[..., 1] * 0.5) * size, v)
-        z = jnp.where(sel, uvz[..., 2], z)
-    # reverse-Z: lenient compare (z + bias >= occ) prevents self-shadow acne
-    z = z + cfg.bias_constant
-
-    inside = (u >= 1) & (u < size - 1) & (v >= 1) & (v < size - 1)
+    u, v, z, ok = _project_cascades(offset_pos, view_depth,
+                                    light_view_projs, cfg, splits)
+    flat = jnp.clip(v.astype(jnp.int32), 0, depth_atlas.shape[0] - 1) \
+        * atlas_w + jnp.clip(u.astype(jnp.int32), 0, atlas_w - 1)
 
     # single shadow-map tap + screen-space 3x3 smoothing of the binary
     # factor: per-pixel gathers cost ~15ms each at 1080p on TPU, so the PCF
     # softening moves from light space (9 gathers) to screen space (8 dense
-    # shifted adds, ~free) — visually equivalent for small radii
-    # depth compare: SCALAR tap from a contiguous depth plane (scalar
-    # gathers price per element; 8-lane packed rows at full res cost 3x)
-    depth_plane = shadow_maps[..., 0].reshape(-1)
-    flat = cascade * (size * size) \
-        + jnp.clip(v.astype(jnp.int32), 0, size - 1) * size \
-        + jnp.clip(u.astype(jnp.int32), 0, size - 1)
-    occ = depth_plane[flat]
+    # shifted adds, ~free) — visually equivalent for small radii.
+    # reverse-Z: lenient compare (z + bias >= occ) prevents self-shadow acne
+    occ = depth_atlas.reshape(-1)[flat]
     lit = jnp.where(z >= occ, 1.0, 0.0)
-    lit = jnp.where(inside & in_range, lit, 1.0)
+    lit = jnp.where(ok, lit, 1.0)
 
-    # translucent modulation at quarter density (the tint map is
-    # low-frequency): recompute the projection on further-decimated
-    # positions — strided slices of the full-res index arrays lower to
-    # slow gathers on TPU (~6 ms measured), dense decimation + a small
-    # re-projection is ~free
-    from garden_tpu.ops.blur import bilateral_upsample_to, decimate2x
-    tsub = max(4 // step, 1)
-    if tsub > 1:
-        pos_t, nrm_t, vd_t = position, normal, view_depth
-        for _ in range(int(np.log2(tsub))):
-            pos_t = decimate2x(pos_t)
-            nrm_t = decimate2x(nrm_t)
-            vd_t = decimate2x(vd_t)
-        casc_t = jnp.zeros_like(vd_t, dtype=jnp.int32)
-        for i in range(1, c_count):
-            casc_t = jnp.where(vd_t > splits[i], i, casc_t)
-        hpos_t = jnp.concatenate(
-            [pos_t + nrm_t * cfg.bias_normal,
-             jnp.ones_like(pos_t[..., :1])], -1)
-        u_t = jnp.zeros_like(vd_t)
-        v_t = jnp.zeros_like(vd_t)
-        z_t = jnp.zeros_like(vd_t)
-        for i in range(c_count):
-            h_i = m3.einsum("ij,hwj->hwi", light_view_projs[i], hpos_t)
-            uvz = h_i[..., :3] / jnp.maximum(h_i[..., 3:4], 1e-9)
-            sel = casc_t == i
-            u_t = jnp.where(sel, (uvz[..., 0] * 0.5 + 0.5) * size, u_t)
-            v_t = jnp.where(sel, (0.5 - uvz[..., 1] * 0.5) * size, v_t)
-            z_t = jnp.where(sel, uvz[..., 2], z_t)
-        z_t = z_t + cfg.bias_constant
-        ok_t = ((u_t >= 1) & (u_t < size - 1) & (v_t >= 1)
-                & (v_t < size - 1) & (vd_t < splits[-1]))
-        flat_t = casc_t * (size * size) \
-            + jnp.clip(v_t.astype(jnp.int32), 0, size - 1) * size \
-            + jnp.clip(u_t.astype(jnp.int32), 0, size - 1)
+    if trans_atlas is not None:
+        # translucent modulation at quarter density (the tint map is
+        # low-frequency): recompute the projection on further-decimated
+        # positions — strided slices of the full-res index arrays lower to
+        # slow gathers on TPU (~6 ms measured), dense decimation + a small
+        # re-projection is ~free
+        from garden_tpu.ops.blur import decimate2x
+        tsub = max(4 // step, 1)
+        if tsub > 1:
+            pos_t, nrm_t, vd_t = position, normal, view_depth
+            for _ in range(int(np.log2(tsub))):
+                pos_t = decimate2x(pos_t)
+                nrm_t = decimate2x(nrm_t)
+                vd_t = decimate2x(vd_t)
+            u_t, v_t, z_t, ok_t = _project_cascades(
+                pos_t + nrm_t * cfg.bias_normal, vd_t,
+                light_view_projs, cfg, splits)
+            flat_t = jnp.clip(v_t.astype(jnp.int32), 0,
+                              depth_atlas.shape[0] - 1) * atlas_w \
+                + jnp.clip(u_t.astype(jnp.int32), 0, atlas_w - 1)
+        else:
+            flat_t, z_t, ok_t = flat, z, ok
+        trow = trans_atlas.reshape(-1, 4)[flat_t]
+        tint_lo = jnp.where(((z_t < trow[..., 3]) & ok_t)[..., None],
+                            trow[..., 0:3], 1.0)
+        if tsub > 1:
+            tint = jnp.repeat(jnp.repeat(tint_lo, tsub, axis=0),
+                              tsub, axis=1)
+            tint = tint[:lit.shape[0], :lit.shape[1]]
+        else:
+            tint = tint_lo
     else:
-        flat_t, z_t, ok_t = flat, z, inside & in_range
-    trow = shadow_maps[..., 1:5].reshape(-1, 4)[flat_t]
-    tint_lo = jnp.where(((z_t < trow[..., 3]) & ok_t)[..., None],
-                        trow[..., 0:3], 1.0)
-    if tsub > 1:
-        tint = jnp.repeat(jnp.repeat(tint_lo, tsub, axis=0), tsub, axis=1)
-        tint = tint[:lit.shape[0], :lit.shape[1]]
-    else:
-        tint = tint_lo
+        tint = 1.0
 
     r = cfg.pcf_radius
     if r > 0:
@@ -300,6 +361,7 @@ def resolve_shadow(
         lit = acc / n
     lit = lit[..., None] * tint               # (h, w, 3)
     if step > 1:
+        from garden_tpu.ops.blur import bilateral_upsample_to
         # depth-guided upsample: crisp shadow silhouettes at depth edges
         lit = bilateral_upsample_to(lit, view_depth, view_depth_full,
                                     full_shape[0], full_shape[1])

@@ -247,7 +247,9 @@ class DeferredRenderer:
             disocclusion = _jax.image.resize(
                 dis.astype(jnp.float32), vis["depth"].shape, "nearest")
 
-        # shadows (CSM cascades; casters are not frustum-culled)
+        # shadows (CSM cascades; casters cull per cascade viewport in
+        # csm._setup_cascades — the mesh.cpp:795-847 per-cascade frustum
+        # cull analog)
         shadow = None
         if cfg.use_shadows:
             scfg = cfg.shadow
@@ -271,7 +273,7 @@ class DeferredRenderer:
                 tri_tint = jnp.concatenate(
                     [mat_s[:, 0:3], mat_s[:, 9:10]], axis=-1)
             with scope("csm_render"):
-                shadow_maps = csm_mod.render_cascades(
+                depth_atlas, trans_atlas = csm_mod.render_cascades(
                     world_pos, scene["indices"], scene["tri_valid"],
                     lvps, scfg, tri_world=tri_world,
                     tri_translucent=tri_trans, tri_tint=tri_tint,
@@ -280,8 +282,9 @@ class DeferredRenderer:
                 view_depth = m3.length(
                     g["position"] - constants["camera_pos"])
                 shadow = csm_mod.resolve_shadow(
-                    g["position"], g["normal"], view_depth, shadow_maps,
-                    jnp.stack(lvps), scfg, splits, constants["light_dir"],
+                    g["position"], g["normal"], view_depth, depth_atlas,
+                    trans_atlas, jnp.stack(lvps), scfg, splits,
+                    constants["light_dir"],
                 )
                 shadow = jnp.where(g["visible"][..., None], shadow, 1.0)
 

@@ -593,7 +593,8 @@ def rasterize_visibility_shaded(
 
 
 def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
-                  ro_ref, go_ref, bo_ref, *, tile: int, tiles_x: int):
+                  ro_ref, go_ref, bo_ref, *, tile: int, tiles_x: int,
+                  atlas_bounds: tuple = ()):
     """Ordered alpha-blend raster: triangles composite src-over IN BIN ORDER
     (back-to-front when binned with a depth priority — the reference's
     sorted-translucent pass, mesh.hpp:204). Z-tested against the opaque
@@ -640,6 +641,17 @@ def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
             b1 = e1 * inv_area
             z = b0 * z0 + b1 * z1 + (1.0 - b0 - b1) * z2
             hit = inside & (z >= opaque_z) & (z <= 1.0) & (tri_id >= 0.0)
+            if atlas_bounds:
+                ci = d[k, 15]
+                x0a = jnp.float32(0.0)
+                x1a = jnp.float32(0.0)
+                y1a = jnp.float32(0.0)
+                for i, (x0b, x1b, y1b) in enumerate(atlas_bounds):
+                    m = ci == float(i)
+                    x0a = jnp.where(m, float(x0b), x0a)
+                    x1a = jnp.where(m, float(x1b), x1a)
+                    y1a = jnp.where(m, float(y1b), y1a)
+                hit &= (px >= x0a) & (px < x1a) & (py < y1a)
             a = jnp.where(hit, ca, 0.0).reshape(tile, tile)
             ro_ref[:] = ro_ref[:] * (1.0 - a) + cr * a
             go_ref[:] = go_ref[:] * (1.0 - a) + cg * a
@@ -660,6 +672,8 @@ def rasterize_sorted_blend(
     width: int,
     height: int,
     tile: int,
+    atlas_bounds: tuple = (),
+    tri_atlas: Array = None,
 ) -> Array:
     """Alpha-blend binned triangles over the HDR in bin order (sorted
     translucent path — the Translucent render type, mesh.hpp:30-40)."""
@@ -675,11 +689,14 @@ def rasterize_sorted_blend(
 
     t_count = setup["valid"].shape[0]
     xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
+    atlas_col = (tri_atlas.astype(jnp.float32)[:, None]
+                 if tri_atlas is not None
+                 else jnp.zeros((t_count, 1), jnp.float32))
     records = jnp.concatenate(
         [xy, setup["z"], setup["inv_area"][:, None],
          jnp.zeros((t_count, 1), jnp.float32),   # tri_id slot
          tri_rgba,
-         jnp.zeros((t_count, 1), jnp.float32)],
+         atlas_col],
         axis=-1,
     )
     safe = jnp.maximum(tile_tris, 0)
@@ -697,7 +714,8 @@ def rasterize_sorted_blend(
     counts2d = counts.reshape(n_tiles, 1)
 
     r, g, b = pl.pallas_call(
-        functools.partial(_blend_kernel, tile=tile, tiles_x=tiles_x),
+        functools.partial(_blend_kernel, tile=tile, tiles_x=tiles_x,
+                          atlas_bounds=atlas_bounds),
         grid=grid,
         in_specs=[
             pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
@@ -718,8 +736,26 @@ def rasterize_sorted_blend(
                       b[:height, :width]], axis=-1)
 
 
+def _atlas_guard(d, px, py, atlas_bounds):
+    """Cascade-atlas clip: lane 15 of each record holds the triangle's
+    sub-rect index into the static `atlas_bounds` tuple of (x0, x1, y1)
+    pixel rects; clipped geometry extending past its cascade's ortho bounds
+    must not bleed into a neighbor's atlas region. The per-rect bounds
+    materialize as a short select chain (C is 2-4)."""
+    idx = d[:, 15:16]
+    x0a = jnp.zeros_like(idx)
+    x1a = jnp.zeros_like(idx)
+    y1a = jnp.zeros_like(idx)
+    for ci, (x0, x1, y1) in enumerate(atlas_bounds):
+        m = idx == float(ci)
+        x0a = jnp.where(m, float(x0), x0a)
+        x1a = jnp.where(m, float(x1), x1a)
+        y1a = jnp.where(m, float(y1), y1a)
+    return (px >= x0a) & (px < x1a) & (py < y1a)
+
+
 def _depth_kernel(count_ref, data_ref, depth_ref,
-                  *, tile: int, tiles_x: int, atlas_span: int = 0):
+                  *, tile: int, tiles_x: int, atlas_bounds: tuple = ()):
     """Depth-only raster (shadow cascades): the edge-coefficient loop of
     _raster_kernel with a plain max-reduce instead of the id/barycentric
     tournament — ~40% less VPU work per (triangle, pixel), and shadow maps
@@ -748,12 +784,8 @@ def _depth_kernel(count_ref, data_ref, depth_ref,
         z = (d[:, 10:11] + e0 * inv_area * d[:, 11:12]
              + e1 * inv_area * d[:, 12:13])
         cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
-        if atlas_span > 0:
-            # cascade-atlas guard: lane 15 = sub-rect index; triangles
-            # whose clipped geometry extends past their cascade's ortho
-            # bounds must not bleed into the neighbor's atlas region
-            x0a = d[:, 15:16] * atlas_span
-            cand &= (px >= x0a) & (px < x0a + atlas_span)
+        if atlas_bounds:
+            cand &= _atlas_guard(d, px, py, atlas_bounds)
         zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(tile, tile)
         depth_ref[:] = jnp.maximum(depth_ref[:], zs)
         return 0
@@ -769,11 +801,12 @@ def rasterize_depth(
     width: int,
     height: int,
     tile: int,
-    atlas_span: int = 0,
+    atlas_bounds: tuple = (),
     tri_atlas: Array = None,
 ) -> Array:
     """Depth-only raster (shadow maps: the CSM cascade passes,
-    csm.hpp:36-64) via the reduced _depth_kernel."""
+    csm.hpp:36-64) via the reduced _depth_kernel. `atlas_bounds` +
+    `tri_atlas` enable the cascade-atlas guard (see _atlas_guard)."""
     tiles_x = -(-width // tile)
     tiles_y = -(-height // tile)
     n_tiles = tiles_x * tiles_y
@@ -796,7 +829,7 @@ def rasterize_depth(
     w_pad = tiles_x * tile
     depth = pl.pallas_call(
         functools.partial(_depth_kernel, tile=tile, tiles_x=tiles_x,
-                          atlas_span=atlas_span),
+                          atlas_bounds=atlas_bounds),
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),

@@ -114,11 +114,12 @@ def main():
                                         constants["light_dir"], near,
                                         splits[i], splits[i + 1], near)
                     for i in range(scfg.cascade_count)]
-            maps = csm_mod.render_cascades(world_pos, scene["indices"],
-                                           scene["tri_valid"], lvps, scfg)
+            depth_a, trans_a = csm_mod.render_cascades(
+                world_pos, scene["indices"], scene["tri_valid"], lvps, scfg)
             vd = m3.length(g["position"] - constants["camera_pos"])
             shadow = csm_mod.resolve_shadow(g["position"], g["normal"], vd,
-                                            maps, jnp.stack(lvps), scfg,
+                                            depth_a, trans_a,
+                                            jnp.stack(lvps), scfg,
                                             splits, constants["light_dir"])
             shadow = jnp.where(g["visible"][..., None], shadow, 1.0)
             if upto == "shadow":

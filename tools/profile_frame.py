@@ -163,13 +163,13 @@ def main():
                                     constants["light_dir"], near,
                                     splits[i], splits[i + 1], near)
                 for i in range(scfg.cascade_count)]
-        maps = csm_mod.render_cascades(wp, scene["indices"],
-                                       scene["tri_valid"], lvps, scfg)
+        depth_a, trans_a = csm_mod.render_cascades(
+            wp, scene["indices"], scene["tri_valid"], lvps, scfg)
         vd = m3.length(g["position"] - constants["camera_pos"])
-        sh = csm_mod.resolve_shadow(g["position"], g["normal"], vd, maps,
-                                    jnp.stack(lvps), scfg, splits,
+        sh = csm_mod.resolve_shadow(g["position"], g["normal"], vd, depth_a,
+                                    trans_a, jnp.stack(lvps), scfg, splits,
                                     constants["light_dir"])
-        return jnp.where(g["visible"], sh, 1.0)
+        return jnp.where(g["visible"][..., None], sh, 1.0)
     shadow = timeit("CSM (3 cascades + resolve)", shadows, world_pos, g)
 
     def csm_raster_only(wp):
