@@ -90,6 +90,29 @@ class ShadowConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SSRConfig:
+    """Screen-space reflections (the PbrLighting reflection-buffer path,
+    pbr-lighting.hpp:92 / render/ssr.py)."""
+
+    # march resolution divisor (power of two): rays trace on a
+    # (H/step, W/step) grid and upsample depth-guided
+    trace_step: int = 4
+    steps: int = 16                     # march samples per ray
+    max_distance: float = 40.0          # world-space ray length
+    first_step: float = 0.02            # first sample at this fraction
+    # hit acceptance band as a fraction of the stored reverse-Z depth
+    thickness: float = 0.08
+    # roughness above this falls back fully to prefiltered IBL
+    max_roughness: float = 0.6
+
+    def __post_init__(self):
+        s = self.trace_step
+        if s < 1 or (s & (s - 1)) != 0:
+            raise ValueError(
+                f"trace_step must be a power of two >= 1, got {s}")
+
+
+@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Deferred pipeline options (reference: deferred.hpp:63-70 Options,
     graphics.hpp quality levels, tone-mapping.hpp:36-44)."""
@@ -130,6 +153,10 @@ class RenderConfig:
     tone_mapper: str = "aces"           # "aces" | "uchimura"
     exposure_compensation: float = 0.0
     shadow: ShadowConfig = dataclasses.field(default_factory=ShadowConfig)
+    # screen-space reflections (reflection buffer of PbrLighting,
+    # pbr-lighting.hpp:92); traces against the previous frame's HDR
+    use_ssr: bool = False
+    ssr: SSRConfig = dataclasses.field(default_factory=SSRConfig)
 
 
 @dataclasses.dataclass(frozen=True)

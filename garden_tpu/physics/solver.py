@@ -69,6 +69,7 @@ def solve_velocity(
     slop: float,
     restitution_threshold: float = 0.5,
     warm: Optional[Dict[str, Array]] = None,
+    gravity: Optional[Array] = None,
 ) -> Tuple[Array, Array, Dict[str, Array]]:
     """Solve contact constraints; returns (linvel, angvel, warm impulses).
 
@@ -172,6 +173,23 @@ def solve_velocity(
     v_par0 = linvel_p0 + jnp.cross(angvel_p0, r_par)
     vn0 = m3.dot(v_par0 - v_own0, normal)
     bounce = jnp.where(vn0 < -restitution_threshold, -restitution * vn0, 0.0)
+    if gravity is not None:
+        # Speculative-restitution energy correction. A speculative contact
+        # (pen < 0) solves the bounce a distance d = -pen BEFORE the
+        # surface: the body departs from height d instead of falling to the
+        # surface first, so the naive e*vn0 rebound inflates the apex by
+        # d*(1-e^2) (Jolt documents this as a known speculative-contact
+        # inaccuracy, physics.hpp:874-881 margin semantics). Energy
+        # accounting gives the departure speed that lands the TRUE apex:
+        #   u^2 = e^2*vn0^2 + 2*g_n*pen*(1-e^2),  g_n = dot(g, n)
+        # (signed pen also covers the penetrating frame, where the body
+        # over-accelerated past the surface). Clamped at the naive value so
+        # the correction only ever removes the spurious energy.
+        g_n = m3.dot(jnp.broadcast_to(gravity, normal.shape), normal)
+        e2 = restitution * restitution
+        u2 = e2 * vn0 * vn0 + 2.0 * g_n * pen * (1.0 - e2)
+        bounce_c = jnp.sqrt(jnp.maximum(u2, 0.0))
+        bounce = jnp.where(bounce > 0.0, jnp.minimum(bounce, bounce_c), 0.0)
     # penetration recovery velocity, capped (Jolt caps recovery speed so
     # deep impact-frame penetrations don't launch bodies)
     bias = jnp.minimum((baumgarte / dt) * jnp.maximum(pen - slop, 0.0), 2.0)

@@ -369,12 +369,22 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
                            state["warm"]["t2"]], axis=-1)  # (N, s_act, 3)
         wc = jnp.einsum("nso,nod->nsd", match, wpack)
         warm_compact = {"n": wc[..., 0], "t1": wc[..., 1], "t2": wc[..., 2]}
+    # With the split-impulse position solve active, velocity-level
+    # Baumgarte must be OFF for contacts: running both double-corrects
+    # penetration and pumps a standing limit cycle into resting stacks
+    # (golden stack5 breathed at sigma 2.3 cm forever with 0.2; settles to
+    # sigma 0 without — tests/golden/README.md). Jolt likewise zeroes the
+    # contact velocity bias and leaves depenetration to its position
+    # solver. The config value remains the fallback when the position
+    # solve is disabled.
+    vel_baumgarte = 0.0 if config.position_iterations > 0 else config.baumgarte
     linvel, angvel, warm_c = solver.solve_velocity(
         b, contacts, dt,
         iterations=config.solver_iterations,
-        baumgarte=config.baumgarte,
+        baumgarte=vel_baumgarte,
         slop=config.penetration_slop,
         warm=warm_compact,
+        gravity=jnp.asarray(config.gravity, jnp.float32),
     )
     warm = {
         "n": jnp.where(contacts["valid"], warm_c["n"], 0.0),

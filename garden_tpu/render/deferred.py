@@ -64,6 +64,20 @@ class DeferredRenderer:
             state["prev_depth"] = jnp.zeros((h, w), jnp.float32)
         if self.config.use_velocity:
             state["prev_view_proj"] = jnp.eye(4, dtype=jnp.float32)
+        if self.config.use_ssr:
+            # SSR traces against the previous frame's lit HDR (the
+            # reflection-buffer temporal flow, render/ssr.py); black start
+            # = no reflections on frame 0, IBL fallback covers it
+            scale = self.config.render_scale
+            if scale != 1.0:
+                w = max(int(self.config.width * scale)
+                        // self.config.tile_size, 1) * self.config.tile_size
+                h = max(int(self.config.height * scale)
+                        // self.config.tile_size, 1) * self.config.tile_size
+            else:
+                w, h = self.config.width, self.config.height
+            state["prev_hdr"] = jnp.zeros((h, w, 3), jnp.float32)
+            state.setdefault("prev_view_proj", jnp.eye(4, dtype=jnp.float32))
         return state
 
     # -- culling (PreDeferredRender: mesh.cpp:331-553 fan-out analog) --------
@@ -162,7 +176,8 @@ class DeferredRenderer:
         # ONE triangle-vertex gather shared by every raster pass (main,
         # cascades, OIT/sorted/refraction/trans-depth): per-pass
         # clip[indices] gathers cost ~1.5ms each at 123K tris
-        tri_world = world_pos[scene["indices"]]          # (T, 3, 3)
+        with scope("tri_fetch"):
+            tri_world = world_pos[scene["indices"]]      # (T, 3, 3)
         t_cnt = tri_world.shape[0]
         tw_flat = tri_world.reshape(t_cnt * 3, 3)
 
@@ -177,11 +192,13 @@ class DeferredRenderer:
         # the FARTHEST triangles drop instead of arbitrary ones (round-1
         # dropped by index order, which cut the tops off densely-tessellated
         # meshes — the opaque front-to-back sort of mesh.hpp:196)
-        zkey = jnp.where(setup["valid"], jnp.max(setup["z"], axis=-1), -1.0)
-        t_n = zkey.shape[0]
-        order_ftb = jnp.argsort(-zkey)          # nearest (max reverse-Z) first
-        prio_ftb = jnp.zeros((t_n,), jnp.int32).at[order_ftb].set(
-            jnp.arange(t_n, dtype=jnp.int32))
+        with scope("prio_ftb"):
+            zkey = jnp.where(setup["valid"], jnp.max(setup["z"], axis=-1),
+                             -1.0)
+            t_n = zkey.shape[0]
+            order_ftb = jnp.argsort(-zkey)      # nearest (max reverse-Z) first
+            prio_ftb = jnp.zeros((t_n,), jnp.int32).at[order_ftb].set(
+                jnp.arange(t_n, dtype=jnp.int32))
         with scope("bin_main"):
             # foot=2: at 128px tiles a 2x2 footprint covers triangles up to
             # 256px; larger ones ride the big list. Quarters the pair
@@ -204,9 +221,10 @@ class DeferredRenderer:
             prev_screen = jnp.stack(
                 [(pndc[..., 0] * 0.5 + 0.5) * w,
                  (0.5 - pndc[..., 1] * 0.5) * h], axis=-1)
-        records = gbuffer.pack_triangle_records(scene, world_nrm,
-                                                prev_screen=prev_screen,
-                                                inv_w=setup["inv_w"])
+        with scope("pack_records"):
+            records = gbuffer.pack_triangle_records(scene, world_nrm,
+                                                    prev_screen=prev_screen,
+                                                    inv_w=setup["inv_w"])
         # fused raster + record shading: per-pixel attributes materialize
         # on the MXU while the tile's records are in VMEM, replacing the
         # per-pixel record gather (the round-2 frame's hottest op)
@@ -296,6 +314,20 @@ class DeferredRenderer:
                                        g["visible"],
                                        constants["camera_pos"])
 
+        # screen-space reflections (the PbrLighting reflection buffer,
+        # pbr-lighting.hpp:92): quarter-res march against the current
+        # depth, hit color from the PREVIOUS frame's HDR (render/ssr.py)
+        ssr_rgb = ssr_conf = None
+        if cfg.use_ssr and "prev_hdr" in frame_state:
+            from garden_tpu.render import ssr as ssr_mod
+            with scope("ssr"):
+                ssr_rgb, ssr_conf = ssr_mod.trace(
+                    g, vis["depth"], frame_state["prev_hdr"],
+                    frame_state.get("prev_view_proj",
+                                    constants["view_proj"]),
+                    constants, cfg.ssr)
+                ssr_conf = jnp.where(g["visible"], ssr_conf, 0.0)
+
         # HdrRender: PBR lighting resolve + sky.
         # With atmosphere on: physical sky raymarch for background pixels,
         # SH irradiance for diffuse ambient, reflected-ray sky for specular
@@ -314,6 +346,7 @@ class DeferredRenderer:
             hdr = lighting.resolve(
                 g, constants, shadow=shadow, ao=ao,
                 ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
+                reflection=ssr_rgb, reflection_conf=ssr_conf,
             )
         elif cfg.use_atmosphere:
             from garden_tpu.render import atmosphere as atm
@@ -351,6 +384,7 @@ class DeferredRenderer:
             hdr = lighting.resolve(
                 g, constants, shadow=shadow, ao=ao,
                 ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
+                reflection=ssr_rgb, reflection_conf=ssr_conf,
             )
             # aerial perspective on geometry (the 32^3 camera-volume froxel
             # LUT's role, constants.h:25): distance fog with in-scatter
@@ -362,7 +396,9 @@ class DeferredRenderer:
                 fogged = hdr * trans + inscatter
                 hdr = jnp.where(g["visible"][..., None], fogged, hdr)
         else:
-            hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao)
+            hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao,
+                                   reflection=ssr_rgb,
+                                   reflection_conf=ssr_conf)
 
         # OIT pass: translucent triangles accumulate over the opaque HDR
         # (OitRenderSystem composite, oit.hpp:38); skipped entirely when the
@@ -453,6 +489,10 @@ class DeferredRenderer:
             trans_depth = raster.rasterize_depth(
                 dsetup, dtiles, dcounts, w, h, cfg.tile_size)
 
+        # snapshot the lit scene radiance for next frame's SSR fetch
+        # (pre-bloom: bloom glow must not feed back into reflections)
+        ssr_prev_hdr = hdr if cfg.use_ssr else None
+
         # LdrRender: bloom -> auto exposure -> tone map
         if cfg.use_bloom:
             with scope("bloom"):
@@ -490,8 +530,10 @@ class DeferredRenderer:
         new_frame_state = {"avg_luminance": avg_lum}
         if cfg.use_occlusion_culling or cfg.use_velocity:
             new_frame_state["prev_depth"] = vis["depth"]
-        if cfg.use_velocity:
+        if cfg.use_velocity or cfg.use_ssr:
             new_frame_state["prev_view_proj"] = constants["view_proj"]
+        if cfg.use_ssr:
+            new_frame_state["prev_hdr"] = ssr_prev_hdr
 
         return {
             "image": tonemap.to_uint8(ldr),

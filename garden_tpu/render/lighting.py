@@ -66,6 +66,9 @@ def resolve(
     ambient_sh: Optional[Array] = None,  # (9, 3) sky SH radiance
     sky: Optional[Array] = None,         # (H, W, 3) physical sky radiance
     specular_ambient: Optional[Array] = None,  # (H, W, 3) env reflection
+    reflection: Optional[Array] = None,  # (H, W, 3) SSR radiance
+    reflection_conf: Optional[Array] = None,   # (H, W) SSR confidence
+    gi: Optional[Array] = None,          # (H, W, 3) diffuse GI irradiance
 ) -> Array:
     """G-buffer + constants -> HDR radiance (H, W, 3).
 
@@ -92,21 +95,35 @@ def resolve(
         from garden_tpu.render import atmosphere as atm
         irradiance = atm.sh_irradiance(g["normal"], ambient_sh)
         diffuse_color = g["base_color"] * (1.0 - g["metallic"][..., None])
+        if gi is not None:
+            # diffuse GI buffer input (pbr-lighting.hpp:92 GI buffer):
+            # adds bounced irradiance on top of the sky SH
+            irradiance = irradiance + gi
         amb = diffuse_color * irradiance
     else:
         sky_up = jnp.array([0.45, 0.55, 0.70]) * ambient_intensity
         ground_dn = jnp.array([0.12, 0.10, 0.08]) * ambient_intensity
         amb = brdf.ambient(g["normal"], g["base_color"], g["metallic"],
                            sky_up, ground_dn)
-    if specular_ambient is not None:
+        if gi is not None:
+            amb = amb + g["base_color"] \
+                * (1.0 - g["metallic"][..., None]) * gi
+    if specular_ambient is not None or reflection is not None:
         # split-sum IBL: env radiance x analytic DFG (the dfgLUT +
-        # ibl-specular weighting, pbr-lighting.hpp:65 / render/ibl.py)
+        # ibl-specular weighting, pbr-lighting.hpp:65 / render/ibl.py).
+        # SSR (the reflection buffer, pbr-lighting.hpp:92) replaces the
+        # env radiance where its confidence says the screen has the answer.
         from garden_tpu.render import ibl
         nov = jnp.maximum(m3.dot(g["normal"], v), 1e-4)
         f0 = brdf.f0_from_material(g["base_color"], g["metallic"],
                                    g["reflectance"])
-        amb = amb + specular_ambient * ibl.specular_env_brdf(
-            f0, nov, g["roughness"])
+        env = specular_ambient
+        if reflection is not None:
+            conf = (reflection_conf[..., None]
+                    if reflection_conf is not None else 1.0)
+            env = (reflection * conf if env is None
+                   else env * (1.0 - conf) + reflection * conf)
+        amb = amb + env * ibl.specular_env_brdf(f0, nov, g["roughness"])
     if ao is not None:
         amb = amb * ao[..., None]
 

@@ -754,13 +754,21 @@ def _atlas_guard(d, px, py, atlas_bounds):
     return (px >= x0a) & (px < x1a) & (py < y1a)
 
 
-def _depth_kernel(count_ref, data_ref, depth_ref,
+def _depth_kernel(count_ref, bound_ref, data_ref, depth_ref,
                   *, tile: int, tiles_x: int, atlas_bounds: tuple = ()):
     """Depth-only raster (shadow cascades): the edge-coefficient loop of
     _raster_kernel with a plain max-reduce instead of the id/barycentric
     tournament — ~40% less VPU work per (triangle, pixel), and shadow maps
     are the most raster-saturated passes of the frame (3 cascades at
-    2048^2 over a dense caster pile)."""
+    2048^2 over a dense caster pile).
+
+    EARLY-Z TERMINATION: `bound_ref` (SMEM) holds, per (tile, block), the
+    max reverse-Z depth of ALL remaining record blocks (a suffix max built
+    in rasterize_depth). With bins depth-ordered front-to-back from the
+    light (bin_triangles priority=depth rank), once every pixel of the
+    tile is covered at z >= that bound, no remaining caster can win the
+    max-reduce and the loop stops — on a dense pile the occluded interior
+    is ~90% of the binned casters."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile_idx = ty * tiles_x + tx
@@ -773,7 +781,14 @@ def _depth_kernel(count_ref, data_ref, depth_ref,
 
     depth_ref[:] = jnp.zeros((tile, tile), jnp.float32)
 
-    def body(cb, _):
+    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+
+    def cond(carry):
+        cb, done = carry
+        return (cb < n_blocks) & ~done
+
+    def body(carry):
+        cb, _ = carry
         d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]
         e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
         e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
@@ -787,11 +802,12 @@ def _depth_kernel(count_ref, data_ref, depth_ref,
         if atlas_bounds:
             cand &= _atlas_guard(d, px, py, atlas_bounds)
         zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(tile, tile)
-        depth_ref[:] = jnp.maximum(depth_ref[:], zs)
-        return 0
+        new_depth = jnp.maximum(depth_ref[:], zs)
+        depth_ref[:] = new_depth
+        done = jnp.min(new_depth) >= bound_ref[tile_idx, cb + 1]
+        return cb + 1, done
 
-    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
 
 
 def rasterize_depth(
@@ -825,6 +841,17 @@ def rasterize_depth(
     data = records[safe]
     data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
     counts2d = counts.reshape(n_tiles, 1)
+    # early-z bound table: per (tile, block) suffix max of record zmax
+    # (zmax = z2 + max(dz0, dz1, 0), cols 10-12), so the kernel can stop
+    # once the tile is covered closer to the light than everything left
+    nb = c // TRI_BLOCK
+    rec_zmax = data[:, :, 10] + jnp.maximum(
+        jnp.maximum(data[:, :, 11], data[:, :, 12]), 0.0)
+    rec_zmax = jnp.where(tile_tris >= 0, rec_zmax, -1.0)
+    blk_zmax = rec_zmax.reshape(n_tiles, nb, TRI_BLOCK).max(axis=2)
+    suffix = jnp.flip(jax.lax.cummax(jnp.flip(blk_zmax, 1), axis=1), 1)
+    bound = jnp.concatenate(
+        [suffix, jnp.full((n_tiles, 1), -1.0, jnp.float32)], axis=1)
     h_pad = tiles_y * tile
     w_pad = tiles_x * tile
     depth = pl.pallas_call(
@@ -834,6 +861,8 @@ def rasterize_depth(
         in_specs=[
             pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_tiles, nb + 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16),
                          lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -842,7 +871,7 @@ def rasterize_depth(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         interpret=_interpret(),
-    )(counts2d, data)
+    )(counts2d, bound, data)
     return depth[:height, :width]
 
 

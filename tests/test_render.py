@@ -544,3 +544,55 @@ def test_quality_presets_reference_parity():
         assert s.map_size == 2048 and s.resolve_step == 1, (q, s)
     # perf presets decimate EXPLICITLY (opt-in, not silent defaults)
     assert render_quality("medium").shadow.resolve_step == 2
+
+
+def test_ssr_glossy_floor_reflects_emissive():
+    """SSR (the PbrLighting reflection-buffer path, pbr-lighting.hpp:92):
+    a mirror-like floor under a bright emissive block must pick up its
+    reflection on frame 2 (SSR traces against the previous frame's HDR),
+    brightening the floor region below the block vs the same scene with
+    SSR disabled."""
+    import dataclasses as _dc
+
+    from garden_tpu.core.config import SSRConfig
+
+    scene = rmesh.SceneBuffers(2048, 2048, 8)
+    mirror = scene.add_material(rmesh.Material(
+        base_color=(0.9, 0.9, 0.9), metallic=1.0, roughness=0.05))
+    glow = scene.add_material(rmesh.Material(
+        base_color=(0.05, 0.05, 0.05), emissive=(30.0, 24.0, 6.0)))
+    scene.add_instance(rmesh.plane_grid(20.0, 8), material=mirror)
+    scene.add_instance(rmesh.cube(0.6), material=glow)
+
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats[1][:3, 3] = [0.0, 0.9, 0.0]     # block floats above the floor
+    mats = jnp.asarray(mats)
+
+    def run(use_ssr):
+        cfg = _dc.replace(
+            small_config(), use_ssr=use_ssr,
+            ssr=SSRConfig(trace_step=2, steps=24, max_distance=12.0,
+                          thickness=0.25))
+        ren = DeferredRenderer(cfg, scene)
+        dev = ren.device_scene()
+        constants = make_constants(cfg)
+        state = ren.initial_frame_state()
+        for _ in range(2):                # frame 1 fills prev_hdr
+            out = ren.render(dev, mats, constants, state)
+            state = out["frame_state"]
+        return np.asarray(out["hdr"]), out
+
+    hdr_on, out_on = run(True)
+    hdr_off, _ = run(False)
+    assert np.isfinite(hdr_on).all()
+    # floor strip just below the block's screen footprint: reflections of
+    # the emissive block land here (camera looks slightly down, mirror
+    # floor -> reflection appears below the object)
+    h, w = hdr_on.shape[:2]
+    strip_on = hdr_on[int(h * 0.62):int(h * 0.95),
+                      int(w * 0.30):int(w * 0.70)]
+    strip_off = hdr_off[int(h * 0.62):int(h * 0.95),
+                        int(w * 0.30):int(w * 0.70)]
+    gain = float(strip_on.mean() - strip_off.mean())
+    assert gain > 0.05, (
+        f"SSR added no radiance to the mirror floor (gain={gain:.4f})")
