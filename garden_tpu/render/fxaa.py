@@ -1,52 +1,172 @@
-"""FXAA post-process anti-aliasing.
+"""FXAA 3.11 post-process anti-aliasing.
 
 Rebuild of FxaaRenderSystem (include/garden/system/render/fxaa.hpp:37,
-shaders/fxaa.frag — FXAA 3.11 console variant): luminance-based edge
-detection and a directional blend on the LDR buffer. Operates on linear-ish
-LDR floats before the uint8 quantize.
+shaders/fxaa.frag — FXAA 3.11 quality variant): luminance edge detection,
+edge-ORIENTED end-search along the edge direction, sub-pixel offset from
+the relative end distances, plus the separate sub-pixel aliasing lowpass.
+
+TPU-first mapping of the per-pixel marching loop: the reference shader
+walks a data-dependent number of taps per fragment. Data-dependent walks
+don't vectorize on the VPU, so the march is a FIXED schedule of K
+distances sampled densely for every pixel as shifted-image reads (pure
+VPU adds/selects), and each ray's end is picked with a first-true argmax
+over the step axis — the same dense-march pattern as render/ssr.py. Both
+edge orientations (horizontal/vertical) are evaluated dense and selected
+per pixel, which costs 2x the shifts but keeps zero gathers.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-EDGE_THRESHOLD = 1.0 / 8.0
-EDGE_THRESHOLD_MIN = 1.0 / 24.0
+EDGE_THRESHOLD = 1.0 / 8.0        # fxaa.frag qualityEdgeThreshold
+EDGE_THRESHOLD_MIN = 1.0 / 24.0   # ... qualityEdgeThresholdMin
+SUBPIX_QUALITY = 0.75             # ... qualitySubpix
+# fixed march schedule (distances in pixels from the origin): the 3.11
+# quality-12 preset's growing step pattern, truncated to 9 taps
+_STEPS = np.array([1, 2, 3, 4, 5, 7, 9, 12, 16], dtype=np.int32)
 
 
 def _luma(rgb: Array) -> Array:
+    # fxaa.frag uses a green-weighted luma; keep Rec.601 for test parity
     return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+
+def _shift(img: Array, dy: int, dx: int) -> Array:
+    """Edge-clamped 2D shift: out[y, x] = img[y + dy, x + dx]."""
+    h, w = img.shape[:2]
+    pad_y = (max(dy, 0), max(-dy, 0))
+    pad_x = (max(dx, 0), max(-dx, 0))
+    pads = ((pad_y, pad_x) if img.ndim == 2
+            else (pad_y, pad_x, (0, 0)))
+    p = jnp.pad(img, pads, mode="edge")
+    return p[pad_y[1]:pad_y[1] + h, pad_x[1]:pad_x[1] + w]
+
+
+def _end_search(edge_luma_pos: Array, edge_luma_neg: Array, is_neg: Array,
+                local_avg: Array, grad_scaled: Array, axis: int):
+    """March both ways along the edge; -> (dist-, dist+, end luma-, end+).
+
+    edge_luma_pos/neg: (H, W) luma averaged across the edge toward the
+    positive/negative perpendicular side; is_neg selects which applies to
+    each origin pixel. axis=1 marches along x (horizontal edge), axis=0
+    along y.
+    """
+    dists, lumas = [], []
+    for sign in (-1, 1):
+        hits, ends = [], []
+        for d in _STEPS:
+            dy, dx = (0, sign * int(d)) if axis == 1 else (sign * int(d), 0)
+            tap = jnp.where(is_neg, _shift(edge_luma_neg, dy, dx),
+                            _shift(edge_luma_pos, dy, dx))
+            delta = tap - local_avg
+            hits.append(jnp.abs(delta) >= grad_scaled)
+            ends.append(delta)
+        hit = jnp.stack(hits)                       # (K, H, W)
+        end = jnp.stack(ends)
+        k = len(_STEPS)
+        first = jnp.argmax(
+            hit.astype(jnp.int32) * (2 * k)
+            - jnp.arange(k, dtype=jnp.int32)[:, None, None], axis=0)
+        found = jnp.any(hit, axis=0)
+        steps = jnp.asarray(_STEPS, jnp.float32)[first]
+        # unfound rays clamp to the schedule's reach (shader behavior:
+        # distance saturates at the last tap)
+        dists.append(jnp.where(found, steps, float(_STEPS[-1])))
+        lumas.append(jnp.take_along_axis(end, first[None], axis=0)[0])
+    return dists[0], dists[1], lumas[0], lumas[1]
 
 
 def apply_fxaa(ldr: Array) -> Array:
     """ldr: (H, W, 3) float in [0,1] -> antialiased (H, W, 3)."""
-    p = jnp.pad(ldr, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    c = p[1:-1, 1:-1]
-    n = p[0:-2, 1:-1]
-    s = p[2:, 1:-1]
-    w = p[1:-1, 0:-2]
-    e = p[1:-1, 2:]
-    nw = p[0:-2, 0:-2]
-    ne = p[0:-2, 2:]
-    sw = p[2:, 0:-2]
-    se = p[2:, 2:]
+    luma = _luma(ldr)
+    l_n = _shift(luma, -1, 0)
+    l_s = _shift(luma, 1, 0)
+    l_w = _shift(luma, 0, -1)
+    l_e = _shift(luma, 0, 1)
+    l_nw = _shift(luma, -1, -1)
+    l_ne = _shift(luma, -1, 1)
+    l_sw = _shift(luma, 1, -1)
+    l_se = _shift(luma, 1, 1)
 
-    l_c, l_n, l_s, l_w, l_e = _luma(c), _luma(n), _luma(s), _luma(w), _luma(e)
-    l_min = jnp.minimum(l_c, jnp.minimum(jnp.minimum(l_n, l_s), jnp.minimum(l_w, l_e)))
-    l_max = jnp.maximum(l_c, jnp.maximum(jnp.maximum(l_n, l_s), jnp.maximum(l_w, l_e)))
+    l_min = jnp.minimum(luma, jnp.minimum(jnp.minimum(l_n, l_s),
+                                          jnp.minimum(l_w, l_e)))
+    l_max = jnp.maximum(luma, jnp.maximum(jnp.maximum(l_n, l_s),
+                                          jnp.maximum(l_w, l_e)))
     rng = l_max - l_min
-    edge = rng > jnp.maximum(EDGE_THRESHOLD_MIN, l_max * EDGE_THRESHOLD)
+    edge = rng >= jnp.maximum(EDGE_THRESHOLD_MIN, l_max * EDGE_THRESHOLD)
 
-    # direction of the edge from luma gradients
-    horiz = jnp.abs(l_n + l_s - 2.0 * l_c) >= jnp.abs(l_w + l_e - 2.0 * l_c)
+    # edge orientation from second-derivative luma contrast (fxaa.frag
+    # edgeHorz/edgeVert 3x3 stencils): a HORIZONTAL edge produces strong
+    # luma curvature VERTICALLY (per-column |up + down - 2 center|), and
+    # vice versa
+    edge_h = (jnp.abs(l_nw + l_sw - 2.0 * l_w)
+              + 2.0 * jnp.abs(l_n + l_s - 2.0 * luma)
+              + jnp.abs(l_ne + l_se - 2.0 * l_e))
+    edge_v = (jnp.abs(l_nw + l_ne - 2.0 * l_n)
+              + 2.0 * jnp.abs(l_w + l_e - 2.0 * luma)
+              + jnp.abs(l_sw + l_se - 2.0 * l_s))
+    horiz = edge_h >= edge_v          # edge runs horizontally -> blend in y
 
-    # 3x3 lowpass along the edge
-    blur_h = (w + c + e) / 3.0
-    blur_v = (n + c + s) / 3.0
-    blur_d = (nw + ne + sw + se + 2.0 * (n + s + w + e) + 4.0 * c) / 16.0
+    # pick the perpendicular side with the steeper gradient
+    l_perp_neg = jnp.where(horiz, l_n, l_w)     # -1 in the perp axis
+    l_perp_pos = jnp.where(horiz, l_s, l_e)
+    grad_neg = jnp.abs(l_perp_neg - luma)
+    grad_pos = jnp.abs(l_perp_pos - luma)
+    is_neg = grad_neg >= grad_pos
+    grad_scaled = 0.25 * jnp.maximum(grad_neg, grad_pos)
+    l_nb = jnp.where(is_neg, l_perp_neg, l_perp_pos)
+    local_avg = 0.5 * (luma + l_nb)
 
-    along = jnp.where(horiz[..., None], blur_h, blur_v)
-    blended = 0.5 * along + 0.5 * blur_d
-    return jnp.where(edge[..., None], blended, c)
+    # luma on the half-pixel edge row/column, one image per (orientation,
+    # side): avg of the two pixels straddling the edge
+    eh_neg = 0.5 * (luma + l_n)       # horizontal edge, upper side
+    eh_pos = 0.5 * (luma + l_s)
+    ev_neg = 0.5 * (luma + l_w)       # vertical edge, left side
+    ev_pos = 0.5 * (luma + l_e)
+
+    dh_n, dh_p, eh_end_n, eh_end_p = _end_search(
+        eh_pos, eh_neg, is_neg, local_avg, grad_scaled, axis=1)
+    dv_n, dv_p, ev_end_n, ev_end_p = _end_search(
+        ev_pos, ev_neg, is_neg, local_avg, grad_scaled, axis=0)
+    dist_n = jnp.where(horiz, dh_n, dv_n)
+    dist_p = jnp.where(horiz, dh_p, dv_p)
+    end_n = jnp.where(horiz, eh_end_n, ev_end_n)
+    end_p = jnp.where(horiz, eh_end_p, ev_end_p)
+
+    # sub-pixel offset from the nearer end (fxaa.frag pixelOffset):
+    # 0 at the edge's end, 0.5 at its middle
+    edge_len = dist_n + dist_p
+    nearer_neg = dist_n < dist_p
+    dist_near = jnp.minimum(dist_n, dist_p)
+    offset = 0.5 - dist_near / jnp.maximum(edge_len, 1e-6)
+    # variation check: only blend when the nearer end's luma steps the
+    # same way as the center relative to the edge average (otherwise the
+    # pixel is past the silhouette's corner)
+    center_below = luma < local_avg
+    end_near = jnp.where(nearer_neg, end_n, end_p)
+    good = (end_near < 0.0) != center_below
+    offset = jnp.where(good, offset, 0.0)
+
+    # independent sub-pixel aliasing filter (fxaa.frag subPixelOffset):
+    # 3x3 lowpass luma contrast, squared smoothstep, scaled by quality
+    l_avg = (2.0 * (l_n + l_s + l_w + l_e)
+             + (l_nw + l_ne + l_sw + l_se)) / 12.0
+    sub = jnp.clip(jnp.abs(l_avg - luma) / jnp.maximum(rng, 1e-6), 0.0, 1.0)
+    sub = (-2.0 * sub + 3.0) * sub * sub
+    sub_offset = sub * sub * SUBPIX_QUALITY
+    offset = jnp.maximum(offset, sub_offset)
+
+    # final: resample a half-pixel toward the chosen perpendicular side,
+    # weighted by the offset == lerp with the straddled neighbor
+    nb_rgb_h = jnp.where(is_neg[..., None], _shift(ldr, -1, 0),
+                         _shift(ldr, 1, 0))
+    nb_rgb_v = jnp.where(is_neg[..., None], _shift(ldr, 0, -1),
+                         _shift(ldr, 0, 1))
+    nb_rgb = jnp.where(horiz[..., None], nb_rgb_h, nb_rgb_v)
+    o = offset[..., None]
+    out = ldr * (1.0 - o) + nb_rgb * o
+    return jnp.where(edge[..., None], out, ldr)

@@ -596,3 +596,42 @@ def test_ssr_glossy_floor_reflects_emissive():
     gain = float(strip_on.mean() - strip_off.mean())
     assert gain > 0.05, (
         f"SSR added no radiance to the mirror floor (gain={gain:.4f})")
+
+
+def test_fxaa311_beats_lowpass_on_shallow_staircase():
+    """FXAA 3.11 (shaders/fxaa.frag): the edge-end search must resolve a
+    SHALLOW staircase (8-px step runs — invisible to any 3x3 stencil)
+    toward the supersampled ground truth at least 2x better than a 3x3
+    lowpass, while leaving flat regions untouched."""
+    from garden_tpu.render import fxaa as fxaa_mod
+
+    h, w, ss_f = 64, 64, 8
+    # half-plane below the line y = x/8 + 16, rendered hard and at 8x
+    yy, xx = np.mgrid[0:h * ss_f, 0:w * ss_f].astype(np.float32) / ss_f
+    cov_hi = (yy > xx / 8.0 + 16.0).astype(np.float32)
+    truth = cov_hi.reshape(h, ss_f, w, ss_f).mean(axis=(1, 3))
+    aliased = (np.mgrid[0:h, 0:w][0] + 0.5
+               > (np.mgrid[0:h, 0:w][1] + 0.5) / 8.0 + 16.0
+               ).astype(np.float32)
+    img = np.repeat(aliased[..., None], 3, axis=-1)
+
+    out = np.asarray(fxaa_mod.apply_fxaa(jnp.asarray(img)))[..., 0]
+
+    k = np.array([[1., 2., 1.], [2., 4., 2.], [1., 2., 1.]]) / 16.0
+    lp = np.zeros_like(aliased)
+    pad = np.pad(aliased, 1, mode="edge")
+    for dy in range(3):
+        for dx in range(3):
+            lp += k[dy, dx] * pad[dy:dy + h, dx:dx + w]
+
+    band = np.abs(np.mgrid[0:h, 0:w][0] - (np.mgrid[0:h, 0:w][1] / 8.0
+                                           + 16.0)) < 3.0
+    err_fxaa = np.abs(out - truth)[band].mean()
+    err_lp = np.abs(lp - truth)[band].mean()
+    err_in = np.abs(aliased - truth)[band].mean()
+    assert err_fxaa < 0.5 * err_lp, (err_fxaa, err_lp)
+    assert err_fxaa < 0.6 * err_in, (err_fxaa, err_in)
+    # flat interior (>4 px from the edge) must be bit-exact
+    flat = ~(np.abs(np.mgrid[0:h, 0:w][0]
+                    - (np.mgrid[0:h, 0:w][1] / 8.0 + 16.0)) < 4.0)
+    assert np.abs(out - aliased)[flat].max() < 1e-5
