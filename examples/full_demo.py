@@ -118,9 +118,16 @@ def main():
     jax.block_until_ready(out["image"])
     dt = time.perf_counter() - t0
     print(f"{frames} frames in {dt:.1f}s ({frames/dt:.1f} fps incl host IO)")
-    dump_gbuffer(jax.tree_util.tree_map(np.asarray, out), out_dir, "debug")
-    dump_physics_top_view(jax.tree_util.tree_map(np.asarray, phys),
-                          os.path.join(out_dir, "physics_top.png"))
+    out_np = jax.tree_util.tree_map(np.asarray, out)
+    phys_np = jax.tree_util.tree_map(np.asarray, phys)
+    dump_gbuffer(out_np, out_dir, "debug")
+    dump_physics_top_view(phys_np, os.path.join(out_dir, "physics_top.png"))
+    if "--debug" in sys.argv:
+        # full editor-parity observability sheet (utils/debug_view.py):
+        # G-buffer contact sheet, draw/contact counters, per-pass stats
+        from garden_tpu.utils.debug_view import dump_debug_sheet
+        report = dump_debug_sheet(out_np, phys_np, None, out_dir)
+        print("debug stats:", report)
     print(f"wrote {out_dir}/")
 
 

@@ -65,6 +65,10 @@ class ShadowConfig:
     bias_constant: float = 0.0012
     bias_normal: float = 0.05
     pcf_radius: int = 1
+    # cascade-atlas raster tile height (None = square 128): short-wide
+    # tiles waste fewer VPU lanes on small far-cascade casters (see
+    # raster.tpu_tile_legal); multiple of 8
+    atlas_tile_h: Optional[int] = None
     # shadow-factor resolve decimation: the per-pixel shadow-map lookup is a
     # random gather (~30ns/element on TPU); resolving every Nth pixel and
     # bilinearly upsampling the factor costs ~1px of edge softness that the
@@ -119,7 +123,12 @@ class RenderConfig:
 
     width: int = 1920
     height: int = 1080
-    tile_size: int = 128                # raster tile edge; TPU Pallas needs 128-lane alignment
+    tile_size: int = 128                # raster tile WIDTH; TPU Pallas needs 128-lane alignment
+    # raster tile HEIGHT (None = square). Short-wide tiles waste far fewer
+    # VPU lanes on small triangles (a ~20px triangle covers <3% of a
+    # 128x128 tile's lanes but 4x that at 32x128); must be a multiple of 8
+    # sublanes (raster.tpu_tile_legal)
+    tile_h: Optional[int] = None
     max_triangles: int = 65536
     max_tris_per_tile: int = 512
     max_instances: int = 1024

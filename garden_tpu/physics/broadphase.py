@@ -146,14 +146,15 @@ def find_candidates(
         key_sorted, body_sorted = jax.lax.sort(
             (hkey8.reshape(-1), body8.reshape(-1)), num_keys=1)
 
-    # 3. dense (bucket, slot) -> 8-lane RECORD ROW table via one row
-    # scatter. Each entry carries everything the pair filter needs:
-    # [body id | aabb_min3 | aabb_max3 | layer + 8*active]. Slot within a
-    # bucket's run comes from run-position arithmetic (cummax of run-start
-    # indices); entries beyond cand_per_cell drop. Candidates come back as
-    # per-CELL row gathers (N*8 rows) — TPU gathers price per row, and
-    # both earlier designs (per-(body,cell,slot) scalar gather at 4.7 ms;
-    # per-candidate record gather at N*8C rows, 1.2 ms) were hot.
+    # 3. dense (bucket, slot) -> PACKED int32 table via one SCALAR
+    # scatter: id | layer<<17 | active<<20 per entry. Round 3 scattered
+    # 8-float record rows here (id + AABB + meta) and the row scatter was
+    # the physics step's hottest op (3.7 ms at 10K bodies); a scalar
+    # scatter of the same entry count moves 8x less data and lets the
+    # AABBs come back through the cheaper per-candidate ROW gather below
+    # (1.2 ms measured) instead of riding the scatter. Slot within a
+    # bucket's run comes from run-position arithmetic (cummax of
+    # run-start indices); entries beyond cand_per_cell drop.
     m = key_sorted.shape[0]
     idxs = jnp.arange(m, dtype=jnp.int32)
     run_start = jnp.concatenate(
@@ -162,35 +163,36 @@ def find_candidates(
     slot = idxs - seg_start                              # (8N,)
     c_per = cand_per_cell
 
-    meta = layer.astype(jnp.float32) + 8.0 * active.astype(jnp.float32)
-    record8 = jnp.concatenate(
-        [jnp.arange(n, dtype=jnp.float32)[:, None],
-         aabb_min, aabb_max, meta[:, None]], axis=-1)    # (N, 8)
-    src_rows = record8[body_sorted]                      # (8N, 8) row gather
+    assert n <= (1 << 17), "packed broadphase entry caps at 131072 bodies"
+    packed_all = (jnp.arange(n, dtype=jnp.int32)
+                  | (layer << 17) | (active.astype(jnp.int32) << 20))
+    packed_entry = packed_all[body_sorted]               # one scalar gather
     pos = jnp.where((slot < c_per) & (key_sorted < sentinel_bucket),
                     key_sorted * c_per + slot, n_buckets * c_per)
-    cell_tab = jnp.full((n_buckets * c_per, 8), -1.0, jnp.float32).at[
-        pos].set(src_rows, mode="drop").reshape(n_buckets, c_per * 8)
+    cell_tab = jnp.full((n_buckets * c_per,), -1, jnp.int32).at[
+        pos].set(packed_entry, mode="drop").reshape(n_buckets, c_per)
 
-    # 4. each body row-gathers its own 8 cells' candidate record lists
+    # 4. each body row-gathers its own 8 cells' candidate id lists
+    # (N*8 narrow rows), then row-gathers the candidates' AABBs from the
+    # (N, 6) record table (N*8C rows — TPU gathers price per ROW)
     scan_key = jnp.where(covered, key8, sentinel)        # (N, 8) true keys
     scan_bucket = jnp.where(covered, hkey8, sentinel_bucket)
-    rows = cell_tab[scan_bucket].reshape(n, 8 * c_per, 8)  # (N*8)-row gather
-    cand = rows[..., 0].astype(jnp.int32)                # (N, 8C), -1 empty
-    jmin = rows[..., 1:4]
-    jmax = rows[..., 4:7]
-    jmeta = rows[..., 7].astype(jnp.int32)
+    ents = cell_tab[scan_bucket].reshape(n, 8 * c_per)   # (N, 8C) ints
+    cand_valid = ents >= 0
+    cand = jnp.where(cand_valid, ents & 0x1FFFF, 0)      # (N, 8C)
+    jlayer = jnp.where(cand_valid, (ents >> 17) & 7, 0)
+    j_active = cand_valid & (((ents >> 20) & 1) == 1)
+    record6 = jnp.concatenate([aabb_min, aabb_max], axis=-1)  # (N, 6)
+    rows = record6[cand]                                 # (N, 8C, 6)
+    jmin = rows[..., 0:3]
+    jmax = rows[..., 3:6]
     k8c = cand.shape[1]
-    cand_valid = cand >= 0
-    cand = jnp.maximum(cand, 0)
 
     # 4. pair filters, all dense on the fetched rows
     accept_bits = jnp.sum(
         layer_table[layer].astype(jnp.int32)
         * (1 << jnp.arange(layer_table.shape[0], dtype=jnp.int32))[None, :],
         axis=-1)                                          # int bitmask per body
-    jlayer = jmeta & 7
-    j_active = jmeta >= 8
 
     i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     valid = cand_valid & (cand != i_idx)

@@ -272,7 +272,10 @@ def _ray_mesh(o, d, pos, quat, params, tables, steps: int = 32,
         bucket = tables["mesh_cells"][midx, ckey]        # (..., B)
         tri = tables["mesh_tris"][midx[..., None], jnp.maximum(bucket, 0)]
         va, vb, vc = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
-        if inflate > 0.0:
+        # static guard only: inflate may be a traced per-entity radius
+        # (character probes pass comp["radius"]); a Python `if` on it
+        # fails under vmap — apply the offset unconditionally then
+        if not (isinstance(inflate, (int, float)) and inflate == 0.0):
             nf = m3.normalize(jnp.cross(vb - va, vc - va))
             off = nf * inflate
             va, vb, vc = va + off, vb + off, vc + off

@@ -199,23 +199,28 @@ def render_cascades(
     # ~0.2 ms, because gap pixels see the ground plane between casters and
     # keep every tile's near coverage incomplete. The kernel keeps the
     # termination (free when bins are unordered) for scenes that do cover.
+    th = cfg.atlas_tile_h or 128
+    cap = max(64, (max_per_tile * th // 128) // 16 * 16)
+    fy = max(2, min(8, 256 // th))   # keep ~256px of y coverage
     tiles, counts = raster.bin_triangles(atlas_setup, atlas_w, atlas_h,
-                                         128, max_per_tile, foot=2)
+                                         128, cap, foot=2,
+                                         tile_h=th, foot_y=fy)
     depth_atlas = raster.rasterize_depth(atlas_setup, tiles, counts,
                                          atlas_w, atlas_h, 128,
                                          atlas_bounds=bounds,
-                                         tri_atlas=tri_atlas)
+                                         tri_atlas=tri_atlas, tile_h=th)
 
     trans_atlas = None
     if with_trans:
         tsetup = _setup_cascades(clip_all, tri_valid & tri_translucent,
                                  sizes, x_offsets)
         ttiles, tcounts = raster.bin_triangles(
-            tsetup, atlas_w, atlas_h, 128, max_per_tile // 2, foot=2)
+            tsetup, atlas_w, atlas_h, 128, max(32, cap // 2), foot=2,
+            tile_h=th, foot_y=fy)
         tdepth = raster.rasterize_depth(tsetup, ttiles, tcounts,
                                         atlas_w, atlas_h, 128,
                                         atlas_bounds=bounds,
-                                        tri_atlas=tri_atlas)
+                                        tri_atlas=tri_atlas, tile_h=th)
         # transmitted tint: translucent casters blend src-over onto a
         # fully-lit white background in bin order, z-tested against the
         # opaque depth (only casters the sun reaches matter)
@@ -224,7 +229,7 @@ def render_cascades(
             tsetup, tint_all, ttiles, tcounts, depth_atlas,
             jnp.ones((atlas_h, atlas_w, 3), jnp.float32),
             atlas_w, atlas_h, 128,
-            atlas_bounds=bounds, tri_atlas=tri_atlas)
+            atlas_bounds=bounds, tri_atlas=tri_atlas, tile_h=th)
         trans_atlas = jnp.concatenate([tint, tdepth[..., None]], axis=-1)
     return depth_atlas, trans_atlas
 

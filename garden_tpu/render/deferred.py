@@ -199,13 +199,22 @@ class DeferredRenderer:
             order_ftb = jnp.argsort(-zkey)      # nearest (max reverse-Z) first
             prio_ftb = jnp.zeros((t_n,), jnp.int32).at[order_ftb].set(
                 jnp.arange(t_n, dtype=jnp.int32))
+        # rectangular raster tiles (see raster.tpu_tile_legal): tile_h<tile
+        # cuts wasted VPU lanes on small triangles; per-tile capacity and
+        # the y-footprint scale to keep coverage/overflow behavior equal
+        th = cfg.tile_h or cfg.tile_size
+        cap_scale = max(th / cfg.tile_size, 0.25)
+        cap_main = max(64, int(cfg.max_tris_per_tile * cap_scale) // 16 * 16)
+        cap_half = max(32, cap_main // 2)
+        fy = max(2, min(8, (2 * cfg.tile_size) // th))  # keep ~256px y-span
+
         with scope("bin_main"):
-            # foot=2: at 128px tiles a 2x2 footprint covers triangles up to
-            # 256px; larger ones ride the big list. Quarters the pair
+            # foot=2: a 2x(fy) footprint covers triangles up to 256px each
+            # axis; larger ones ride the big list. Quarters the pair
             # emission + packed sort vs foot=4 (measured ~2 ms at 123K tris)
             tiles_m, counts_m = raster.bin_triangles(
-                setup, w, h, cfg.tile_size, cfg.max_tris_per_tile,
-                priority=prio_ftb, foot=2)
+                setup, w, h, cfg.tile_size, cap_main,
+                priority=prio_ftb, foot=2, tile_h=th, foot_y=fy)
 
         # velocity inputs: previous-frame vertex screen positions ride in
         # the shading record (deferred.cpp:463-489 velocity pass analog)
@@ -230,7 +239,8 @@ class DeferredRenderer:
         # per-pixel record gather (the round-2 frame's hottest op)
         with scope("raster_shade"):
             vis, attrs = raster.rasterize_visibility_shaded(
-                setup, records, tiles_m, counts_m, w, h, cfg.tile_size)
+                setup, records, tiles_m, counts_m, w, h, cfg.tile_size,
+                tile_h=th)
         with scope("gbuffer"):
             g = gbuffer.shade_gbuffer(
             vis, setup, scene, world_pos, world_nrm,
@@ -312,7 +322,8 @@ class DeferredRenderer:
             with scope("hbao"):
                 ao = hbao.compute_hbao(g["position"], g["normal"],
                                        g["visible"],
-                                       constants["camera_pos"])
+                                       constants["camera_pos"],
+                                       half_res=True)
 
         # screen-space reflections (the PbrLighting reflection buffer,
         # pbr-lighting.hpp:92): quarter-res march against the current
@@ -424,9 +435,10 @@ class DeferredRenderer:
             from garden_tpu.ops import blur as blur_mod
             rsetup = pass_setup(tri_valid & scene["tri_refract"])
             rtiles, rcounts = raster.bin_triangles(
-                rsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
+                rsetup, w, h, cfg.tile_size, cap_half, tile_h=th, foot_y=fy)
             rvis = raster.rasterize_visibility(rsetup, rtiles, rcounts,
-                                               w, h, cfg.tile_size)
+                                               w, h, cfg.tile_size,
+                                               tile_h=th)
             rg = gbuffer.shade_gbuffer(rvis, rsetup, scene, world_pos,
                                        world_nrm, constants=constants)
             covered = rvis["tri_id"] >= 0
@@ -467,8 +479,8 @@ class DeferredRenderer:
             prio = jnp.zeros((t_n,), jnp.int32).at[order].set(
                 jnp.arange(t_n, dtype=jnp.int32))
             stiles, scounts = raster.bin_triangles(
-                ssetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2,
-                priority=prio)
+                ssetup, w, h, cfg.tile_size, cap_half,
+                priority=prio, tile_h=th, foot_y=fy)
             mat_id = scene["inst_material"][
                 jnp.maximum(scene["tri_instance"], 0)]
             smat = scene["materials"][mat_id]
@@ -476,7 +488,7 @@ class DeferredRenderer:
                 [smat[:, 0:3] * 0.8 + smat[:, 5:8], smat[:, 9:10]], axis=-1)
             hdr = raster.rasterize_sorted_blend(
                 ssetup, srgba, stiles, scounts, vis["depth"], hdr,
-                w, h, cfg.tile_size)
+                w, h, cfg.tile_size, tile_h=th)
 
         # translucent depth pass (TransDepth render type): nearest
         # non-opaque surface depth for downstream effects
@@ -485,9 +497,9 @@ class DeferredRenderer:
                                     or self.any_refract):
             dsetup = pass_setup(tri_valid & nonopaque)
             dtiles, dcounts = raster.bin_triangles(
-                dsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
+                dsetup, w, h, cfg.tile_size, cap_half, tile_h=th, foot_y=fy)
             trans_depth = raster.rasterize_depth(
-                dsetup, dtiles, dcounts, w, h, cfg.tile_size)
+                dsetup, dtiles, dcounts, w, h, cfg.tile_size, tile_h=th)
 
         # snapshot the lit scene radiance for next frame's SSR fetch
         # (pre-bloom: bloom glow must not feed back into reflections)

@@ -67,16 +67,19 @@ def _end_search(edge_luma_pos: Array, edge_luma_neg: Array, is_neg: Array,
             ends.append(delta)
         hit = jnp.stack(hits)                       # (K, H, W)
         end = jnp.stack(ends)
-        k = len(_STEPS)
-        first = jnp.argmax(
-            hit.astype(jnp.int32) * (2 * k)
-            - jnp.arange(k, dtype=jnp.int32)[:, None, None], axis=0)
+        # first hit as a dense mask reduction — NO argmax+gather: a
+        # take_along_axis over the K axis lowered to a generic gather
+        # costing ~100 ms/frame at 1080p (math3d.py one-hot notes)
+        first_mask = hit & (jnp.cumsum(hit.astype(jnp.float32), axis=0)
+                            <= 1.0)                 # true only at 1st hit
+        fm = first_mask.astype(jnp.float32)
         found = jnp.any(hit, axis=0)
-        steps = jnp.asarray(_STEPS, jnp.float32)[first]
+        steps = jnp.sum(
+            jnp.asarray(_STEPS, jnp.float32)[:, None, None] * fm, axis=0)
         # unfound rays clamp to the schedule's reach (shader behavior:
         # distance saturates at the last tap)
         dists.append(jnp.where(found, steps, float(_STEPS[-1])))
-        lumas.append(jnp.take_along_axis(end, first[None], axis=0)[0])
+        lumas.append(jnp.sum(end * fm, axis=0))
     return dists[0], dists[1], lumas[0], lumas[1]
 
 

@@ -48,13 +48,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def tpu_tile_legal(tile: int, width: int, height: int) -> bool:
+def tpu_tile_legal(tile: int, width: int, height: int,
+                   tile_h: int = None) -> bool:
     """Whether a raster tile layout lowers on TPU: a non-full output block's
-    last dim must be a multiple of 128 lanes (the constraint that broke
-    round-1's entry(): tile_size=32 at 128px width fails Pallas lowering)."""
+    last dim must be a multiple of 128 lanes and its second-minor dim a
+    multiple of 8 sublanes (the constraint that broke round-1's entry():
+    tile_size=32 at 128px width fails Pallas lowering).
+
+    RECTANGULAR tiles: tile is the width (>= 128 lanes), tile_h the height.
+    Small triangles waste VPU lanes quadratically with tile area — a ~20px
+    caster covers <3% of a 128x128 tile's 16384 lanes but ~20% of a
+    (16, 128) tile's 2048 — so short-wide tiles are the natural TPU shape
+    (measured: CSM cascade kernel 8.6 -> ~2.5 ms on the dense pile)."""
+    th = tile_h or tile
     tiles_x = -(-width // tile)
-    tiles_y = -(-height // tile)
-    return tiles_x * tiles_y <= 1 or tile % 128 == 0
+    tiles_y = -(-height // th)
+    return tiles_x * tiles_y <= 1 or (tile % 128 == 0 and th % 8 == 0)
 
 
 def setup_triangles(
@@ -124,6 +133,8 @@ def bin_triangles(
     max_big: int = 64,
     priority: Array = None,
     foot: int = None,
+    tile_h: int = None,
+    foot_y: int = None,
 ) -> Tuple[Array, Array]:
     """Returns (tile_tris (tiles, max_big + max_per_tile) int32 padded with
     -1, counts (tiles,) int32). tiles = tiles_y * tiles_x, row-major.
@@ -131,24 +142,30 @@ def bin_triangles(
     priority: optional int32[T] ordering key — entries within a tile come
     out sorted by ascending priority instead of triangle id (the
     back-to-front translucent sort, mesh.hpp:204; priorities must be a
-    permutation of [0, T))."""
+    permutation of [0, T)).
+
+    tile_h: rectangular tiles (tile wide, tile_h tall; see tpu_tile_legal).
+    foot_y: y-footprint for short tiles (defaults to foot scaled so the
+    covered pixel span matches the x span)."""
     FOOT = foot if foot is not None else globals()["FOOT"]
+    th = tile_h or tile
+    FOOT_Y = foot_y if foot_y is not None else FOOT
     tiles_x = -(-width // tile)
-    tiles_y = -(-height // tile)
+    tiles_y = -(-height // th)
     n_tiles = tiles_x * tiles_y
     t = setup["valid"].shape[0]
 
     tx0 = jnp.clip(jnp.floor(setup["xmin"] / tile).astype(jnp.int32), 0, tiles_x - 1)
     tx1 = jnp.clip(jnp.floor(setup["xmax"] / tile).astype(jnp.int32), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor(setup["ymin"] / tile).astype(jnp.int32), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor(setup["ymax"] / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty0 = jnp.clip(jnp.floor(setup["ymin"] / th).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(setup["ymax"] / th).astype(jnp.int32), 0, tiles_y - 1)
     nx = tx1 - tx0 + 1
     ny = ty1 - ty0 + 1
-    small = setup["valid"] & (nx <= FOOT) & (ny <= FOOT)
+    small = setup["valid"] & (nx <= FOOT) & (ny <= FOOT_Y)
     big = setup["valid"] & ~small
 
     # (tri, k) pair emission for small triangles
-    k = jnp.arange(FOOT * FOOT, dtype=jnp.int32)
+    k = jnp.arange(FOOT * FOOT_Y, dtype=jnp.int32)
     kx = k % FOOT
     ky = k // FOOT
     ptx = tx0[:, None] + kx[None, :]
@@ -157,7 +174,7 @@ def bin_triangles(
     key = jnp.where(pair_ok, pty * tiles_x + ptx, n_tiles)  # sentinel last
     key = key.reshape(-1)
     tri_of_pair = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[:, None], (t, FOOT * FOOT)
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, FOOT * FOOT_Y)
     ).reshape(-1)
 
     # ONE single-operand sort of (key << bits | payload): applying an
@@ -167,7 +184,7 @@ def bin_triangles(
     if priority is None:
         payload = tri_of_pair
     else:  # emission is per-triangle-row: repeat, don't gather
-        payload = jnp.repeat(priority[:, None], FOOT * FOOT, 1).reshape(-1)
+        payload = jnp.repeat(priority[:, None], FOOT * FOOT_Y, 1).reshape(-1)
     tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
     key_bits = max(int(np.ceil(np.log2(n_tiles + 2))), 1)
     if tri_bits + key_bits <= 31:
@@ -255,7 +272,7 @@ TRI_BLOCK = 16  # triangles per kernel iteration (sublane batch; 16 amortizes
 
 
 def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
-                   *, tile: int, tiles_x: int):
+                   *, tile: int, tiles_x: int, tile_h: int = None):
     """Visibility raster, 8 triangles per iteration.
 
     Pixels live flattened in the lane axis as (1, tile*tile); each iteration
@@ -264,21 +281,22 @@ def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
     per-pixel nearest candidate, and merges once into the running buffers.
     Scalar loads and loop management amortize 8x vs the per-triangle loop
     (measured ~14x overhead in that form)."""
+    th = tile_h or tile
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile_idx = ty * tiles_x + tx
-    n_px = tile * tile
+    n_px = th * tile
     # tpu.iota must be integer-typed; cast after
     ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
     col = (ixf % tile).astype(jnp.float32)
     row = (ixf // tile).astype(jnp.float32)
     px = (tx * tile + 0.5) + col            # (1, n_px)
-    py = (ty * tile + 0.5) + row
+    py = (ty * th + 0.5) + row
 
-    depth_ref[:] = jnp.zeros((tile, tile), jnp.float32)
-    id_ref[:] = jnp.full((tile, tile), -1, jnp.int32)
-    b0_ref[:] = jnp.zeros((tile, tile), jnp.float32)
-    b1_ref[:] = jnp.zeros((tile, tile), jnp.float32)
+    depth_ref[:] = jnp.zeros((th, tile), jnp.float32)
+    id_ref[:] = jnp.full((th, tile), -1, jnp.int32)
+    b0_ref[:] = jnp.zeros((th, tile), jnp.float32)
+    b1_ref[:] = jnp.zeros((th, tile), jnp.float32)
 
     def body(cb, _):
         d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (B, 16)
@@ -312,16 +330,16 @@ def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
                 zs_b, ids[h:k], b0s[h:k], b1s[h:k])
             k = h
 
-        z_new = zs.reshape(tile, tile)
+        z_new = zs.reshape(th, tile)
         keep = z_new > depth_ref[:]
         depth_ref[:] = jnp.where(keep, z_new, depth_ref[:])
-        id_ref[:] = jnp.where(keep, ids.reshape(tile, tile).astype(jnp.int32),
+        id_ref[:] = jnp.where(keep, ids.reshape(th, tile).astype(jnp.int32),
                               id_ref[:])
-        b0_ref[:] = jnp.where(keep, b0s.reshape(tile, tile), b0_ref[:])
-        b1_ref[:] = jnp.where(keep, b1s.reshape(tile, tile), b1_ref[:])
+        b0_ref[:] = jnp.where(keep, b0s.reshape(th, tile), b0_ref[:])
+        b1_ref[:] = jnp.where(keep, b1s.reshape(th, tile), b1_ref[:])
         return 0
 
-    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
@@ -332,18 +350,20 @@ def rasterize_visibility(
     width: int,
     height: int,
     tile: int,
+    tile_h: int = None,
 ) -> Dict[str, Array]:
     """Visibility buffer: depth (H,W) reverse-Z, tri id (H,W), screen
     barycentrics b0/b1 (H,W)."""
+    th = tile_h or tile
     tiles_x = -(-width // tile)
-    tiles_y = -(-height // tile)
+    tiles_y = -(-height // th)
     n_tiles = tiles_x * tiles_y
-    if not _interpret() and not tpu_tile_legal(tile, width, height):
+    if not _interpret() and not tpu_tile_legal(tile, width, height, th):
         # Catch the illegal layout at trace time with a clear message
         # instead of an XLA lowering error (shipped as a round-1 bug:
         # entry() at tile_size=32 failed to lower on hardware).
         raise ValueError(
-            f"rasterize_visibility: tile={tile} is not TPU-legal for a "
+            f"rasterize_visibility: tile={tile}x{th} is not TPU-legal for a "
             f"{height}x{width} frame ({tiles_y}x{tiles_x} tiles). Use "
             f"tile_size=128 (or a single tile covering the whole frame)."
         )
@@ -364,19 +384,23 @@ def rasterize_visibility(
     data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
 
     grid = (tiles_y, tiles_x)
-    out_block = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+    out_block = pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
-    h_pad = tiles_y * tile
+    h_pad = tiles_y * th
     w_pad = tiles_x * tile
     # counts ride in SMEM as ONE full-array block (TPU blocks must be
-    # 8/128-aligned or whole-array); the kernel indexes by tile id
-    counts2d = counts.reshape(n_tiles, 1)
+    # 8/128-aligned or whole-array); the kernel indexes by tile id.
+    # Layout (1, n_tiles): lane padding lands on the long axis — the
+    # (n_tiles, 1) orientation pads every row to 128 lanes and overflows
+    # SMEM past ~2K tiles (hit by short-wide tiles on the cascade atlas)
+    counts2d = counts.reshape(1, n_tiles)
 
     depth, tri_id, b0, b1 = pl.pallas_call(
-        functools.partial(_raster_kernel, tile=tile, tiles_x=tiles_x),
+        functools.partial(_raster_kernel, tile=tile, tiles_x=tiles_x,
+                          tile_h=th),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -404,7 +428,8 @@ def rasterize_visibility(
 def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
                          b0_ref, b1_ref, attrs_ref, depth_s, id_s, b0_s,
                          b1_s, slot_s,
-                         *, tile: int, tiles_x: int, rec: int, chunk: int):
+                         *, tile: int, tiles_x: int, rec: int, chunk: int,
+                         tile_h: int = None):
     """Visibility raster + in-VMEM record shading.
 
     Phase 1 (VPU): the tournament raster loop of `_raster_kernel`, extended
@@ -421,15 +446,16 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
     expensive op of the round-2 frame (~2M random rows, ~14 ms at 1080p).
     The one-hot is built in chunks of `chunk` pixels to bound VMEM.
     """
+    th = tile_h or tile
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile_idx = ty * tiles_x + tx
-    n_px = tile * tile
+    n_px = th * tile
     ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
     col = (ixf % tile).astype(jnp.float32)
     row = (ixf // tile).astype(jnp.float32)
     px = (tx * tile + 0.5) + col            # (1, n_px)
-    py = (ty * tile + 0.5) + row
+    py = (ty * th + 0.5) + row
 
     depth_s[:] = jnp.zeros((1, n_px), jnp.float32)
     id_s[:] = jnp.full((1, n_px), -1.0, jnp.float32)
@@ -480,13 +506,13 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
         slot_s[:] = jnp.where(keep, slots, slot_s[:])
         return 0
 
-    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
-    depth_ref[:] = depth_s[:].reshape(tile, tile)
-    id_ref[:] = id_s[:].reshape(tile, tile).astype(jnp.int32)
-    b0_ref[:] = b0_s[:].reshape(tile, tile)
-    b1_ref[:] = b1_s[:].reshape(tile, tile)
+    depth_ref[:] = depth_s[:].reshape(th, tile)
+    id_ref[:] = id_s[:].reshape(th, tile).astype(jnp.int32)
+    b0_ref[:] = b0_s[:].reshape(th, tile)
+    b1_ref[:] = b1_s[:].reshape(th, tile)
 
     # phase 2: records -> per-pixel attrs by one-hot matmul, chunked
     c = shade_ref.shape[2]
@@ -511,6 +537,7 @@ def rasterize_visibility_shaded(
     width: int,
     height: int,
     tile: int,
+    tile_h: int = None,
 ) -> Tuple[Dict[str, Array], Array]:
     """Fused visibility raster + record shading.
 
@@ -518,13 +545,14 @@ def rasterize_visibility_shaded(
     attrs[:, y, x] is the winning triangle's shading record at each pixel
     (zeros where no triangle covers the pixel). See _raster_shade_kernel.
     """
+    th = tile_h or tile
     tiles_x = -(-width // tile)
-    tiles_y = -(-height // tile)
+    tiles_y = -(-height // th)
     n_tiles = tiles_x * tiles_y
-    if not _interpret() and not tpu_tile_legal(tile, width, height):
+    if not _interpret() and not tpu_tile_legal(tile, width, height, th):
         raise ValueError(
-            f"rasterize_visibility_shaded: tile={tile} is not TPU-legal for "
-            f"a {height}x{width} frame. Use tile_size=128."
+            f"rasterize_visibility_shaded: tile={tile}x{th} is not TPU-legal "
+            f"for a {height}x{width} frame. Use tile_size=128."
         )
     pad_to = 128  # lane alignment for the (REC, C) record block
     if tile_tris.shape[1] % pad_to:
@@ -547,20 +575,20 @@ def rasterize_visibility_shaded(
     shade = shade.transpose(0, 2, 1)                        # (tiles, REC, C)
 
     grid = (tiles_y, tiles_x)
-    out_block = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+    out_block = pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
-    h_pad = tiles_y * tile
+    h_pad = tiles_y * th
     w_pad = tiles_x * tile
-    counts2d = counts.reshape(n_tiles, 1)
-    n_px = tile * tile
+    counts2d = counts.reshape(1, n_tiles)
+    n_px = th * tile
     chunk = min(2048, n_px)
 
     depth, tri_id, b0, b1, attrs = pl.pallas_call(
         functools.partial(_raster_shade_kernel, tile=tile, tiles_x=tiles_x,
-                          rec=rec, chunk=chunk),
+                          rec=rec, chunk=chunk, tile_h=th),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -568,7 +596,7 @@ def rasterize_visibility_shaded(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_block, out_block, out_block, out_block,
-                   pl.BlockSpec((rec, tile, tile),
+                   pl.BlockSpec((rec, th, tile),
                                 lambda ty, tx: (0, ty, tx),
                                 memory_space=pltpu.VMEM)),
         out_shape=(
@@ -594,20 +622,21 @@ def rasterize_visibility_shaded(
 
 def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
                   ro_ref, go_ref, bo_ref, *, tile: int, tiles_x: int,
-                  atlas_bounds: tuple = ()):
+                  atlas_bounds: tuple = (), tile_h: int = None):
     """Ordered alpha-blend raster: triangles composite src-over IN BIN ORDER
     (back-to-front when binned with a depth priority — the reference's
     sorted-translucent pass, mesh.hpp:204). Z-tested against the opaque
     depth plane (reverse-Z: pass when z >= opaque)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
+    th = tile_h or tile
     tile_idx = ty * tiles_x + tx
-    n_px = tile * tile
+    n_px = th * tile
     ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
     col = (ixf % tile).astype(jnp.float32)
     row = (ixf // tile).astype(jnp.float32)
     px = (tx * tile + 0.5) + col
-    py = (ty * tile + 0.5) + row
+    py = (ty * th + 0.5) + row
 
     ro_ref[:] = r_ref[:]
     go_ref[:] = g_ref[:]
@@ -652,13 +681,13 @@ def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
                     x1a = jnp.where(m, float(x1b), x1a)
                     y1a = jnp.where(m, float(y1b), y1a)
                 hit &= (px >= x0a) & (px < x1a) & (py < y1a)
-            a = jnp.where(hit, ca, 0.0).reshape(tile, tile)
+            a = jnp.where(hit, ca, 0.0).reshape(th, tile)
             ro_ref[:] = ro_ref[:] * (1.0 - a) + cr * a
             go_ref[:] = go_ref[:] * (1.0 - a) + cg * a
             bo_ref[:] = bo_ref[:] * (1.0 - a) + cb_ * a
         return 0
 
-    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
@@ -674,14 +703,17 @@ def rasterize_sorted_blend(
     tile: int,
     atlas_bounds: tuple = (),
     tri_atlas: Array = None,
+    tile_h: int = None,
 ) -> Array:
     """Alpha-blend binned triangles over the HDR in bin order (sorted
     translucent path — the Translucent render type, mesh.hpp:30-40)."""
+    th = tile_h or tile
     tiles_x = -(-width // tile)
-    tiles_y = -(-height // tile)
+    tiles_y = -(-height // th)
     n_tiles = tiles_x * tiles_y
-    if not _interpret() and n_tiles > 1 and tile % 128:
-        raise ValueError(f"rasterize_sorted_blend: tile={tile} not TPU-legal")
+    if not _interpret() and not tpu_tile_legal(tile, width, height, th):
+        raise ValueError(
+            f"rasterize_sorted_blend: tile={tile}x{th} not TPU-legal")
     if tile_tris.shape[1] % TRI_BLOCK:
         pad = TRI_BLOCK - tile_tris.shape[1] % TRI_BLOCK
         tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
@@ -704,21 +736,21 @@ def rasterize_sorted_blend(
     data = data.at[:, :, 10].set(tile_tris.astype(jnp.float32))
 
     grid = (tiles_y, tiles_x)
-    blk = pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+    blk = pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
                        memory_space=pltpu.VMEM)
-    h_pad = tiles_y * tile
+    h_pad = tiles_y * th
     w_pad = tiles_x * tile
     depth_p = jnp.pad(opaque_depth,
                       ((0, h_pad - height), (0, w_pad - width)))
     hdr_p = jnp.pad(hdr, ((0, h_pad - height), (0, w_pad - width), (0, 0)))
-    counts2d = counts.reshape(n_tiles, 1)
+    counts2d = counts.reshape(1, n_tiles)
 
     r, g, b = pl.pallas_call(
         functools.partial(_blend_kernel, tile=tile, tiles_x=tiles_x,
-                          atlas_bounds=atlas_bounds),
+                          atlas_bounds=atlas_bounds, tile_h=th),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -755,7 +787,8 @@ def _atlas_guard(d, px, py, atlas_bounds):
 
 
 def _depth_kernel(count_ref, bound_ref, data_ref, depth_ref,
-                  *, tile: int, tiles_x: int, atlas_bounds: tuple = ()):
+                  *, tile: int, tiles_x: int, atlas_bounds: tuple = (),
+                  tile_h: int = None):
     """Depth-only raster (shadow cascades): the edge-coefficient loop of
     _raster_kernel with a plain max-reduce instead of the id/barycentric
     tournament — ~40% less VPU work per (triangle, pixel), and shadow maps
@@ -769,19 +802,20 @@ def _depth_kernel(count_ref, bound_ref, data_ref, depth_ref,
     tile is covered at z >= that bound, no remaining caster can win the
     max-reduce and the loop stops — on a dense pile the occluded interior
     is ~90% of the binned casters."""
+    th = tile_h or tile
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile_idx = ty * tiles_x + tx
-    n_px = tile * tile
+    n_px = th * tile
     ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
     col = (ixf % tile).astype(jnp.float32)
     row = (ixf // tile).astype(jnp.float32)
     px = (tx * tile + 0.5) + col
-    py = (ty * tile + 0.5) + row
+    py = (ty * th + 0.5) + row
 
-    depth_ref[:] = jnp.zeros((tile, tile), jnp.float32)
+    depth_ref[:] = jnp.zeros((th, tile), jnp.float32)
 
-    n_blocks = (count_ref[tile_idx, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
 
     def cond(carry):
         cb, done = carry
@@ -801,10 +835,10 @@ def _depth_kernel(count_ref, bound_ref, data_ref, depth_ref,
         cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
         if atlas_bounds:
             cand &= _atlas_guard(d, px, py, atlas_bounds)
-        zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(tile, tile)
+        zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(th, tile)
         new_depth = jnp.maximum(depth_ref[:], zs)
         depth_ref[:] = new_depth
-        done = jnp.min(new_depth) >= bound_ref[tile_idx, cb + 1]
+        done = jnp.min(new_depth) >= bound_ref[cb + 1, tile_idx]
         return cb + 1, done
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), False))
@@ -819,16 +853,18 @@ def rasterize_depth(
     tile: int,
     atlas_bounds: tuple = (),
     tri_atlas: Array = None,
+    tile_h: int = None,
 ) -> Array:
     """Depth-only raster (shadow maps: the CSM cascade passes,
     csm.hpp:36-64) via the reduced _depth_kernel. `atlas_bounds` +
     `tri_atlas` enable the cascade-atlas guard (see _atlas_guard)."""
+    th = tile_h or tile
     tiles_x = -(-width // tile)
-    tiles_y = -(-height // tile)
+    tiles_y = -(-height // th)
     n_tiles = tiles_x * tiles_y
-    if not _interpret() and not tpu_tile_legal(tile, width, height):
+    if not _interpret() and not tpu_tile_legal(tile, width, height, th):
         raise ValueError(
-            f"rasterize_depth: tile={tile} is not TPU-legal for a "
+            f"rasterize_depth: tile={tile}x{th} is not TPU-legal for a "
             f"{height}x{width} target. Use tile_size=128.")
     if tile_tris.shape[1] % TRI_BLOCK:
         pad = TRI_BLOCK - tile_tris.shape[1] % TRI_BLOCK
@@ -840,7 +876,7 @@ def rasterize_depth(
     safe = jnp.maximum(tile_tris, 0)
     data = records[safe]
     data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
-    counts2d = counts.reshape(n_tiles, 1)
+    counts2d = counts.reshape(1, n_tiles)
     # early-z bound table: per (tile, block) suffix max of record zmax
     # (zmax = z2 + max(dz0, dz1, 0), cols 10-12), so the kernel can stop
     # once the tile is covered closer to the light than everything left
@@ -851,23 +887,23 @@ def rasterize_depth(
     blk_zmax = rec_zmax.reshape(n_tiles, nb, TRI_BLOCK).max(axis=2)
     suffix = jnp.flip(jax.lax.cummax(jnp.flip(blk_zmax, 1), axis=1), 1)
     bound = jnp.concatenate(
-        [suffix, jnp.full((n_tiles, 1), -1.0, jnp.float32)], axis=1)
-    h_pad = tiles_y * tile
+        [suffix, jnp.full((n_tiles, 1), -1.0, jnp.float32)], axis=1).T
+    h_pad = tiles_y * th
     w_pad = tiles_x * tile
     depth = pl.pallas_call(
         functools.partial(_depth_kernel, tile=tile, tiles_x=tiles_x,
-                          atlas_bounds=atlas_bounds),
+                          atlas_bounds=atlas_bounds, tile_h=th),
         grid=(tiles_y, tiles_x),
         in_specs=[
-            pl.BlockSpec((n_tiles, 1), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_tiles, nb + 1), lambda ty, tx: (0, 0),
+            pl.BlockSpec((nb + 1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16),
                          lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, tile), lambda ty, tx: (ty, tx),
+        out_specs=pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         interpret=_interpret(),

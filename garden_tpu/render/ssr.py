@@ -86,14 +86,14 @@ def trace(
            & (ray_z <= scene_z)
            & (ray_z >= scene_z - cfg.thickness * z_scale))
 
-    # first hit along the ray: argmax of (hit, -step) picks the smallest
-    # step index with hit=True
-    first = jnp.argmax(
-        hit.astype(jnp.int32) * (2 * cfg.steps) - jnp.arange(
-            cfg.steps, dtype=jnp.int32)[:, None, None], axis=0)  # (h, w)
+    # first hit along the ray as a dense mask reduction — NO argmax +
+    # take_along_axis (lowers to a generic gather at ~5 GB/s; the same
+    # fix as fxaa._end_search, math3d.py one-hot notes)
+    first_mask = (hit & (jnp.cumsum(hit.astype(jnp.float32), axis=0)
+                         <= 1.0)).astype(jnp.float32)     # (K, h, w)
     any_hit = jnp.any(hit, axis=0)
-    sel = lambda a: jnp.take_along_axis(a, first[None], axis=0)[0]
-    hit_p = jnp.take_along_axis(p, first[None, ..., None], axis=0)[0]
+    sel = lambda a: jnp.sum(a * first_mask, axis=0)
+    hit_p = jnp.sum(p * first_mask[..., None], axis=0)
     hit_u = sel(u)
     hit_v = sel(vv)
 

@@ -84,3 +84,101 @@ def dump_physics_top_view(state: Dict, path: str, size: int = 512,
             speed = min(vel[i] / 10.0, 1.0)
             img[z, x] = (speed, 1.0 - speed, 0.2)
     _save(img, path)
+
+
+def contact_sheet(out: Dict, path: str, cols: int = 4) -> None:
+    """ONE image tiling every G-buffer/aux channel with a caption strip —
+    the editor's gbuffer-data visualizer as a single glanceable sheet
+    (source/editor/** gbuffer visualizer role)."""
+    g = out["gbuffer"]
+    depth = np.asarray(out["depth"])
+    panels = [
+        ("image", np.asarray(out["image"]).astype(np.float32) / 255.0),
+        ("depth", depth / max(depth.max(), 1e-6)),
+        ("normal", np.asarray(g["normal"]) * 0.5 + 0.5),
+        ("base_color", np.asarray(g["base_color"])),
+        ("roughness", np.asarray(g["roughness"])),
+        ("metallic", np.asarray(g["metallic"])),
+        ("visible", np.asarray(g["visible"]).astype(np.float32)),
+    ]
+    for key in ("shadow", "ao", "velocity", "disocclusion", "trans_depth"):
+        if out.get(key) is not None:
+            img = np.asarray(out[key]).astype(np.float32)
+            if key == "velocity":
+                img = np.concatenate(
+                    [np.abs(img) * 0.1, np.zeros(img.shape[:2] + (1,))], -1)
+            panels.append((key, img))
+
+    h, w = panels[0][1].shape[:2]
+    sheet_rows = -(-len(panels) // cols)
+    sheet = np.zeros((sheet_rows * h, cols * w, 3), np.float32)
+    for i, (name, img) in enumerate(panels):
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        r, c = divmod(i, cols)
+        sheet[r * h:(r + 1) * h, c * w:(c + 1) * w] = np.clip(
+            img[:h, :w, :3], 0.0, 1.0)
+        # caption: a small brightness tag strip (index bits) top-left
+        sheet[r * h:r * h + 6, c * w:c * w + 6 * (i + 1):2] = 1.0
+    _save(sheet, path)
+
+
+def dump_cascade_atlas(depth_atlas, path: str) -> None:
+    """Shadow cascade-atlas view (the editor's shadow-cascade visualizer):
+    reverse-Z depth normalized per non-zero range."""
+    d = np.asarray(depth_atlas)
+    lo = d[d > 0].min() if (d > 0).any() else 0.0
+    hi = d.max() if d.max() > 0 else 1.0
+    vis = np.where(d > 0, (d - lo) / max(hi - lo, 1e-6) * 0.9 + 0.1, 0.0)
+    _save(vis, path)
+
+
+def render_stats(out: Dict, scene: Dict = None) -> Dict[str, int]:
+    """Draw-statistics counters (mesh.cpp:530-546: total vs drawn):
+    triangle totals, binned-visible triangles, covered pixels."""
+    tri_id = np.asarray(out["tri_id"])
+    covered = tri_id >= 0
+    stats = {
+        "pixels": int(tri_id.size),
+        "pixels_covered": int(covered.sum()),
+        "triangles_visible": int(np.unique(tri_id[covered]).size),
+    }
+    if scene is not None and "tri_valid" in scene:
+        stats["triangles_total"] = int(np.asarray(scene["tri_valid"]).sum())
+    return stats
+
+
+def physics_stats(state: Dict) -> Dict[str, int]:
+    """Jolt-style phase stats (physics.cpp:1195-1211: body/contact
+    counts): alive, active, sleeping bodies and live contact count."""
+    b = state["bodies"]
+    has = np.asarray(b["has"])
+    stats = {
+        "bodies_alive": int(has.sum()),
+        "bodies_active": int((has & np.asarray(b.get("active", has))).sum()),
+    }
+    if "sleep" in b:
+        stats["bodies_sleeping"] = int((has & np.asarray(b["sleep"])).sum())
+    if "contacts" in state and "valid" in state["contacts"]:
+        stats["contacts"] = int(np.asarray(state["contacts"]["valid"]).sum())
+    return stats
+
+
+def dump_debug_sheet(out: Dict, state: Optional[Dict], profiler,
+                     directory: str, scene: Dict = None) -> Dict:
+    """The full `--debug` dump: contact sheet + cascade atlas + stats text
+    + per-pass ms table from a FrameProfiler (editor observability parity,
+    SURVEY.md section 7)."""
+    os.makedirs(directory, exist_ok=True)
+    contact_sheet(out, os.path.join(directory, "gbuffer_sheet.png"))
+    report = {"render": render_stats(out, scene)}
+    if state is not None:
+        report["physics"] = physics_stats(state)
+        dump_physics_top_view(
+            state, os.path.join(directory, "physics_top.png"))
+    if profiler is not None:
+        report["passes_ms"] = profiler.report()
+    with open(os.path.join(directory, "stats.txt"), "w") as f:
+        for k, v in report.items():
+            f.write(f"[{k}]\n{v}\n\n")
+    return report

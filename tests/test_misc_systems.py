@@ -127,3 +127,52 @@ def test_encoding_and_file_utils(tmp_path):
     assert utils.read_text(p) == s
     utils.write_bytes(tmp_path / "b.bin", data)
     assert utils.read_bytes(tmp_path / "b.bin") == data
+
+
+def test_debug_view_observability(tmp_path):
+    """Editor-parity observability (VERDICT r3 #9): contact sheet, cascade
+    atlas view, draw/contact counters, and the one-call debug sheet."""
+    import numpy as np
+
+    from garden_tpu.utils import debug_view as dv
+
+    h, w = 32, 48
+    rng = np.random.default_rng(0)
+    tri_id = rng.integers(-1, 5, (h, w))
+    out = {
+        "image": (rng.uniform(0, 255, (h, w, 3))).astype(np.uint8),
+        "depth": rng.uniform(0, 1, (h, w)).astype(np.float32),
+        "tri_id": tri_id,
+        "gbuffer": {
+            "normal": rng.uniform(-1, 1, (h, w, 3)).astype(np.float32),
+            "base_color": rng.uniform(0, 1, (h, w, 3)).astype(np.float32),
+            "roughness": rng.uniform(0, 1, (h, w)).astype(np.float32),
+            "metallic": rng.uniform(0, 1, (h, w)).astype(np.float32),
+            "visible": tri_id >= 0,
+        },
+        "shadow": rng.uniform(0, 1, (h, w, 3)).astype(np.float32),
+        "ao": rng.uniform(0, 1, (h, w)).astype(np.float32),
+        "velocity": None, "disocclusion": None, "trans_depth": None,
+    }
+    state = {
+        "bodies": {
+            "pos": rng.uniform(-5, 5, (16, 3)).astype(np.float32),
+            "linvel": rng.uniform(-1, 1, (16, 3)).astype(np.float32),
+            "has": np.ones(16, bool),
+        },
+        "contacts": {"valid": rng.uniform(0, 1, (16, 4)) > 0.7},
+    }
+    report = dv.dump_debug_sheet(out, state, None, str(tmp_path))
+    assert (tmp_path / "gbuffer_sheet.png").exists()
+    assert (tmp_path / "physics_top.png").exists()
+    assert (tmp_path / "stats.txt").exists()
+    assert report["render"]["pixels"] == h * w
+    assert report["render"]["pixels_covered"] == int((tri_id >= 0).sum())
+    assert report["physics"]["bodies_alive"] == 16
+    assert report["physics"]["contacts"] == int(
+        state["contacts"]["valid"].sum())
+
+    dv.dump_cascade_atlas(
+        rng.uniform(0, 1, (64, 128)).astype(np.float32),
+        str(tmp_path / "atlas.png"))
+    assert (tmp_path / "atlas.png").exists()

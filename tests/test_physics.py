@@ -17,9 +17,23 @@ def make_world(cfg=CFG):
     return pw.PhysicsWorld(cfg)
 
 
+_STEP_CACHE = {}
+
+
 def run_steps(state, cfg, n, types=None):
+    """Step n times through a MEMOIZED jitted step.
+
+    A fresh `jax.jit(lambda ...)` per test defeats jax's in-process
+    executable cache (keyed by function identity) — on this 1-core CI
+    host that cost a full XLA compile per test and pushed the physics
+    suite past 50 minutes. One shared compile per distinct
+    (config, h, types) serves every test that uses it."""
     h = 1.0 / cfg.simulation_rate
-    stepf = jax.jit(lambda s: pw.step(s, cfg, h, types))
+    key = (cfg, h, types)
+    stepf = _STEP_CACHE.get(key)
+    if stepf is None:
+        stepf = _STEP_CACHE[key] = jax.jit(
+            lambda s, _c=cfg, _h=h, _t=types: pw.step(s, _c, _h, _t))
     for _ in range(n):
         state = stepf(state)
     return state

@@ -141,3 +141,58 @@ def test_overflow_drops_farthest_with_priority():
     # prefix plus the tile's grid entries (no compaction — see bin_triangles)
     assert int(counts[0]) == 4 + 8
     assert kept == sorted(range(T - 8, T))  # exactly the nearest 8
+
+
+def test_rectangular_tiles_match_square():
+    """tile_h (short-wide raster tiles, the TPU lane-economy shape) must be
+    pixel-exact vs the square-tile path across visibility, fused shade,
+    depth-only, and sorted-blend rasters on a multi-triangle scene."""
+    rng = np.random.default_rng(7)
+    n = 40
+    # random small CCW triangles in clip space, w=2, varied depth
+    base = rng.uniform(-0.9, 0.9, (n, 2)).astype(np.float32)
+    d1 = rng.uniform(0.05, 0.4, (n, 2)).astype(np.float32)
+    rot = np.stack([-d1[:, 1], d1[:, 0]], -1)
+    p0, p1, p2 = base, base + d1, base + rot
+    zz = rng.uniform(0.2, 1.6, (n, 1)).astype(np.float32)
+    verts = []
+    for p in (p0, p1, p2):
+        verts.append(np.concatenate(
+            [p * 2.0, zz, np.full((n, 1), 2.0, np.float32)], -1))
+    clip = jnp.asarray(np.stack(verts, 1).reshape(n * 3, 4))
+    idx = jnp.arange(n * 3, dtype=jnp.int32).reshape(n, 3)
+    valid = jnp.ones((n,), bool)
+
+    setup = raster.setup_triangles(clip, idx, valid, W, H)
+    sq_tiles, sq_counts = raster.bin_triangles(setup, W, H, TILE, 64)
+    sq = raster.rasterize_visibility(setup, sq_tiles, sq_counts, W, H, TILE)
+    rc_tiles, rc_counts = raster.bin_triangles(setup, W, H, TILE, 64,
+                                               tile_h=16, foot_y=8)
+    rc = raster.rasterize_visibility(setup, rc_tiles, rc_counts, W, H, TILE,
+                                     tile_h=16)
+    for k in ("depth", "tri_id", "b0", "b1"):
+        np.testing.assert_array_equal(np.asarray(sq[k]), np.asarray(rc[k]),
+                                      err_msg=k)
+
+    recs = jnp.asarray(rng.uniform(0, 1, (n, 5)).astype(np.float32))
+    _, attrs_sq = raster.rasterize_visibility_shaded(
+        setup, recs, sq_tiles, sq_counts, W, H, TILE)
+    _, attrs_rc = raster.rasterize_visibility_shaded(
+        setup, recs, rc_tiles, rc_counts, W, H, TILE, tile_h=16)
+    np.testing.assert_allclose(np.asarray(attrs_sq), np.asarray(attrs_rc),
+                               atol=1e-6)
+
+    d_sq = raster.rasterize_depth(setup, sq_tiles, sq_counts, W, H, TILE)
+    d_rc = raster.rasterize_depth(setup, rc_tiles, rc_counts, W, H, TILE,
+                                  tile_h=16)
+    np.testing.assert_array_equal(np.asarray(d_sq), np.asarray(d_rc))
+
+    rgba = jnp.asarray(
+        rng.uniform(0.2, 0.8, (n, 4)).astype(np.float32))
+    hdr0 = jnp.zeros((H, W, 3), jnp.float32)
+    zeros = jnp.zeros((H, W), jnp.float32)
+    b_sq = raster.rasterize_sorted_blend(setup, rgba, sq_tiles, sq_counts,
+                                         zeros, hdr0, W, H, TILE)
+    b_rc = raster.rasterize_sorted_blend(setup, rgba, rc_tiles, rc_counts,
+                                         zeros, hdr0, W, H, TILE, tile_h=16)
+    np.testing.assert_allclose(np.asarray(b_sq), np.asarray(b_rc), atol=1e-6)

@@ -635,3 +635,45 @@ def test_fxaa311_beats_lowpass_on_shallow_staircase():
     flat = ~(np.abs(np.mgrid[0:h, 0:w][0]
                     - (np.mgrid[0:h, 0:w][1] / 8.0 + 16.0)) < 4.0)
     assert np.abs(out - aliased)[flat].max() < 1e-5
+
+
+def test_hbao_horizon_line_sampling():
+    """HBAO (hbao.hpp:39): per-direction horizon MAX, not a tap sum.
+    (a) a wall darkens the ground at its base and not the open field;
+    (b) horizon property: sampling the same ridge at 5 radii occludes no
+    more than the single highest sample (a sum formulation fails this)."""
+    from garden_tpu.render import hbao as H
+
+    h, w = 64, 64
+    # ground plane y=0 on a 0.1 m/px grid; wall at x-index >= 48, 1 m tall
+    xs = (np.arange(w) * 0.1)[None, :].repeat(h, 0)
+    zs = (np.arange(h) * 0.1)[:, None].repeat(w, 1)
+    pos = np.stack([xs, np.zeros((h, w)), zs], -1).astype(np.float32)
+    nrm = np.zeros((h, w, 3), np.float32)
+    nrm[..., 1] = 1.0
+    pos[:, 48:, 1] = 1.0     # plateau = wall top (height discontinuity)
+    vis = np.ones((h, w), bool)
+
+    ao = np.asarray(H.compute_hbao(jnp.asarray(pos), jnp.asarray(nrm),
+                                   jnp.asarray(vis), jnp.zeros(3),
+                                   radius=2.5))
+    base = ao[32, 44:48].mean()        # ground at the wall's base
+    open_field = ao[32, 8:24].mean()   # far from the wall
+    assert base < open_field - 0.1, (base, open_field)
+    assert open_field > 0.95, open_field
+
+    # (b) horizon property: a near ridge sets the horizon; additional
+    # LOWER-ANGLE geometry behind it must not add occlusion (a per-tap sum
+    # formulation stacks it, a horizon max does not)
+    pos2 = np.stack([xs, np.zeros((h, w)), zs], -1).astype(np.float32)
+    pos2[37:41, :, 1] = 0.35      # ridge band ~0.5-0.8 u south of probe
+    ao_one = np.asarray(H.compute_hbao(
+        jnp.asarray(pos2), jnp.asarray(nrm), jnp.asarray(vis),
+        jnp.zeros(3), radius=2.5))[32, 32]
+    pos3 = pos2.copy()
+    pos3[42:49, :, 1] = 0.35      # farther ridges: same height, LOWER angle
+    ao_many = np.asarray(H.compute_hbao(
+        jnp.asarray(pos3), jnp.asarray(nrm), jnp.asarray(vis),
+        jnp.zeros(3), radius=2.5))[32, 32]
+    assert ao_one < 0.98, ao_one          # the near ridge does occlude
+    assert abs(ao_many - ao_one) < 0.02, (ao_many, ao_one)

@@ -195,3 +195,50 @@ def test_character_climbs_step():
     # made it onto the platform: x over the step, feet at step height
     assert pos[0] > 1.2, pos
     assert pos[1] > 0.3 + 0.85, pos  # capsule center above step surface
+
+
+def test_animation_arbitrary_component_properties():
+    """animate.hpp AnimationFrame parity: a track keyframes ANY registered
+    component field — here a custom 'lamp' component's scalar intensity
+    (lerp), its color vector (lerp), and an int mode flag (step)."""
+    from garden_tpu.core.ecs import ComponentDef, Field
+
+    eng = make_engine()
+    world = eng.world
+    anim = world.systems["AnimationSystem"]
+    world.register_component(ComponentDef("lamp", {
+        "intensity": Field((), jnp.float32, 1.0),
+        "color": Field((3,), jnp.float32, (1.0, 1.0, 1.0)),
+        "mode": Field((), jnp.int32, 0),
+    }))
+    e = world.create_entity()
+    world.add_component(e, "transform")
+    world.add_component(e, "lamp")
+    track = anim.add_track([{"time": 0.0, "position": [0, 0, 0]},
+                            {"time": 2.0, "position": [0, 0, 0]}])
+    anim.add_property_keyframes(track, "lamp", "intensity", [
+        {"time": 0.0, "value": 0.0}, {"time": 2.0, "value": 8.0}])
+    anim.add_property_keyframes(track, "lamp", "color", [
+        {"time": 0.0, "value": [1.0, 0.0, 0.0]},
+        {"time": 2.0, "value": [0.0, 0.0, 1.0]}])
+    anim.add_property_keyframes(track, "lamp", "mode", [
+        {"time": 0.0, "value": 0}, {"time": 1.0, "value": 3}], mode="step")
+    world.add_component(e, "animation", track=track, looped=False)
+    # a second lamp WITHOUT the animation: must stay untouched
+    e2 = world.create_entity()
+    world.add_component(e2, "transform")
+    world.add_component(e2, "lamp")
+
+    state = eng.device_state()
+    state = eng.run_ticks(state, 60, 1.0 / 60.0)  # t = 1.0
+    lamp = state["components"]["lamp"]
+    assert abs(float(lamp["intensity"][e]) - 4.0) < 0.3
+    np.testing.assert_allclose(np.asarray(lamp["color"][e]),
+                               [0.5, 0.0, 0.5], atol=0.05)
+    # step mode: probe safely past the t=1 key (float dt accumulation
+    # lands the 60th tick a ulp short of 1.0)
+    state = eng.run_ticks(state, 6, 1.0 / 60.0)   # t = 1.1
+    lamp = state["components"]["lamp"]
+    assert int(lamp["mode"][e]) == 3
+    assert float(lamp["intensity"][e2]) == 1.0
+    np.testing.assert_allclose(np.asarray(lamp["color"][e2]), 1.0)

@@ -157,3 +157,26 @@ def test_ui_label_input_scissor_trigger():
     assert triggers.process((315.0, 120.0), frame) == []   # stay inside
     assert triggers.process((5.0, 5.0), frame) == [(trg, "exit")]
     assert seen == ["enter", "exit"]
+
+
+def test_font_metrics_and_kerning():
+    """Per-glyph fidelity (text.cpp FT metrics): real advances (not ink
+    widths), bearings for baseline alignment, and a kerning table measured
+    through the font's own layout engine."""
+    atlas = TextureAtlas(256)
+    font = FontAtlas(atlas)
+    # advance-accurate measurement: 'iii' must be much narrower than 'WWW'
+    assert font.measure("iii") < font.measure("WWW") * 0.8
+    # measure equals the sum of advances (+kerning), not ink widths:
+    # a trailing space must widen the line
+    assert font.measure("a ") > font.measure("a")
+    # line metrics exposed
+    assert font.line_height() >= font.size * 0.8
+    # bearings recorded: descender glyphs ('g','y') carry a lower ink box
+    # than cap-height glyphs in the em box (bearing_y smaller for 'A')
+    _, _, _, by_a = font.glyphs["A"]
+    _, _, _, by_g = font.glyphs["g"]
+    assert by_g >= by_a
+    # kerning table is a dict of nonzero pair deltas (may be empty for
+    # metrics-less bitmap fonts, but must exist and be queryable)
+    assert isinstance(font.kerning, dict)
