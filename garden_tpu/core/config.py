@@ -69,6 +69,11 @@ class ShadowConfig:
     # tiles waste fewer VPU lanes on small far-cascade casters (see
     # raster.tpu_tile_legal); multiple of 8
     atlas_tile_h: Optional[int] = None
+    # atlas binning y-footprint in tiles (None = auto: keep ~256px span).
+    # Scenes whose casters concentrate in FAR cascades (small light-space
+    # triangles) can use 2 — triangles taller than foot_y*atlas_tile_h px
+    # ride the shared big list (raster.bin_triangles)
+    atlas_foot_y: Optional[int] = None
     # shadow-factor resolve decimation: the per-pixel shadow-map lookup is a
     # random gather (~30ns/element on TPU); resolving every Nth pixel and
     # bilinearly upsampling the factor costs ~1px of edge softness that the
@@ -129,6 +134,11 @@ class RenderConfig:
     # 128x128 tile's lanes but 4x that at 32x128); must be a multiple of 8
     # sublanes (raster.tpu_tile_legal)
     tile_h: Optional[int] = None
+    # main-pass binning y-footprint in tiles (None = auto: keep ~256px
+    # span). Scenes of small on-screen triangles can use 2 — pair
+    # emission and the binning sort shrink proportionally; triangles
+    # taller than foot_y*tile_h px ride the shared big list
+    foot_y: Optional[int] = None
     max_triangles: int = 65536
     max_tris_per_tile: int = 512
     max_instances: int = 1024

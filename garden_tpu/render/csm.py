@@ -8,13 +8,15 @@ compare on resolve with constant+normal bias. The reference renders cascades
 through IShadowMeshRenderSystem passes (mesh.cpp:795-847); here all cascades
 raster side by side into ONE mixed-resolution atlas:
 
-    y=0  +-----------------+--------+--------+
-         |                 |   c1   |   c2   |
-         |   cascade 0     +--------+--------+
-         |   (largest)     |  (unused rows:  |
-         |                 |   zero-count    |
-         +-----------------+   tiles, free)  |
+    y=0  +-----------------+--------+
+         |                 |   c1   |
+         |   cascade 0     +--------+
+         |   (largest)     |   c2   |
+         |                 +--------+
+         +-----------------+
 
+(2D shelf packing, `cascade_layout`: smaller cascades stack vertically —
+fewer raster tiles and a binning key space that keeps the packed sort.)
 One triangle-setup pass vectorized over cascades, one binning sort, one
 Pallas depth launch. Per-cascade caster culling falls out of setup validity
 (triangles outside a cascade's ortho bounds never bin); far cascades can run
@@ -46,11 +48,30 @@ def cascade_splits(cfg: ShadowConfig, near: float) -> List[float]:
 
 
 def cascade_layout(cfg: ShadowConfig) -> Tuple[Tuple[int, ...],
-                                               Tuple[int, ...], int, int]:
-    """(sizes, x_offsets, atlas_width, atlas_height) of the cascade atlas."""
+                                               Tuple[Tuple[int, int], ...],
+                                               int, int]:
+    """(sizes, (x0, y0) offsets, atlas_width, atlas_height): a 2D shelf
+    packing of the cascade rects. Cascade 0 sits at the origin; smaller
+    cascades STACK VERTICALLY in columns to its right while they fit under
+    cascade 0's height. For the common mixed-resolution config
+    (2048, 1024, 1024) this packs 3072x2048 instead of the 4096x2048
+    horizontal strip — 25% fewer raster tiles AND a tile-key space small
+    enough for the packed single-operand binning sort (31 bits at 3 x 123K
+    triangles; the horizontal strip needed 32 and fell back to the ~2x
+    slower variadic sort)."""
     sizes = cfg.cascade_sizes or (cfg.map_size,) * cfg.cascade_count
-    offs = tuple(int(np.cumsum((0,) + sizes)[i]) for i in range(len(sizes)))
-    return sizes, offs, int(sum(sizes)), int(max(sizes))
+    h0 = max(sizes)
+    offs = [(0, 0)]
+    col_x, col_w, cur_y = sizes[0], 0, 0
+    for s in sizes[1:]:
+        if cur_y + s > h0:      # column full -> open a new one
+            col_x, cur_y = col_x + col_w, 0
+            col_w = 0
+        offs.append((col_x, cur_y))
+        cur_y += s
+        col_w = max(col_w, s)
+    atlas_w = col_x + col_w if len(sizes) > 1 else sizes[0]
+    return sizes, tuple(offs), int(atlas_w), int(h0)
 
 
 def fit_cascade(
@@ -97,25 +118,28 @@ def _setup_cascades(
     clip_all: Array,        # (C, T, 3, 4) clip-space verts per cascade
     tri_valid: Array,       # (T,) base triangle validity
     sizes: Tuple[int, ...],
-    x_offsets: Tuple[int, ...],
+    offsets: Tuple[Tuple[int, int], ...],
 ) -> Dict[str, Array]:
     """Triangle setup for every cascade at once, in ATLAS pixel coords.
 
     The batched twin of raster.setup_triangles_tv: per-cascade viewport size
-    and x-offset ride as (C, 1, ...) broadcasts, and every field flattens to
-    (C*T,) ready for one binning pass. Replaces the per-cascade
+    and (x, y) atlas offset ride as (C, 1, ...) broadcasts, and every field
+    flattens to (C*T,) ready for one binning pass. Replaces the per-cascade
     setup+concat loop that cost ~9 ms/frame of reshape/concat at 2048^2
     (round-3 trace)."""
     c, t = clip_all.shape[:2]
     size = jnp.array(sizes, jnp.float32).reshape(c, 1, 1)     # (C, 1, 1)
-    xoff = jnp.array(x_offsets, jnp.float32).reshape(c, 1, 1)
+    xoff = jnp.array([o[0] for o in offsets],
+                     jnp.float32).reshape(c, 1, 1)
+    yoff = jnp.array([o[1] for o in offsets],
+                     jnp.float32).reshape(c, 1, 1)
 
     w = clip_all[..., 3]                                       # (C, T, 3)
     in_front = jnp.all(w > NEAR_EPS, axis=-1)
     inv_w = 1.0 / jnp.maximum(w, NEAR_EPS)
     ndc = clip_all[..., :3] * inv_w[..., None]                 # (C, T, 3, 3)
     sx = (ndc[..., 0] * 0.5 + 0.5) * size + xoff
-    sy = (0.5 - ndc[..., 1] * 0.5) * size                      # y-down
+    sy = (0.5 - ndc[..., 1] * 0.5) * size + yoff               # y-down
     z = ndc[..., 2]
 
     ax = sx[..., 1] - sx[..., 0]
@@ -133,9 +157,10 @@ def _setup_cascades(
     # (mesh.cpp:795-847 culls per cascade frustum) — triangles outside a
     # cascade's ortho bounds never reach binning for that cascade
     x0 = xoff[..., 0]
+    y0 = yoff[..., 0]
     s2 = size[..., 0]
     on_screen = ((xmax >= x0) & (xmin < x0 + s2)
-                 & (ymax >= 0) & (ymin < s2))
+                 & (ymax >= y0) & (ymin < y0 + s2))
 
     valid = tri_valid[None, :] & in_front & front & on_screen
     flat = lambda a: a.reshape((c * t,) + a.shape[2:])
@@ -171,7 +196,7 @@ def render_cascades(
     shares ONE gather across cascades and the main pass instead of a
     per-cascade clip[indices] gather. tri_translucent/tri_tint enable the
     translucent map ((T,) mask + (T, 4) rgba); omitted = opaque only."""
-    sizes, x_offsets, atlas_w, atlas_h = cascade_layout(cfg)
+    sizes, offsets, atlas_w, atlas_h = cascade_layout(cfg)
     if tri_world is None:
         tri_world = world_positions[indices]             # (T, 3, 3)
     t = tri_world.shape[0]
@@ -185,13 +210,15 @@ def render_cascades(
     clip_all = m3.einsum("cij,vj->cvi", lvp_all, hpos)   # (C, V, 4)
     clip_all = clip_all.reshape(c_count, t, 3, 4)
 
-    bounds = tuple((x_offsets[ci], x_offsets[ci] + sizes[ci], sizes[ci])
+    bounds = tuple((offsets[ci][0], offsets[ci][0] + sizes[ci],
+                    offsets[ci][1], offsets[ci][1] + sizes[ci])
                    for ci in range(c_count))
     tri_atlas = jnp.repeat(jnp.arange(c_count, dtype=jnp.int32), t)
 
     opaque_mask = tri_valid & (~tri_translucent if with_trans
                                else jnp.ones_like(tri_valid))
-    atlas_setup = _setup_cascades(clip_all, opaque_mask, sizes, x_offsets)
+    with jax.named_scope("setup"):
+        atlas_setup = _setup_cascades(clip_all, opaque_mask, sizes, offsets)
     # NOTE on early-z ordering: binning depth-ordered (front-to-back from
     # the light) to drive raster._depth_kernel's early-z termination was
     # measured a NET LOSS on the dense-pile flagship (round 4): the rank
@@ -201,23 +228,25 @@ def render_cascades(
     # termination (free when bins are unordered) for scenes that do cover.
     th = cfg.atlas_tile_h or 128
     cap = max(64, (max_per_tile * th // 128) // 16 * 16)
-    fy = max(2, min(8, 256 // th))   # keep ~256px of y coverage
-    tiles, counts = raster.bin_triangles(atlas_setup, atlas_w, atlas_h,
-                                         128, cap, foot=2,
-                                         tile_h=th, foot_y=fy)
-    depth_atlas = raster.rasterize_depth(atlas_setup, tiles, counts,
-                                         atlas_w, atlas_h, 128,
-                                         atlas_bounds=bounds,
-                                         tri_atlas=tri_atlas, tile_h=th)
+    fy = cfg.atlas_foot_y or max(2, min(8, 256 // th))
+    with jax.named_scope("bin"):
+        tiles, counts, big = raster.bin_triangles(atlas_setup, atlas_w,
+                                                  atlas_h, 128, cap, foot=2,
+                                                  tile_h=th, foot_y=fy)
+    with jax.named_scope("raster"):
+        depth_atlas = raster.rasterize_depth(atlas_setup, tiles, counts, big,
+                                             atlas_w, atlas_h, 128,
+                                             atlas_bounds=bounds,
+                                             tri_atlas=tri_atlas, tile_h=th)
 
     trans_atlas = None
     if with_trans:
         tsetup = _setup_cascades(clip_all, tri_valid & tri_translucent,
-                                 sizes, x_offsets)
-        ttiles, tcounts = raster.bin_triangles(
+                                 sizes, offsets)
+        ttiles, tcounts, tbig = raster.bin_triangles(
             tsetup, atlas_w, atlas_h, 128, max(32, cap // 2), foot=2,
             tile_h=th, foot_y=fy)
-        tdepth = raster.rasterize_depth(tsetup, ttiles, tcounts,
+        tdepth = raster.rasterize_depth(tsetup, ttiles, tcounts, tbig,
                                         atlas_w, atlas_h, 128,
                                         atlas_bounds=bounds,
                                         tri_atlas=tri_atlas, tile_h=th)
@@ -226,7 +255,7 @@ def render_cascades(
         # opaque depth (only casters the sun reaches matter)
         tint_all = jnp.tile(tri_tint, (c_count, 1))
         tint = raster.rasterize_sorted_blend(
-            tsetup, tint_all, ttiles, tcounts, depth_atlas,
+            tsetup, tint_all, ttiles, tcounts, tbig, depth_atlas,
             jnp.ones((atlas_h, atlas_w, 3), jnp.float32),
             atlas_w, atlas_h, 128,
             atlas_bounds=bounds, tri_atlas=tri_atlas, tile_h=th)
@@ -246,7 +275,7 @@ def _project_cascades(
     Projects into EVERY cascade densely and selects by view distance — a
     (h, w)-indexed gather of per-pixel matrices lowers catastrophically on
     TPU; C dense einsums + selects are ~free."""
-    sizes, x_offsets, _, _ = cascade_layout(cfg)
+    sizes, offsets, _, _ = cascade_layout(cfg)
     c_count = len(sizes)
     cascade = jnp.zeros_like(view_depth, dtype=jnp.int32)
     for i in range(1, c_count):
@@ -261,15 +290,16 @@ def _project_cascades(
         h = m3.einsum("ij,hwj->hwi", light_view_projs[i], hpos)
         uvz = h[..., :3] / jnp.maximum(h[..., 3:4], 1e-9)
         s_i = float(sizes[i])
-        x_i = float(x_offsets[i])
+        x_i = float(offsets[i][0])
+        y_i = float(offsets[i][1])
         u_i = (uvz[..., 0] * 0.5 + 0.5) * s_i + x_i
-        v_i = (0.5 - uvz[..., 1] * 0.5) * s_i
+        v_i = (0.5 - uvz[..., 1] * 0.5) * s_i + y_i
         sel = cascade == i
         u = jnp.where(sel, u_i, u)
         v = jnp.where(sel, v_i, v)
         z = jnp.where(sel, uvz[..., 2], z)
         inside |= sel & ((u_i >= x_i + 1) & (u_i < x_i + s_i - 1)
-                         & (v_i >= 1) & (v_i < s_i - 1))
+                         & (v_i >= y_i + 1) & (v_i < y_i + s_i - 1))
     ok = inside & (view_depth < splits[-1])
     return u, v, z + cfg.bias_constant, ok
 

@@ -206,13 +206,13 @@ class DeferredRenderer:
         cap_scale = max(th / cfg.tile_size, 0.25)
         cap_main = max(64, int(cfg.max_tris_per_tile * cap_scale) // 16 * 16)
         cap_half = max(32, cap_main // 2)
-        fy = max(2, min(8, (2 * cfg.tile_size) // th))  # keep ~256px y-span
+        fy = cfg.foot_y or max(2, min(8, (2 * cfg.tile_size) // th))
 
         with scope("bin_main"):
             # foot=2: a 2x(fy) footprint covers triangles up to 256px each
             # axis; larger ones ride the big list. Quarters the pair
             # emission + packed sort vs foot=4 (measured ~2 ms at 123K tris)
-            tiles_m, counts_m = raster.bin_triangles(
+            tiles_m, counts_m, big_m = raster.bin_triangles(
                 setup, w, h, cfg.tile_size, cap_main,
                 priority=prio_ftb, foot=2, tile_h=th, foot_y=fy)
 
@@ -239,8 +239,8 @@ class DeferredRenderer:
         # per-pixel record gather (the round-2 frame's hottest op)
         with scope("raster_shade"):
             vis, attrs = raster.rasterize_visibility_shaded(
-                setup, records, tiles_m, counts_m, w, h, cfg.tile_size,
-                tile_h=th)
+                setup, records, tiles_m, counts_m, big_m, w, h,
+                cfg.tile_size, tile_h=th)
         with scope("gbuffer"):
             g = gbuffer.shade_gbuffer(
             vis, setup, scene, world_pos, world_nrm,
@@ -416,8 +416,10 @@ class DeferredRenderer:
         # scene has no translucent content (anyOIT, deferred.hpp:122-123)
         if cfg.use_oit and self.any_translucent:
             tsetup = pass_setup(tri_valid & translucent)
-            ttiles, tcounts = raster.bin_triangles(
+            ttiles, tcounts, tbig = raster.bin_triangles(
                 tsetup, w, h, cfg.tile_size, cfg.max_tris_per_tile // 2)
+            # OIT loops one flat per-tile list (order-independent)
+            ttiles, tcounts = raster.merge_big_list(ttiles, tcounts, tbig)
             mat_id = scene["inst_material"][
                 jnp.maximum(scene["tri_instance"], 0)]
             mat = scene["materials"][mat_id]
@@ -434,10 +436,10 @@ class DeferredRenderer:
         if self.any_refract:
             from garden_tpu.ops import blur as blur_mod
             rsetup = pass_setup(tri_valid & scene["tri_refract"])
-            rtiles, rcounts = raster.bin_triangles(
+            rtiles, rcounts, rbig = raster.bin_triangles(
                 rsetup, w, h, cfg.tile_size, cap_half, tile_h=th, foot_y=fy)
             rvis = raster.rasterize_visibility(rsetup, rtiles, rcounts,
-                                               w, h, cfg.tile_size,
+                                               rbig, w, h, cfg.tile_size,
                                                tile_h=th)
             rg = gbuffer.shade_gbuffer(rvis, rsetup, scene, world_pos,
                                        world_nrm, constants=constants)
@@ -478,7 +480,7 @@ class DeferredRenderer:
             t_n = zkey.shape[0]
             prio = jnp.zeros((t_n,), jnp.int32).at[order].set(
                 jnp.arange(t_n, dtype=jnp.int32))
-            stiles, scounts = raster.bin_triangles(
+            stiles, scounts, sbig = raster.bin_triangles(
                 ssetup, w, h, cfg.tile_size, cap_half,
                 priority=prio, tile_h=th, foot_y=fy)
             mat_id = scene["inst_material"][
@@ -487,7 +489,7 @@ class DeferredRenderer:
             srgba = jnp.concatenate(
                 [smat[:, 0:3] * 0.8 + smat[:, 5:8], smat[:, 9:10]], axis=-1)
             hdr = raster.rasterize_sorted_blend(
-                ssetup, srgba, stiles, scounts, vis["depth"], hdr,
+                ssetup, srgba, stiles, scounts, sbig, vis["depth"], hdr,
                 w, h, cfg.tile_size, tile_h=th)
 
         # translucent depth pass (TransDepth render type): nearest
@@ -496,10 +498,11 @@ class DeferredRenderer:
         if cfg.use_trans_depth and (self.any_translucent or self.any_sorted
                                     or self.any_refract):
             dsetup = pass_setup(tri_valid & nonopaque)
-            dtiles, dcounts = raster.bin_triangles(
+            dtiles, dcounts, dbig = raster.bin_triangles(
                 dsetup, w, h, cfg.tile_size, cap_half, tile_h=th, foot_y=fy)
             trans_depth = raster.rasterize_depth(
-                dsetup, dtiles, dcounts, w, h, cfg.tile_size, tile_h=th)
+                dsetup, dtiles, dcounts, dbig, w, h, cfg.tile_size,
+                tile_h=th)
 
         # snapshot the lit scene radiance for next frame's SSR fetch
         # (pre-bloom: bloom glow must not feed back into reflections)

@@ -99,8 +99,11 @@ def rasterize_oit(
          jnp.zeros((t_count, 2), jnp.float32)],
         axis=-1,
     )  # (T, 16)
-    safe = jnp.maximum(tile_tris, 0)
-    data = records[safe]
+    # all-zero sentinel row for empty (-1) slots: alpha 0 accumulates
+    # nothing (mapping holes to record 0 double-counted triangle 0)
+    records = jnp.concatenate(
+        [records, jnp.zeros((1, 16), jnp.float32)], axis=0)
+    data = records[jnp.where(tile_tris >= 0, tile_tris, t_count)]
 
     h_pad = tiles_y * tile
     w_pad = tiles_x * tile

@@ -10,9 +10,9 @@ tiled software raster, see PAPERS.md):
 2. `bin_triangles` (XLA): each triangle emits (tile, tri) pairs for its
    screen-tile footprint (up to FOOT x FOOT tiles); one global sort by tile
    key; per-tile contiguous ranges found by searchsorted. Triangles with a
-   bigger footprint go to a small 'big list' prepended to every tile —
-   fixed capacities everywhere, overflow drops triangles (back-to-front
-   artifacts only, never OOM).
+   bigger footprint go to a small 'big list' SHARED by every tile (one
+   extra kernel block, drawn first) — fixed capacities everywhere,
+   overflow drops triangles (back-to-front artifacts only, never OOM).
 3. `rasterize_visibility` (Pallas, grid = screen tiles): each tile loops its
    binned triangles (dynamic trip count), evaluates edge functions over the
    whole tile vectorized on the VPU, and keeps the nearest hit per pixel:
@@ -135,14 +135,22 @@ def bin_triangles(
     foot: int = None,
     tile_h: int = None,
     foot_y: int = None,
-) -> Tuple[Array, Array]:
-    """Returns (tile_tris (tiles, max_big + max_per_tile) int32 padded with
-    -1, counts (tiles,) int32). tiles = tiles_y * tiles_x, row-major.
+) -> Tuple[Array, Array, Array]:
+    """Returns (tile_tris (tiles, max_per_tile) int32 padded with -1,
+    counts (tiles,) int32, big_list (max_big,) int32 padded with -1).
+    tiles = tiles_y * tiles_x, row-major.
+
+    Triangles whose tile footprint exceeds foot x foot_y go to the SHARED
+    big list, which raster kernels receive as one (B, 16) block per grid
+    point instead of a per-tile prefix: broadcasting B big slots into every
+    tile's record fetch doubled the (tiles, C, 16) gather on mostly-empty
+    targets like the cascade atlas (measured ~2.3 ms/frame at 4K tiles).
+    Kernels draw the big block FIRST, so bin order = big, then grid.
 
     priority: optional int32[T] ordering key — entries within a tile come
     out sorted by ascending priority instead of triangle id (the
     back-to-front translucent sort, mesh.hpp:204; priorities must be a
-    permutation of [0, T)).
+    permutation of [0, T)). The big list stays in id order.
 
     tile_h: rectangular tiles (tile wide, tile_h tall; see tpu_tile_legal).
     foot_y: y-footprint for short tiles (defaults to foot scaled so the
@@ -195,9 +203,15 @@ def bin_triangles(
         key_sorted, pay_sorted = jax.lax.sort(
             (key, payload), num_keys=1)
 
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(key_sorted, tile_ids, side="left")
-    end = jnp.searchsorted(key_sorted, tile_ids, side="right")
+    # start/end of each tile's contiguous run: keys are integers and the
+    # queries are consecutive, so side-right(i) == side-left(i+1) — ONE
+    # searchsorted of n_tiles+1 probes replaces the left+right pair
+    # (searchsorted lowers to a while-loop binary search; halving the probe
+    # set halved its ~2 ms/frame cascade-atlas cost)
+    probes = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(key_sorted, probes, side="left")
+    start = edges[:-1]
+    end = edges[1:]
     take = jnp.arange(max_per_tile, dtype=jnp.int32)
     gather = start[:, None] + take[None, :]
     ok = gather < end[:, None]
@@ -209,38 +223,39 @@ def bin_triangles(
             jnp.arange(t, dtype=jnp.int32))
         tile_pay = inv[jnp.clip(tile_pay, 0, t - 1)]
     tile_tris = jnp.where(ok, tile_pay, -1)            # (tiles, C)
+    counts = jnp.minimum(end - start, max_per_tile).astype(jnp.int32)
 
-    # big triangles: fixed global list, prepended to every tile
+    # big triangles: fixed global list, shared across tiles (top_k of the
+    # 0/1 rank is stable, so valid entries form a dense prefix)
     max_big = min(max_big, t)
     big_rank = jnp.where(big, 1, 0)
     _, big_idx = jax.lax.top_k(big_rank, max_big)
     big_ok = big[big_idx]
     big_list = jnp.where(big_ok, big_idx.astype(jnp.int32), -1)  # (B,)
-    big_tile = jnp.broadcast_to(big_list[None, :], (n_tiles, max_big))
+    return tile_tris, counts, big_list
 
-    tile_tris = jnp.concatenate([big_tile, tile_tris], axis=1)
-    # no hole compaction: the only holes sit in the shared big-list prefix
-    # and every raster kernel skips tri_id < 0 slots, so the trip count
-    # just covers the last valid big slot plus the tile's (already dense)
-    # grid entries. The old argsort+take_along compaction cost ~2.5 ms at
-    # 2048^2 cascade scale vs a few spare skipped blocks here.
-    big_iota = jnp.arange(max_big, dtype=jnp.int32)
-    big_span = jnp.max(jnp.where(big_list >= 0, big_iota + 1, 0))
-    grid_count = jnp.sum(tile_tris[:, max_big:] >= 0, axis=1)
-    # grid entries start at index max_big, so any tile WITH grid entries
-    # must loop across the whole big prefix (holes are skipped in-kernel);
-    # tiles with only big entries stop at the last valid big slot
-    counts = jnp.where(grid_count > 0, max_big + grid_count,
-                       big_span).astype(jnp.int32)
-    return tile_tris, counts
+
+def merge_big_list(tile_tris: Array, counts: Array,
+                   big_list: Array) -> Tuple[Array, Array]:
+    """Prepend the shared big list to every tile's row — the pre-split
+    combined format, for consumers that loop one flat per-tile list (OIT).
+    Returns (tile_tris (tiles, B + C), counts including the big prefix)."""
+    n_tiles = tile_tris.shape[0]
+    b = big_list.shape[0]
+    big_tile = jnp.broadcast_to(big_list[None, :], (n_tiles, b))
+    merged = jnp.concatenate([big_tile, tile_tris], axis=1)
+    big_n = jnp.sum(big_list >= 0)
+    merged_counts = jnp.where(counts > 0, b + counts, big_n).astype(jnp.int32)
+    return merged, merged_counts
 
 
 
 
-def _pack_edge_records(setup: Dict[str, Array]) -> Array:
-    """(T, 16) per-triangle records in edge-COEFFICIENT form:
+def _pack_edge_records(setup: Dict[str, Array],
+                       tri_atlas: Array = None) -> Array:
+    """(T + 1, 16) per-triangle records in edge-COEFFICIENT form:
     [a0 a1 a2 | b0 b1 b2 | c0 c1 c2 | S | z2 | dz0 | dz1 | inv_area |
-     tri_id(slot 14 set by callers) | pad].
+     tri_id | atlas].
 
     e_k(px, py) = a_k*px + b_k*py + c_k, and e0+e1+e2 = S (= -area,
     positive for front faces), so the raster inner loop is 2 FMAs per edge
@@ -248,7 +263,13 @@ def _pack_edge_records(setup: Dict[str, Array]) -> Array:
     work of evaluating the three edge determinants from vertex positions
     (the raster kernels are VPU-compute-bound; measured ~2x on cascade-
     saturated tiles). Built with whole-(T,3) column math (rolls), since
-    per-column slices of (T,3) arrays force layout copies on TPU."""
+    per-column slices of (T,3) arrays force layout copies on TPU.
+
+    Row i carries its own id i in slot 14 (exact in f32 for ids < 2^24)
+    and row T is a SENTINEL (id -1, inv_area 0): empty tile-list slots
+    index the sentinel, so the per-tile fetch `records[safe]` needs no
+    post-gather `.at[...].set` rewrite (a full-copy scatter that cost
+    ~1.5 ms/frame on the cascade atlas)."""
     sx, sy, z = setup["sx"], setup["sy"], setup["z"]      # (T, 3)
     sx1 = jnp.roll(sx, -1, axis=1)                        # (x1, x2, x0)
     sy1 = jnp.roll(sy, -1, axis=1)
@@ -262,25 +283,39 @@ def _pack_edge_records(setup: Dict[str, Array]) -> Array:
     z2 = z[:, 2:3]
     dz = z[:, 0:2] - z2                                   # (T, 2)
     t_count = sx.shape[0]
-    return jnp.concatenate(
+    ids = jnp.arange(t_count, dtype=jnp.float32)[:, None]
+    atlas = (tri_atlas.astype(jnp.float32)[:, None] if tri_atlas is not None
+             else jnp.zeros((t_count, 1), jnp.float32))
+    rec = jnp.concatenate(
         [a, b, c, s_const, z2, dz, setup["inv_area"][:, None],
-         jnp.zeros((t_count, 2), jnp.float32)], axis=-1)  # (T, 16)
+         ids, atlas], axis=-1)                            # (T, 16)
+    sentinel = jnp.zeros((1, 16), jnp.float32).at[0, 14].set(-1.0)
+    return jnp.concatenate([rec, sentinel], axis=0)       # (T + 1, 16)
+
+
+def _safe_ids(tile_tris: Array, t_count: int) -> Array:
+    """Map empty (-1) slots to the sentinel record row (index t_count)."""
+    return jnp.where(tile_tris >= 0, tile_tris, t_count)
 
 
 TRI_BLOCK = 16  # triangles per kernel iteration (sublane batch; 16 amortizes
 # loop overhead further and still fits VMEM at 128px tiles)
 
 
-def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
+def _raster_kernel(count_ref, bigcnt_ref, data_ref, big_ref, depth_ref,
+                   id_ref, b0_ref, b1_ref,
                    *, tile: int, tiles_x: int, tile_h: int = None):
-    """Visibility raster, 8 triangles per iteration.
+    """Visibility raster, TRI_BLOCK triangles per iteration.
 
     Pixels live flattened in the lane axis as (1, tile*tile); each iteration
-    loads a (8, 16) record block, evaluates edge functions for all 8
-    triangles as (8, tile*tile) VPU ops, tournament-reduces them to the
+    loads a (B, 16) record block, evaluates edge functions for all B
+    triangles as (B, tile*tile) VPU ops, tournament-reduces them to the
     per-pixel nearest candidate, and merges once into the running buffers.
-    Scalar loads and loop management amortize 8x vs the per-triangle loop
-    (measured ~14x overhead in that form)."""
+    Scalar loads and loop management amortize Bx vs the per-triangle loop
+    (measured ~14x overhead in that form).
+
+    Two loops: the SHARED big-triangle block (big_ref, same for every grid
+    point — no per-tile gather) first, then the tile's own grid list."""
     th = tile_h or tile
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -298,8 +333,7 @@ def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
     b0_ref[:] = jnp.zeros((th, tile), jnp.float32)
     b1_ref[:] = jnp.zeros((th, tile), jnp.float32)
 
-    def body(cb, _):
-        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (B, 16)
+    def process(d):
         # edge-coefficient records (_pack_edge_records): e = a*px + b*py + c
         e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
         e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
@@ -310,11 +344,11 @@ def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
         b0 = e0 * inv_area
         b1 = e1 * inv_area
         z = d[:, 10:11] + b0 * d[:, 11:12] + b1 * d[:, 12:13]
-        # padded/invalid slots have inv_area == 0 -> z == z2 but tri_id < 0
+        # padded/invalid slots hit the sentinel record: z == 0, tri_id < 0
         cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
         zc = jnp.where(cand, z, 0.0)
 
-        # tournament-reduce the 8 candidates to 1 per pixel
+        # tournament-reduce the B candidates to 1 per pixel
         def merge(za, ia, ba, bb, zb, ib, b2a, b2b):
             take_b = zb > za
             return (jnp.where(take_b, zb, za), jnp.where(take_b, ib, ia),
@@ -337,16 +371,39 @@ def _raster_kernel(count_ref, data_ref, depth_ref, id_ref, b0_ref, b1_ref,
                               id_ref[:])
         b0_ref[:] = jnp.where(keep, b0s.reshape(th, tile), b0_ref[:])
         b1_ref[:] = jnp.where(keep, b1s.reshape(th, tile), b1_ref[:])
+
+    def body_big(cb, _):
+        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
         return 0
 
+    def body(cb, _):
+        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        return 0
+
+    nb_big = (bigcnt_ref[0, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, nb_big, body_big, 0)
     n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
     jax.lax.fori_loop(0, n_blocks, body, 0)
+
+
+def _big_inputs(records: Array, big_list: Array) -> Tuple[Array, Array]:
+    """(big_data (B_pad, 16), bigcnt (1, 1)) kernel inputs from the shared
+    big list; B pads to a TRI_BLOCK multiple, holes hit the sentinel row."""
+    t_count = records.shape[0] - 1
+    b = big_list.shape[0]
+    if b % TRI_BLOCK:
+        big_list = jnp.pad(big_list, (0, TRI_BLOCK - b % TRI_BLOCK),
+                           constant_values=-1)
+    big_data = records[_safe_ids(big_list, t_count)]        # (B_pad, 16)
+    bigcnt = jnp.sum(big_list >= 0).reshape(1, 1).astype(jnp.int32)
+    return big_data, bigcnt
 
 
 def rasterize_visibility(
     setup: Dict[str, Array],
     tile_tris: Array,   # (tiles, C)
     counts: Array,      # (tiles,)
+    big_list: Array,    # (B,) shared big-triangle list
     width: int,
     height: int,
     tile: int,
@@ -372,16 +429,17 @@ def rasterize_visibility(
         tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
     c = tile_tris.shape[1]
 
-    # per-tile gathered triangle data (tiles, C, 16): 16-float records
-    # [x0 y0 x1 y1 x2 y2 z0 z1 z2 inv_area tri_id pad...]; the triangle id
-    # rides in the float record (exact for ids < 2^24) so the kernel needs
-    # no second indexed input. Records are packed densely FIRST so the
-    # per-tile fetch is ONE contiguous row gather (11 separate field gathers
-    # cost ~10x more: TPU random gathers pay per element, not per byte).
-    records = _pack_edge_records(setup)                     # (T, 16)
-    safe = jnp.maximum(tile_tris, 0)
-    data = records[safe]                                    # (tiles, C, 16)
-    data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
+    # per-tile gathered triangle data (tiles, C, 16): 16-float edge records
+    # (_pack_edge_records) with the triangle id riding in the float record
+    # (exact for ids < 2^24) so the kernel needs no second indexed input.
+    # Records are packed densely FIRST so the per-tile fetch is ONE
+    # contiguous row gather (11 separate field gathers cost ~10x more: TPU
+    # random gathers pay per element, not per byte); empty slots hit the
+    # sentinel row, so no post-gather rewrite is needed.
+    records = _pack_edge_records(setup)                     # (T + 1, 16)
+    t_count = records.shape[0] - 1
+    data = records[_safe_ids(tile_tris, t_count)]           # (tiles, C, 16)
+    big_data, bigcnt = _big_inputs(records, big_list)
 
     grid = (tiles_y, tiles_x)
     out_block = pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
@@ -402,7 +460,11 @@ def rasterize_visibility(
         in_specs=[
             pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_data.shape[0], 16), lambda ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_block, out_block, out_block, out_block),
@@ -413,7 +475,7 @@ def rasterize_visibility(
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         ),
         interpret=_interpret(),
-    )(counts2d, data)
+    )(counts2d, bigcnt, data, big_data)
 
     return {
         "depth": depth[:height, :width],
@@ -425,7 +487,8 @@ def rasterize_visibility(
 
 
 
-def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
+def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
+                         bshade_ref, depth_ref, id_ref,
                          b0_ref, b1_ref, attrs_ref, depth_s, id_s, b0_s,
                          b1_s, slot_s,
                          *, tile: int, tiles_x: int, rec: int, chunk: int,
@@ -433,18 +496,20 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
     """Visibility raster + in-VMEM record shading.
 
     Phase 1 (VPU): the tournament raster loop of `_raster_kernel`, extended
-    to track each pixel's winning LOCAL slot (position in this tile's
-    triangle list) alongside the global triangle id. All running state
-    lives in FLAT (1, n_px) f32 scratch: Mosaic cannot reshape i1/i32
-    vectors between (tile, tile) and (1, n_px), so the loop never leaves
-    the flat layout; outputs reshape f32 once at the end.
+    to track each pixel's winning LOCAL slot alongside the global triangle
+    id: slots [0, B) are the shared big list, [B, B + C) the tile's grid
+    list. All running state lives in FLAT (1, n_px) f32 scratch: Mosaic
+    cannot reshape i1/i32 vectors between (tile, tile) and (1, n_px), so
+    the loop never leaves the flat layout; outputs reshape f32 once at the
+    end.
 
-    Phase 2 (MXU): per-pixel shading attributes materialize as a one-hot
-    contraction attrs[:, px] = records @ onehot(slot[px]) while the tile's
-    (rec, C) record block is still in VMEM. This replaces the per-pixel
-    row gather of the (T, rec) record table from HBM — the single most
-    expensive op of the round-2 frame (~2M random rows, ~14 ms at 1080p).
-    The one-hot is built in chunks of `chunk` pixels to bound VMEM.
+    Phase 2 (MXU): per-pixel shading attributes materialize as one-hot
+    contractions attrs[:, px] = big_recs @ onehot_big(slot[px]) +
+    grid_recs @ onehot(slot[px] - B) while both record blocks are still in
+    VMEM. This replaces the per-pixel row gather of the (T, rec) record
+    table from HBM — the single most expensive op of the round-2 frame
+    (~2M random rows, ~14 ms at 1080p). The one-hot is built in chunks of
+    `chunk` pixels to bound VMEM.
     """
     th = tile_h or tile
     ty = pl.program_id(0)
@@ -463,8 +528,9 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
     b1_s[:] = jnp.zeros((1, n_px), jnp.float32)
     slot_s[:] = jnp.full((1, n_px), -1.0, jnp.float32)
 
-    def body(cb, _):
-        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (B, 16)
+    b_cap = big_ref.shape[0]
+
+    def process(d, slot0):
         # edge-coefficient records (_pack_edge_records): e = a*px + b*py + c
         e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
         e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
@@ -477,8 +543,6 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
         z = d[:, 10:11] + b0 * d[:, 11:12] + b1 * d[:, 12:13]
         cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
         zc = jnp.where(cand, z, 0.0)
-        slot0 = (cb * TRI_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, (TRI_BLOCK, 1), 0)).astype(jnp.float32)
 
         def merge(za, ia, ba, bb, sa, zb, ib, b2a, b2b, sb):
             take_b = zb > za
@@ -504,8 +568,23 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
         b0_s[:] = jnp.where(keep, b0s, b0_s[:])
         b1_s[:] = jnp.where(keep, b1s, b1_s[:])
         slot_s[:] = jnp.where(keep, slots, slot_s[:])
+
+    def slot_iota(cb, base):
+        return (base + cb * TRI_BLOCK + jax.lax.broadcasted_iota(
+            jnp.int32, (TRI_BLOCK, 1), 0)).astype(jnp.float32)
+
+    def body_big(cb, _):
+        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :],
+                slot_iota(cb, 0))
         return 0
 
+    def body(cb, _):
+        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :],
+                slot_iota(cb, b_cap))
+        return 0
+
+    nb_big = (bigcnt_ref[0, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, nb_big, body_big, 0)
     n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
@@ -518,13 +597,19 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
     c = shade_ref.shape[2]
     rows_per_chunk = chunk // tile
     recs = shade_ref[0]                               # (rec, C)
+    brecs = bshade_ref[:]                             # (rec, B)
     for ch in range(n_px // chunk):
         sl = slot_s[0:1, pl.ds(ch * chunk, chunk)]    # (1, chunk) f32
         iota_c = jax.lax.broadcasted_iota(
             jnp.int32, (c, chunk), 0).astype(jnp.float32)
-        onehot = (iota_c == sl).astype(jnp.float32)   # (C, chunk)
+        onehot = (iota_c == (sl - b_cap)).astype(jnp.float32)  # (C, chunk)
         part = jnp.dot(recs, onehot,
                        preferred_element_type=jnp.float32)  # (rec, chunk)
+        iota_b = jax.lax.broadcasted_iota(
+            jnp.int32, (b_cap, chunk), 0).astype(jnp.float32)
+        onehot_b = (iota_b == sl).astype(jnp.float32)        # (B, chunk)
+        part = part + jnp.dot(brecs, onehot_b,
+                              preferred_element_type=jnp.float32)
         attrs_ref[:, pl.ds(ch * rows_per_chunk, rows_per_chunk), :] = \
             part.reshape(rec, rows_per_chunk, tile)
 
@@ -534,6 +619,7 @@ def rasterize_visibility_shaded(
     shade_records: Array,   # (T, REC) per-triangle shading records
     tile_tris: Array,       # (tiles, C)
     counts: Array,          # (tiles,)
+    big_list: Array,        # (B,) shared big-triangle list
     width: int,
     height: int,
     tile: int,
@@ -560,19 +646,27 @@ def rasterize_visibility_shaded(
         tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
     c = tile_tris.shape[1]
 
-    records = _pack_edge_records(setup)                     # (T, 16)
-    safe = jnp.maximum(tile_tris, 0)
+    records = _pack_edge_records(setup)                     # (T + 1, 16)
+    t_count = records.shape[0] - 1
+    safe = _safe_ids(tile_tris, t_count)
     data = records[safe]                                    # (tiles, C, 16)
-    data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
+    # big list, padded to the lane width for the (REC, B) matmul block
+    b_cap = max(128, (big_list.shape[0] + 127) // 128 * 128)
+    big_pad = jnp.pad(big_list, (0, b_cap - big_list.shape[0]),
+                      constant_values=-1)
+    safe_big = _safe_ids(big_pad, t_count)
+    big_data = records[safe_big]                            # (B, 16)
+    bigcnt = jnp.sum(big_pad >= 0).reshape(1, 1).astype(jnp.int32)
 
     rec_w = shade_records.shape[1]
     rec_pad = (-rec_w) % 8                                  # sublane align
-    srec = jnp.pad(shade_records, ((0, 0), (0, rec_pad)))
+    # sentinel shade row: zeros (empty pixels read record 0 of attrs)
+    srec = jnp.pad(shade_records, ((0, 1), (0, rec_pad)))
     rec = srec.shape[1]
     # per-tile shade records, pre-transposed to (REC, C) so the kernel's
-    # matmul needs no in-VMEM transpose; invalid slots contribute zeros
-    shade = jnp.where((tile_tris >= 0)[:, :, None], srec[safe], 0.0)
-    shade = shade.transpose(0, 2, 1)                        # (tiles, REC, C)
+    # matmul needs no in-VMEM transpose; empty slots hit the zero sentinel
+    shade = srec[safe].transpose(0, 2, 1)                   # (tiles, REC, C)
+    bshade = srec[safe_big].T                               # (REC, B)
 
     grid = (tiles_y, tiles_x)
     out_block = pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
@@ -590,9 +684,15 @@ def rasterize_visibility_shaded(
         in_specs=[
             pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_cap, 16), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rec, c), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rec, b_cap), lambda ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_block, out_block, out_block, out_block,
@@ -609,7 +709,7 @@ def rasterize_visibility_shaded(
         scratch_shapes=[pltpu.VMEM((1, n_px), jnp.float32)
                         for _ in range(5)],
         interpret=_interpret(),
-    )(counts2d, data, shade)
+    )(counts2d, bigcnt, data, big_data, shade, bshade)
 
     vis = {
         "depth": depth[:height, :width],
@@ -620,13 +720,14 @@ def rasterize_visibility_shaded(
     return vis, attrs[:rec_w, :height, :width]
 
 
-def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
+def _blend_kernel(count_ref, bigcnt_ref, data_ref, big_ref, depth_ref,
+                  r_ref, g_ref, b_ref,
                   ro_ref, go_ref, bo_ref, *, tile: int, tiles_x: int,
                   atlas_bounds: tuple = (), tile_h: int = None):
     """Ordered alpha-blend raster: triangles composite src-over IN BIN ORDER
-    (back-to-front when binned with a depth priority — the reference's
-    sorted-translucent pass, mesh.hpp:204). Z-tested against the opaque
-    depth plane (reverse-Z: pass when z >= opaque)."""
+    (big list first, then back-to-front when binned with a depth priority —
+    the reference's sorted-translucent pass, mesh.hpp:204). Z-tested against
+    the opaque depth plane (reverse-Z: pass when z >= opaque)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     th = tile_h or tile
@@ -643,8 +744,7 @@ def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
     bo_ref[:] = b_ref[:]
     opaque_z = depth_ref[:].reshape(1, n_px)
 
-    def body(cb, _):
-        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]  # (8, 16)
+    def process(d):
         # sequential within the block: order matters for blending
         for k in range(TRI_BLOCK):
             x0 = d[k, 0]
@@ -674,19 +774,30 @@ def _blend_kernel(count_ref, data_ref, depth_ref, r_ref, g_ref, b_ref,
                 ci = d[k, 15]
                 x0a = jnp.float32(0.0)
                 x1a = jnp.float32(0.0)
+                y0a = jnp.float32(0.0)
                 y1a = jnp.float32(0.0)
-                for i, (x0b, x1b, y1b) in enumerate(atlas_bounds):
+                for i, (x0b, x1b, y0b, y1b) in enumerate(atlas_bounds):
                     m = ci == float(i)
                     x0a = jnp.where(m, float(x0b), x0a)
                     x1a = jnp.where(m, float(x1b), x1a)
+                    y0a = jnp.where(m, float(y0b), y0a)
                     y1a = jnp.where(m, float(y1b), y1a)
-                hit &= (px >= x0a) & (px < x1a) & (py < y1a)
+                hit &= (px >= x0a) & (px < x1a) & (py >= y0a) & (py < y1a)
             a = jnp.where(hit, ca, 0.0).reshape(th, tile)
             ro_ref[:] = ro_ref[:] * (1.0 - a) + cr * a
             go_ref[:] = go_ref[:] * (1.0 - a) + cg * a
             bo_ref[:] = bo_ref[:] * (1.0 - a) + cb_ * a
+
+    def body_big(cb, _):
+        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
         return 0
 
+    def body(cb, _):
+        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        return 0
+
+    nb_big = (bigcnt_ref[0, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, nb_big, body_big, 0)
     n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
@@ -696,6 +807,7 @@ def rasterize_sorted_blend(
     tri_rgba: Array,    # (T, 4) premixed color+alpha per triangle
     tile_tris: Array,
     counts: Array,
+    big_list: Array,
     opaque_depth: Array,  # (H, W) reverse-Z
     hdr: Array,           # (H, W, 3) blend destination
     width: int,
@@ -706,7 +818,8 @@ def rasterize_sorted_blend(
     tile_h: int = None,
 ) -> Array:
     """Alpha-blend binned triangles over the HDR in bin order (sorted
-    translucent path — the Translucent render type, mesh.hpp:30-40)."""
+    translucent path — the Translucent render type, mesh.hpp:30-40).
+    atlas_bounds: per-cascade (x0, x1, y0, y1) pixel rects."""
     th = tile_h or tile
     tiles_x = -(-width // tile)
     tiles_y = -(-height // th)
@@ -726,14 +839,17 @@ def rasterize_sorted_blend(
                  else jnp.zeros((t_count, 1), jnp.float32))
     records = jnp.concatenate(
         [xy, setup["z"], setup["inv_area"][:, None],
-         jnp.zeros((t_count, 1), jnp.float32),   # tri_id slot
+         jnp.arange(t_count, dtype=jnp.float32)[:, None],   # tri_id
          tri_rgba,
          atlas_col],
         axis=-1,
     )
-    safe = jnp.maximum(tile_tris, 0)
-    data = records[safe]
-    data = data.at[:, :, 10].set(tile_tris.astype(jnp.float32))
+    # sentinel row: id -1, alpha 0 (empty slots blend nothing)
+    records = jnp.concatenate(
+        [records, jnp.zeros((1, 16), jnp.float32).at[0, 10].set(-1.0)],
+        axis=0)
+    data = records[_safe_ids(tile_tris, t_count)]
+    big_data, bigcnt = _big_inputs(records, big_list)
 
     grid = (tiles_y, tiles_x)
     blk = pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
@@ -752,7 +868,11 @@ def rasterize_sorted_blend(
         in_specs=[
             pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_data.shape[0], 16), lambda ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
             blk, blk, blk, blk,
         ],
@@ -763,42 +883,47 @@ def rasterize_sorted_blend(
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         ),
         interpret=_interpret(),
-    )(counts2d, data, depth_p, hdr_p[..., 0], hdr_p[..., 1], hdr_p[..., 2])
+    )(counts2d, bigcnt, data, big_data, depth_p,
+      hdr_p[..., 0], hdr_p[..., 1], hdr_p[..., 2])
     return jnp.stack([r[:height, :width], g[:height, :width],
                       b[:height, :width]], axis=-1)
 
 
 def _atlas_guard(d, px, py, atlas_bounds):
     """Cascade-atlas clip: lane 15 of each record holds the triangle's
-    sub-rect index into the static `atlas_bounds` tuple of (x0, x1, y1)
+    sub-rect index into the static `atlas_bounds` tuple of (x0, x1, y0, y1)
     pixel rects; clipped geometry extending past its cascade's ortho bounds
     must not bleed into a neighbor's atlas region. The per-rect bounds
     materialize as a short select chain (C is 2-4)."""
     idx = d[:, 15:16]
     x0a = jnp.zeros_like(idx)
     x1a = jnp.zeros_like(idx)
+    y0a = jnp.zeros_like(idx)
     y1a = jnp.zeros_like(idx)
-    for ci, (x0, x1, y1) in enumerate(atlas_bounds):
+    for ci, (x0, x1, y0, y1) in enumerate(atlas_bounds):
         m = idx == float(ci)
         x0a = jnp.where(m, float(x0), x0a)
         x1a = jnp.where(m, float(x1), x1a)
+        y0a = jnp.where(m, float(y0), y0a)
         y1a = jnp.where(m, float(y1), y1a)
-    return (px >= x0a) & (px < x1a) & (py < y1a)
+    return (px >= x0a) & (px < x1a) & (py >= y0a) & (py < y1a)
 
 
-def _depth_kernel(count_ref, bound_ref, data_ref, depth_ref,
+def _depth_kernel(count_ref, bigcnt_ref, bound_ref, data_ref, big_ref,
+                  depth_ref,
                   *, tile: int, tiles_x: int, atlas_bounds: tuple = (),
                   tile_h: int = None):
     """Depth-only raster (shadow cascades): the edge-coefficient loop of
     _raster_kernel with a plain max-reduce instead of the id/barycentric
     tournament — ~40% less VPU work per (triangle, pixel), and shadow maps
     are the most raster-saturated passes of the frame (3 cascades at
-    2048^2 over a dense caster pile).
+    2048^2 over a dense caster pile). The shared big block draws first
+    (small, no termination), then the tile's grid list.
 
     EARLY-Z TERMINATION: `bound_ref` (SMEM) holds, per (tile, block), the
-    max reverse-Z depth of ALL remaining record blocks (a suffix max built
-    in rasterize_depth). With bins depth-ordered front-to-back from the
-    light (bin_triangles priority=depth rank), once every pixel of the
+    max reverse-Z depth of ALL remaining grid record blocks (a suffix max
+    built in rasterize_depth). With bins depth-ordered front-to-back from
+    the light (bin_triangles priority=depth rank), once every pixel of the
     tile is covered at z >= that bound, no remaining caster can win the
     max-reduce and the loop stops — on a dense pile the occluded interior
     is ~90% of the binned casters."""
@@ -815,15 +940,7 @@ def _depth_kernel(count_ref, bound_ref, data_ref, depth_ref,
 
     depth_ref[:] = jnp.zeros((th, tile), jnp.float32)
 
-    n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
-
-    def cond(carry):
-        cb, done = carry
-        return (cb < n_blocks) & ~done
-
-    def body(carry):
-        cb, _ = carry
-        d = data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :]
+    def process(d):
         e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
         e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
         e2 = d[:, 9:10] - e0 - e1
@@ -836,9 +953,25 @@ def _depth_kernel(count_ref, bound_ref, data_ref, depth_ref,
         if atlas_bounds:
             cand &= _atlas_guard(d, px, py, atlas_bounds)
         zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(th, tile)
-        new_depth = jnp.maximum(depth_ref[:], zs)
-        depth_ref[:] = new_depth
-        done = jnp.min(new_depth) >= bound_ref[cb + 1, tile_idx]
+        depth_ref[:] = jnp.maximum(depth_ref[:], zs)
+
+    def body_big(cb, _):
+        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        return 0
+
+    nb_big = (bigcnt_ref[0, 0] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, nb_big, body_big, 0)
+
+    n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
+
+    def cond(carry):
+        cb, done = carry
+        return (cb < n_blocks) & ~done
+
+    def body(carry):
+        cb, _ = carry
+        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        done = jnp.min(depth_ref[:]) >= bound_ref[cb + 1, tile_idx]
         return cb + 1, done
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), False))
@@ -848,6 +981,7 @@ def rasterize_depth(
     setup: Dict[str, Array],
     tile_tris: Array,
     counts: Array,
+    big_list: Array,
     width: int,
     height: int,
     tile: int,
@@ -856,8 +990,9 @@ def rasterize_depth(
     tile_h: int = None,
 ) -> Array:
     """Depth-only raster (shadow maps: the CSM cascade passes,
-    csm.hpp:36-64) via the reduced _depth_kernel. `atlas_bounds` +
-    `tri_atlas` enable the cascade-atlas guard (see _atlas_guard)."""
+    csm.hpp:36-64) via the reduced _depth_kernel. `atlas_bounds` (per-
+    cascade (x0, x1, y0, y1) rects) + `tri_atlas` enable the cascade-atlas
+    guard (see _atlas_guard)."""
     th = tile_h or tile
     tiles_x = -(-width // tile)
     tiles_y = -(-height // th)
@@ -870,12 +1005,10 @@ def rasterize_depth(
         pad = TRI_BLOCK - tile_tris.shape[1] % TRI_BLOCK
         tile_tris = jnp.pad(tile_tris, ((0, 0), (0, pad)), constant_values=-1)
     c = tile_tris.shape[1]
-    records = _pack_edge_records(setup)
-    if tri_atlas is not None:
-        records = records.at[:, 15].set(tri_atlas.astype(jnp.float32))
-    safe = jnp.maximum(tile_tris, 0)
-    data = records[safe]
-    data = data.at[:, :, 14].set(tile_tris.astype(jnp.float32))
+    records = _pack_edge_records(setup, tri_atlas)
+    t_count = records.shape[0] - 1
+    data = records[_safe_ids(tile_tris, t_count)]
+    big_data, bigcnt = _big_inputs(records, big_list)
     counts2d = counts.reshape(1, n_tiles)
     # early-z bound table: per (tile, block) suffix max of record zmax
     # (zmax = z2 + max(dz0, dz1, 0), cols 10-12), so the kernel can stop
@@ -897,17 +1030,21 @@ def rasterize_depth(
         in_specs=[
             pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((nb + 1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16),
                          lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_data.shape[0], 16), lambda ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         interpret=_interpret(),
-    )(counts2d, bound, data)
+    )(counts2d, bigcnt, bound, data, big_data)
     return depth[:height, :width]
 
 
@@ -922,6 +1059,8 @@ def render_pass(
 ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Full raster pass: setup -> bin -> rasterize. Returns (vis, setup)."""
     setup = setup_triangles(clip, indices, tri_valid, width, height)
-    tile_tris, counts = bin_triangles(setup, width, height, tile, max_per_tile)
-    vis = rasterize_visibility(setup, tile_tris, counts, width, height, tile)
+    tile_tris, counts, big = bin_triangles(setup, width, height, tile,
+                                           max_per_tile)
+    vis = rasterize_visibility(setup, tile_tris, counts, big,
+                               width, height, tile)
     return vis, setup

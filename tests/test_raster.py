@@ -133,13 +133,12 @@ def test_overflow_drops_farthest_with_priority():
     order = jnp.argsort(-zkey)
     prio = jnp.zeros((T,), jnp.int32).at[order].set(
         jnp.arange(T, dtype=jnp.int32))
-    tiles, counts = raster.bin_triangles(setup, 128, 128, 128,
-                                         max_per_tile=8, max_big=4,
-                                         priority=prio)
+    tiles, counts, big = raster.bin_triangles(setup, 128, 128, 128,
+                                              max_per_tile=8, max_big=4,
+                                              priority=prio)
     kept = sorted(int(x) for x in np.asarray(tiles[0]) if x >= 0)
-    # counts is the kernel trip bound: it spans the (hole-skipped) big-list
-    # prefix plus the tile's grid entries (no compaction — see bin_triangles)
-    assert int(counts[0]) == 4 + 8
+    assert int(counts[0]) == 8
+    assert int(np.asarray(big).max()) == -1  # 3px triangles are never big
     assert kept == sorted(range(T - 8, T))  # exactly the nearest 8
 
 
@@ -164,27 +163,29 @@ def test_rectangular_tiles_match_square():
     valid = jnp.ones((n,), bool)
 
     setup = raster.setup_triangles(clip, idx, valid, W, H)
-    sq_tiles, sq_counts = raster.bin_triangles(setup, W, H, TILE, 64)
-    sq = raster.rasterize_visibility(setup, sq_tiles, sq_counts, W, H, TILE)
-    rc_tiles, rc_counts = raster.bin_triangles(setup, W, H, TILE, 64,
-                                               tile_h=16, foot_y=8)
-    rc = raster.rasterize_visibility(setup, rc_tiles, rc_counts, W, H, TILE,
-                                     tile_h=16)
+    sq_tiles, sq_counts, sq_big = raster.bin_triangles(setup, W, H, TILE, 64)
+    sq = raster.rasterize_visibility(setup, sq_tiles, sq_counts, sq_big,
+                                     W, H, TILE)
+    rc_tiles, rc_counts, rc_big = raster.bin_triangles(setup, W, H, TILE, 64,
+                                                       tile_h=16, foot_y=8)
+    rc = raster.rasterize_visibility(setup, rc_tiles, rc_counts, rc_big,
+                                     W, H, TILE, tile_h=16)
     for k in ("depth", "tri_id", "b0", "b1"):
         np.testing.assert_array_equal(np.asarray(sq[k]), np.asarray(rc[k]),
                                       err_msg=k)
 
     recs = jnp.asarray(rng.uniform(0, 1, (n, 5)).astype(np.float32))
     _, attrs_sq = raster.rasterize_visibility_shaded(
-        setup, recs, sq_tiles, sq_counts, W, H, TILE)
+        setup, recs, sq_tiles, sq_counts, sq_big, W, H, TILE)
     _, attrs_rc = raster.rasterize_visibility_shaded(
-        setup, recs, rc_tiles, rc_counts, W, H, TILE, tile_h=16)
+        setup, recs, rc_tiles, rc_counts, rc_big, W, H, TILE, tile_h=16)
     np.testing.assert_allclose(np.asarray(attrs_sq), np.asarray(attrs_rc),
                                atol=1e-6)
 
-    d_sq = raster.rasterize_depth(setup, sq_tiles, sq_counts, W, H, TILE)
-    d_rc = raster.rasterize_depth(setup, rc_tiles, rc_counts, W, H, TILE,
-                                  tile_h=16)
+    d_sq = raster.rasterize_depth(setup, sq_tiles, sq_counts, sq_big,
+                                  W, H, TILE)
+    d_rc = raster.rasterize_depth(setup, rc_tiles, rc_counts, rc_big,
+                                  W, H, TILE, tile_h=16)
     np.testing.assert_array_equal(np.asarray(d_sq), np.asarray(d_rc))
 
     rgba = jnp.asarray(
@@ -192,7 +193,8 @@ def test_rectangular_tiles_match_square():
     hdr0 = jnp.zeros((H, W, 3), jnp.float32)
     zeros = jnp.zeros((H, W), jnp.float32)
     b_sq = raster.rasterize_sorted_blend(setup, rgba, sq_tiles, sq_counts,
-                                         zeros, hdr0, W, H, TILE)
+                                         sq_big, zeros, hdr0, W, H, TILE)
     b_rc = raster.rasterize_sorted_blend(setup, rgba, rc_tiles, rc_counts,
-                                         zeros, hdr0, W, H, TILE, tile_h=16)
+                                         rc_big, zeros, hdr0, W, H, TILE,
+                                         tile_h=16)
     np.testing.assert_allclose(np.asarray(b_sq), np.asarray(b_rc), atol=1e-6)

@@ -96,11 +96,12 @@ def main():
             clip = m3.apply_mat4_h(constants["view_proj"], world_pos)
             setup = raster.setup_triangles(clip, scene["indices"],
                                            tri_valid & ~translucent, W, H)
-            tiles, counts = raster.bin_triangles(setup, W, H, 128,
-                                                 rcfg.max_tris_per_tile)
+            tiles, counts, big = raster.bin_triangles(setup, W, H, 128,
+                                                      rcfg.max_tris_per_tile)
             if upto == "bin":
                 return phys, tiles, counts
-            vis = raster.rasterize_visibility(setup, tiles, counts, W, H, 128)
+            vis = raster.rasterize_visibility(setup, tiles, counts, big,
+                                              W, H, 128)
             if upto == "raster":
                 return phys, vis
             g = gbuffer.shade_gbuffer(vis, setup, scene, world_pos,

@@ -141,14 +141,14 @@ def main():
         clip = m3.apply_mat4_h(constants["view_proj"], wp)
         setup = raster.setup_triangles(clip, scene["indices"],
                                        tv & ~translucent, W, H)
-        tiles, counts = raster.bin_triangles(setup, W, H, rcfg.tile_size,
-                                             rcfg.max_tris_per_tile)
-        return setup, tiles, counts
-    setup, tiles, counts = timeit("main setup + bin", setup_bin, world_pos, tri_valid)
+        tiles, counts, big = raster.bin_triangles(setup, W, H, rcfg.tile_size,
+                                                  rcfg.max_tris_per_tile)
+        return setup, tiles, counts, big
+    setup, tiles, counts, big = timeit("main setup + bin", setup_bin, world_pos, tri_valid)
 
     vis = timeit("main raster (visibility)",
-                 lambda s, t, c: raster.rasterize_visibility(s, t, c, W, H, rcfg.tile_size),
-                 setup, tiles, counts)
+                 lambda s, t, c, b: raster.rasterize_visibility(s, t, c, b, W, H, rcfg.tile_size),
+                 setup, tiles, counts, big)
 
     g = timeit("gbuffer shade",
                lambda v, s, wp, wn: gbuffer.shade_gbuffer(v, s, scene, wp, wn, constants=constants),
@@ -213,8 +213,9 @@ def main():
         clip = m3.apply_mat4_h(constants["view_proj"], wp)
         tsetup = raster.setup_triangles(clip, scene["indices"],
                                         tv & translucent, W, H)
-        ttiles, tcounts = raster.bin_triangles(tsetup, W, H, rcfg.tile_size,
-                                               rcfg.max_tris_per_tile // 2)
+        ttiles, tcounts, tbig = raster.bin_triangles(tsetup, W, H, rcfg.tile_size,
+                                                     rcfg.max_tris_per_tile // 2)
+        ttiles, tcounts = raster.merge_big_list(ttiles, tcounts, tbig)
         mat_id = scene["inst_material"][jnp.maximum(scene["tri_instance"], 0)]
         mcols = scene["materials"][mat_id]
         tri_colors = jnp.concatenate(
