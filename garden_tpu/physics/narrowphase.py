@@ -254,7 +254,16 @@ def _top4_sorted(pen: Array, columns) -> Tuple[Array, list]:
     candidate payload `columns` (list of (..., n) arrays) — ONE variadic
     lax.sort instead of top_k + one-hot row contractions (the batched
     (.., 4, n) one-hot einsums ran at ~11 GB/s and were a top-3 cost of
-    the 10K-body step; a width-n bitonic sort is pure VPU work)."""
+    the 10K-body step; a width-n bitonic sort is pure VPU work).
+
+    Ranking uses depth QUANTIZED to 1 mm so the kept SET is stable while
+    a resting body rocks by less than that: face-face manifolds offer ~8
+    equally-deep candidates whose exact depths reorder with sub-mm pose
+    noise, and a churning top-4 re-keys the warm-start impulses every
+    step — the solver then re-converges from cold each step and resting
+    stacks hold a standing oscillation instead of sleeping (seen on
+    hull-hull at ~0.3 m/s forever). Ties keep candidate-enumeration order
+    (lax.sort is stable), which is pose-independent."""
     n = pen.shape[-1]
     if n < MAX_POINTS:
         padshape = pen.shape[:-1] + (MAX_POINTS - n,)
@@ -262,8 +271,9 @@ def _top4_sorted(pen: Array, columns) -> Tuple[Array, list]:
             [pen, jnp.full(padshape, -1e30, pen.dtype)], axis=-1)
         columns = [jnp.concatenate(
             [c, jnp.zeros(padshape, c.dtype)], axis=-1) for c in columns]
-    out = jax.lax.sort([-pen] + list(columns), num_keys=1)
-    return -out[0][..., :MAX_POINTS], [c[..., :MAX_POINTS] for c in out[1:]]
+    rank = jnp.ceil(pen * 1e3)          # 1 mm depth buckets
+    out = jax.lax.sort([-rank, pen] + list(columns), num_keys=1)
+    return out[1][..., :MAX_POINTS], [c[..., :MAX_POINTS] for c in out[2:]]
 
 
 def _top4_manifold(shape, pen: Array, point: Array, normal: Array,
@@ -989,6 +999,16 @@ def _points_vs_mesh(points_w, pvalid, radius, pb, qb, prm_b, tables, margin):
         marg = marg[..., None]
     valid = (bucket >= 0) & pvalid[..., None] & (pen > -marg)
     valid &= pen < back_cap
+    # back-side capture requires the point to project INSIDE the triangle
+    # (closest == in-plane projection, lateral offset ~0 — the thin-wall
+    # case). A point BEHIND the plane whose closest point sits on an edge
+    # is laterally outside the face's prism: it belongs to an adjacent
+    # face, and treating it as a back-side hit here read the face-plane
+    # depth through empty space (a ramp's far slope kicked bodies UP the
+    # near slope through its extended plane).
+    lat2 = jnp.maximum(dist * dist - side * side, 0.0)
+    lat_eps = 1e-3 * cell[..., None]
+    valid &= (side >= 0.0) | (lat2 < lat_eps * lat_eps)
 
     n_w = m3.einsum("...ij,...pbj->...pbi", rot, n_l)
     point = points_w[..., None, :] - n_w * radius[..., None, None]
@@ -1133,7 +1153,15 @@ def generate_contacts(
     rec_j = record[pair_j]                        # (P, 12|13) THE gather
     ta0 = rec_i[:, 11].astype(jnp.int32)
     tb0 = rec_j[:, 11].astype(jnp.int32)
-    swap = ta0 > tb0
+    # canonical order: by type, then by INDEX for same-type pairs. The
+    # index tie-break matters for the symmetric row layout (solver.py):
+    # rows (i, j) and (j, i) must evaluate the IDENTICAL canonical pair so
+    # their manifolds match bitwise — same-type kernels enumerate
+    # candidate points in A/B order, and equal-depth top-4 ties otherwise
+    # select DIFFERENT points in the two rows (seen as a 3-of-4-point
+    # manifold overlap on stacked hulls), leaving unpaired impulses that
+    # slowly torque resting bodies.
+    swap = (ta0 > tb0) | ((ta0 == tb0) & (pair_i > pair_j))
     a = jnp.where(swap, pair_j, pair_i)
     b = jnp.where(swap, pair_i, pair_j)
     # canonical (type-sorted) ordering applied densely to fetched rows

@@ -76,14 +76,34 @@ def solve_velocity(
     `warm` carries the previous step's accumulated impulses in the same
     (N, S) slot layout; for resting configurations the slots are stable
     across steps, giving the warm-starting effect stacks need (Jolt
-    warm-starts the same way)."""
-    partner = contacts["partner"]          # (N, S)
+    warm-starts the same way).
+
+    When `contacts` carries a pair-level "pair_partner" (N, K) with
+    S = K * points (world.collide's layout), every partner gather runs at
+    (N, K) rows and broadcasts to the point slots — TPU gathers price per
+    row, and the slots of one pair share the partner, so this halves the
+    solver loop's gather traffic (its dominant cost at 10K bodies)."""
     point = contacts["point"]              # (N, S, 3)
     normal = contacts["normal"]
     pen = contacts["pen"]
+    s_slots = point.shape[1]
+    partner = contacts.get("pair_partner")
+    if partner is None:
+        partner = contacts["partner"]      # (N, S) slot-level fallback
+    p_rep = s_slots // partner.shape[1]
+
+    def expand(x: Array) -> Array:
+        """(N, K, ...) per-pair -> (N, S, ...) per-slot (pure broadcast)."""
+        if p_rep == 1:
+            return x
+        n_, k_ = x.shape[:2]
+        return jnp.broadcast_to(
+            x[:, :, None], (n_, k_, p_rep) + x.shape[2:]
+        ).reshape((n_, k_ * p_rep) + x.shape[2:])
+
     is_sensor = bodies["is_sensor"]
     responsive = contacts["valid"] & ~(
-        is_sensor[:, None] | is_sensor[partner]
+        is_sensor[:, None] | expand(is_sensor[partner])
     )
     resp_f = responsive.astype(jnp.float32)
 
@@ -110,7 +130,7 @@ def solve_velocity(
          bodies["friction"][:, None], bodies["restitution"][:, None],
          bodies["linvel"], bodies["angvel"]],
         axis=1)                             # (N, 25)
-    par_tab = body_tab[partner]             # (N, S, 25) the one gather
+    par_tab = expand(body_tab[partner])     # (N, S, 25) the one gather
     pos_p = par_tab[..., 0:3]
     inv_mass_p = par_tab[..., 3]
     split_p = par_tab[..., 4]
@@ -162,7 +182,7 @@ def solve_velocity(
             [linvel, angvel, jnp.zeros((linvel.shape[0], 2), linvel.dtype)],
             axis=1,
         )
-        par = vel_tab[partner]                      # (N, S, 8)
+        par = expand(vel_tab[partner])              # (N, S, 8)
         v_own = linvel[:, None, :] + jnp.cross(angvel[:, None, :], r_own)
         v_par = par[..., 0:3] + jnp.cross(par[..., 3:6], r_par)
         return v_par - v_own
@@ -297,10 +317,24 @@ def solve_position(
     (N, 3) is displacement already applied since then (the integration
     step) — folding it into the per-iteration relative-displacement gather
     saves a separate (N, S, 3) partner gather for the initial adjustment."""
-    partner = contacts["partner"]
     normal = contacts["normal"]
+    s_slots = normal.shape[1]
+    partner = contacts.get("pair_partner")
+    if partner is None:
+        partner = contacts["partner"]
+    p_rep = s_slots // partner.shape[1]
+
+    def expand(x: Array) -> Array:
+        if p_rep == 1:
+            return x
+        n_, k_ = x.shape[:2]
+        return jnp.broadcast_to(
+            x[:, :, None], (n_, k_, p_rep) + x.shape[2:]
+        ).reshape((n_, k_ * p_rep) + x.shape[2:])
+
     is_sensor = bodies["is_sensor"]
-    responsive = contacts["valid"] & ~(is_sensor[:, None] | is_sensor[partner])
+    responsive = contacts["valid"] & ~(
+        is_sensor[:, None] | expand(is_sensor[partner]))
     inv_mass = bodies["inv_mass"]
 
     count = jnp.sum(responsive.astype(jnp.float32), axis=1)
@@ -317,7 +351,7 @@ def solve_position(
     k = None
     for _ in range(iterations):  # unrolled (see solve_velocity note)
         tab = jnp.concatenate([dtot, prod[:, None]], axis=1)   # (N, 4)
-        par = tab[partner]                                     # ONE gather
+        par = expand(tab[partner])                             # ONE gather
         if k is None:
             k = jnp.maximum(prod[:, None] + par[..., 3], 1e-9)
         # remaining penetration = collide-time pen minus relative

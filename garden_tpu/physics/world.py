@@ -167,9 +167,8 @@ class PhysicsWorld:
         bodies["sleeping"] = jnp.zeros((self.config.max_bodies,), bool)
         n = self.config.max_bodies
         k = self.config.max_contacts_per_body + self.config.max_globals
-        c = (n, k * narrowphase.MAX_POINTS)
-        ca = (n, min(self.config.max_active_contacts,
-                     k * narrowphase.MAX_POINTS))
+        ca = (n, min(active_pair_budget(self.config), k)
+              * narrowphase.MAX_POINTS)
         return {
             "bodies": bodies,
             # independent copies: donation requires unaliased buffers
@@ -196,9 +195,7 @@ class PhysicsWorld:
             # body-event detection)
             "grounded": jnp.zeros((n,), bool),
             # per-slot touching partners (contact events); compacted width
-            "touching": jnp.full(
-                (n, min(self.config.max_active_contacts,
-                        k * narrowphase.MAX_POINTS)), -1, jnp.int32),
+            "touching": jnp.full(ca, -1, jnp.int32),
         }
 
 
@@ -287,45 +284,55 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     flip = (man["a"] != pair_i)[:, None, None]
     normal = jnp.where(flip, -man["normal"], man["normal"])
 
-    # (N, S) symmetric row layout, S = K * MAX_POINTS (solver.py docstring)
+    # PAIR-level compaction into (N, K_act) pairs x MAX_POINTS points:
+    # all slots of one pair share the partner, so the solver's
+    # per-iteration partner gathers shrink to (N, K_act) ROWS (TPU gathers
+    # price per row; the old slot-level compaction fetched the same
+    # partner row once per manifold point — 2x the rows at 10K bodies),
+    # and a kept pair always keeps its WHOLE manifold (slot-level budgets
+    # could truncate a 4-point resting manifold mid-way, which torques the
+    # box). top_k keeps the first `active_pair_budget` touching pairs per
+    # row in stable order (globals first — broadphase emits them first).
+    # All per-pair fields pack into ONE (N, K, 8*mp + 1) record so the
+    # compaction is a single one-hot MXU contraction (TPU random gathers
+    # run ~30x slower; separate per-field contractions lower to slow
+    # reduce_sums).
     mp = narrowphase.MAX_POINTS
-    s = k * mp
-    contacts = {
-        "partner": jnp.broadcast_to(
-            cand_idx[:, :, None], (n, k, mp)).reshape(n, s),
-        "point": man["point"].reshape(n, s, 3),
-        "normal": normal.reshape(n, s, 3),
-        "pen": man["pen"].reshape(n, s),
-        "valid": man["valid"].reshape(n, s),
-    }
-
-    # compact rows to the active-contact budget: the solver loop is HBM
-    # traffic bound, and the raw layout is ~95% padding. top_k keeps the
-    # first `max_active_contacts` valid slots per row in stable order;
-    # `slot` maps back into the full layout for warm-impulse persistence.
-    # All fields are packed into ONE (N, S, 9) record so the compaction is a
-    # single one-hot MXU contraction (TPU random gathers run ~30x slower;
-    # separate per-field contractions lower to slow reduce_sums).
-    s_act = min(config.max_active_contacts, s)
+    pair_ok = jnp.any(man["valid"].reshape(n, k, mp), axis=-1)  # (N, K)
+    k_act = min(active_pair_budget(config), k)
+    s_act = k_act * mp
     with scope("contact_compact"):
-        rank = jnp.where(contacts["valid"],
-                         s - jnp.arange(s, dtype=jnp.int32)[None, :], 0)
-        _, sel = jax.lax.top_k(rank, s_act)                # (N, s_act)
+        rank = jnp.where(pair_ok,
+                         k - jnp.arange(k, dtype=jnp.int32)[None, :], 0)
+        _, sel = jax.lax.top_k(rank, k_act)                # (N, K_act)
         packed = jnp.concatenate(
-            [contacts["point"], contacts["normal"],
-             contacts["pen"][..., None],
-             contacts["valid"].astype(jnp.float32)[..., None],
-             contacts["partner"].astype(jnp.float32)[..., None]], axis=-1)
-        cpk = m3.gather_rows(packed, sel)                  # (N, s_act, 9)
+            [man["point"].reshape(n, k, mp * 3),
+             normal.reshape(n, k, mp * 3),
+             man["pen"].reshape(n, k, mp),
+             man["valid"].reshape(n, k, mp).astype(jnp.float32),
+             cand_idx.astype(jnp.float32)[..., None]], axis=-1)
+        cpk = m3.gather_rows(packed, sel)              # (N, K_act, 8mp+1)
+    pair_partner = cpk[..., 8 * mp].astype(jnp.int32)  # (N, K_act)
     compact = {
-        "point": cpk[..., 0:3],
-        "normal": cpk[..., 3:6],
-        "pen": cpk[..., 6],
-        "valid": cpk[..., 7] > 0.5,
-        "partner": cpk[..., 8].astype(jnp.int32),
-        "slot": sel,
+        "point": cpk[..., 0:3 * mp].reshape(n, s_act, 3),
+        "normal": cpk[..., 3 * mp:6 * mp].reshape(n, s_act, 3),
+        "pen": cpk[..., 6 * mp:7 * mp].reshape(n, s_act),
+        "valid": cpk[..., 7 * mp:8 * mp].reshape(n, s_act) > 0.5,
+        # pair-level partner for row gathers + slot-level view for dense
+        # per-point consumers (grounded/touching/tests)
+        "pair_partner": pair_partner,
+        "partner": jnp.broadcast_to(
+            pair_partner[:, :, None], (n, k_act, mp)).reshape(n, s_act),
     }
     return compact
+
+
+def active_pair_budget(config: PhysicsConfig) -> int:
+    """Active contact-PAIR budget per body row: `max_active_contacts` is
+    the historical point-slot budget; a resting manifold holds up to
+    MAX_POINTS points, so half that count in whole pairs covers the same
+    piles with better manifold completeness (see collide)."""
+    return max(config.max_active_contacts // 2, 1)
 
 
 def step(state: Dict[str, Any], config: PhysicsConfig,
@@ -359,9 +366,12 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     # array through two random gathers per step).
     mp = narrowphase.MAX_POINTS
     with jax.named_scope("warm_match"):
+        # point index within the pair's manifold (slots are pair-major)
+        pidx = jnp.tile(jnp.arange(mp, dtype=jnp.int32),
+                        contacts["valid"].shape[1] // mp)
         new_key = jnp.where(
             contacts["valid"],
-            contacts["partner"] * mp + contacts["slot"] % mp, -1)
+            contacts["partner"] * mp + pidx[None, :], -1)
         old_key = state["warm"]["key"]
         match = ((new_key[:, :, None] == old_key[:, None, :])
                  & (new_key >= 0)[:, :, None]).astype(jnp.float32)

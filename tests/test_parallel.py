@@ -16,13 +16,15 @@ def build_state():
     w = pw.PhysicsWorld(cfg)
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
     w.add_body(w.shapes.sphere(0.5), position=(0, 3, 0))
-    return w.device_state(), cfg
+    # pruned narrowphase kernels: the all-types step is ~700x slower to
+    # EXECUTE on the CPU test host (mesh/heightfield table scans per pair)
+    return w.device_state(), cfg, w.shapes.present_types()
 
 
 def test_world_batch_over_8_devices():
     assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
-    state, cfg = build_state()
-    wb = WorldBatch(lambda s: pw.step(s, cfg, 1.0 / 60.0), n_worlds=8)
+    state, cfg, types = build_state()
+    wb = WorldBatch(lambda s: pw.step(s, cfg, 1.0 / 60.0, types), n_worlds=8)
 
     def vary(s, i):
         b = s["bodies"]
@@ -47,8 +49,8 @@ def test_world_batch_over_8_devices():
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    state, cfg = build_state()
-    stepped = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0))(state)
+    state, cfg, types = build_state()
+    stepped = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0, types))(state)
     path = str(tmp_path / "snap.npz")
     checkpoint.save(path, stepped)
     restored = checkpoint.load(path, stepped)
@@ -57,8 +59,8 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # continuing from the restored state matches continuing from the original
-    n1 = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0))(stepped)
-    n2 = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0))(restored)
+    n1 = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0, types))(stepped)
+    n2 = jax.jit(lambda s: pw.step(s, cfg, 1.0 / 60.0, types))(restored)
     np.testing.assert_array_equal(np.asarray(n1["bodies"]["pos"]),
                                   np.asarray(n2["bodies"]["pos"]))
 

@@ -43,7 +43,7 @@ def test_free_fall_matches_semi_implicit_euler():
     w = make_world()
     s = w.shapes.sphere(0.5)
     w.add_body(s, position=(0, 100, 0))
-    state = run_steps(w.device_state(), CFG, 60)
+    state = run_steps(w.device_state(), CFG, 60, types=w.shapes.present_types())
     # semi-implicit Euler closed form after k steps:
     # v_k = g*h*k ; y_k = y0 + h*sum(v_i) = y0 + g*h^2*k(k+1)/2
     h, k, g = 1.0 / 60.0, 60, -9.81
@@ -58,7 +58,7 @@ def test_sphere_rests_on_plane():
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
     s = w.shapes.sphere(0.5)
     w.add_body(s, position=(0, 0.5, 0))
-    state = run_steps(w.device_state(), CFG, 120)
+    state = run_steps(w.device_state(), CFG, 120, types=w.shapes.present_types())
     y = float(state["bodies"]["pos"][1, 1])
     # resting height = radius, allow slop-level sink
     assert 0.5 - 0.02 <= y <= 0.52, y
@@ -74,7 +74,8 @@ def test_sphere_bounce_restitution():
     state = w.device_state()
     cfg = CFG
     h = 1.0 / cfg.simulation_rate
-    stepf = jax.jit(lambda s: pw.step(s, cfg, h))
+    stepf = jax.jit(lambda s: pw.step(s, cfg, h,
+                                  w.shapes.present_types()))
     max_v_after_bounce = 0.0
     bounced = False
     prev_vy = 0.0
@@ -95,7 +96,7 @@ def test_box_rests_on_plane():
     w = make_world()
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
     w.add_body(w.shapes.box((0.5, 0.5, 0.5)), position=(0, 0.5, 0))
-    state = run_steps(w.device_state(), CFG, 120)
+    state = run_steps(w.device_state(), CFG, 120, types=w.shapes.present_types())
     pos = np.asarray(state["bodies"]["pos"][1])
     assert 0.45 <= pos[1] <= 0.52, pos
     # no lateral drift
@@ -110,7 +111,7 @@ def test_box_stack_stable():
     ids = []
     for i in range(3):
         ids.append(w.add_body(box, position=(0, 0.5 + 1.0 * i, 0), friction=0.6))
-    state = run_steps(w.device_state(), CFG, 300)
+    state = run_steps(w.device_state(), CFG, 300, types=w.shapes.present_types())
     pos = np.asarray(state["bodies"]["pos"])
     for level, i in enumerate(ids):
         expect_y = 0.5 + 1.0 * level
@@ -124,7 +125,7 @@ def test_sphere_sphere_momentum_conservation():
     s = w.shapes.sphere(0.5)
     w.add_body(s, position=(-2, 0, 0), linvel=(4, 0, 0), restitution=1.0, friction=0.0)
     w.add_body(s, position=(2, 0, 0), linvel=(-4, 0, 0), restitution=1.0, friction=0.0)
-    state = run_steps(w.device_state(), cfg, 60)
+    state = run_steps(w.device_state(), cfg, 60, types=w.shapes.present_types())
     v = np.asarray(state["bodies"]["linvel"])
     # equal masses head-on: velocities exchange; momentum = 0 throughout
     total_p = v[0] + v[1]
@@ -136,7 +137,7 @@ def test_capsule_rests_on_plane():
     w = make_world()
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
     w.add_body(w.shapes.capsule(0.3, 0.5), position=(0, 0.32, 0))
-    state = run_steps(w.device_state(), CFG, 120)
+    state = run_steps(w.device_state(), CFG, 120, types=w.shapes.present_types())
     # capsule lying is vertical (y axis): rests at radius + half_height? No —
     # spawned upright barely above rest, should stay upright at y≈0.8? The
     # capsule is upright: lowest point = center_y - (hh + r). Rest when
@@ -153,9 +154,9 @@ def test_broadphase_no_false_contacts():
     w.add_body(s, position=(-5, 0, 0))
     w.add_body(s, position=(5, 0, 0))
     state = w.device_state()
-    contacts = pw.collide(state, cfg)
+    contacts = pw.collide(state, cfg, w.shapes.present_types())
     assert int(jnp.sum(contacts["valid"] & (contacts["pen"] > 0))) == 0
-    state = run_steps(state, cfg, 30)
+    state = run_steps(state, cfg, 30, types=w.shapes.present_types())
     v = np.asarray(state["bodies"]["linvel"])
     np.testing.assert_allclose(v, 0.0, atol=1e-6)
 
@@ -167,7 +168,7 @@ def test_dof_lock_plane2d():
     w.add_body(w.shapes.box((0.5, 0.5, 0.5)), position=(0.2, 2.0, 0.0),
                linvel=(0, 0, 5.0), linear_factor=(1, 1, 0),
                angular_factor=(0, 0, 1))
-    state = run_steps(w.device_state(), CFG, 60)
+    state = run_steps(w.device_state(), CFG, 60, types=w.shapes.present_types())
     pos = np.asarray(state["bodies"]["pos"][1])
     assert abs(pos[2]) < 1e-5, pos  # never moved in z
 
@@ -177,7 +178,8 @@ def test_simulate_accumulator_and_interpolation():
     w.add_body(w.shapes.sphere(0.5), position=(0, 10, 0))
     state = w.device_state()
     cfg = CFG
-    sim = jax.jit(lambda s, dt: pw.simulate(s, cfg, dt))
+    sim = jax.jit(lambda s, dt: pw.simulate(
+        s, cfg, dt, present_types=w.shapes.present_types()))
     # half a fixed step: no integration yet
     state = sim(state, jnp.float32(1.0 / 120.0))
     np.testing.assert_allclose(state["bodies"]["pos"][0, 1], 10.0)
@@ -388,10 +390,10 @@ def test_sleeping_bodies_freeze():
     w = make_world(cfg)
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
     w.add_body(w.shapes.box((0.5, 0.5, 0.5)), position=(0, 0.5, 0))
-    state = run_steps(w.device_state(), cfg, 120)
+    state = run_steps(w.device_state(), cfg, 120, types=w.shapes.present_types())
     assert bool(state["bodies"]["sleeping"][1])
     pos_before = np.asarray(state["bodies"]["pos"][1])
-    state = run_steps(state, cfg, 30)
+    state = run_steps(state, cfg, 30, types=w.shapes.present_types())
     np.testing.assert_array_equal(np.asarray(state["bodies"]["pos"][1]),
                                   pos_before)
     np.testing.assert_allclose(np.asarray(state["bodies"]["linvel"][1]), 0.0)
@@ -460,7 +462,8 @@ def test_broadphase_large_grid_many_bodies_no_key_overflow():
                                 3.0 + (i // 2500) * 1.2,
                                 ((i // 50) % 50) * 1.2 - 30.0))
     state = w.device_state()
-    contacts = jax.jit(lambda st: pw.collide(st, cfg))(state)
+    contacts = jax.jit(lambda st: pw.collide(
+        st, cfg, w.shapes.present_types()))(state)
     touching = np.asarray(contacts["valid"] & (contacts["pen"] > 0))
     partner = np.asarray(contacts["partner"])
     assert touching[0].any() and (partner[0][touching[0]] == 1).any()
@@ -484,12 +487,13 @@ def test_broadphase_fast_body_margin_clamp_keeps_candidates():
     state = w.device_state()
     # one step in, the gap (~0.43) is inside the speculative margin: the
     # pair must be visible through the broadphase despite the margin clamp
-    state = run_steps(state, cfg, 1)
-    contacts = jax.jit(lambda st: pw.collide(st, cfg))(state)
+    state = run_steps(state, cfg, 1, types=w.shapes.present_types())
+    contacts = jax.jit(lambda st: pw.collide(
+        st, cfg, w.shapes.present_types()))(state)
     valid = np.asarray(contacts["valid"])
     partner = np.asarray(contacts["partner"])
     assert (valid[1] & (partner[1] == 0)).any(), "speculative pair lost"
-    state = run_steps(state, cfg, 11)
+    state = run_steps(state, cfg, 11, types=w.shapes.present_types())
     x = float(state["bodies"]["pos"][1, 0])
     assert x < 5.2, f"tunneled through the wall: x={x}"
 
@@ -502,7 +506,7 @@ def test_broadphase_oversized_static_box_is_global():
     w.add_body(w.shapes.box((10.0, 0.5, 10.0)), position=(0, -0.5, 0),
                motion=pw.STATIC)  # 20-unit slab in 2-unit cells
     w.add_body(w.shapes.sphere(0.5), position=(7.0, 1.0, 7.0))
-    state = run_steps(w.device_state(), cfg, 90)
+    state = run_steps(w.device_state(), cfg, 90, types=w.shapes.present_types())
     y = float(state["bodies"]["pos"][1, 1])
     assert 0.4 < y < 0.6, f"fell through the oversized slab: y={y}"
 
@@ -546,8 +550,12 @@ def test_sphere_rolls_on_mesh_ramp():
     # ramp: two triangles tilted 30 degrees around z, apex at x=0
     v = np.array([[0, 2, -4], [0, 2, 4], [4, 0, -4], [4, 0, 4],
                   [-4, 0, -4], [-4, 0, 4]], np.float32)
-    f = np.array([[0, 2, 3], [0, 3, 1],      # +x slope
-                  [0, 1, 5], [0, 5, 4]], np.int32)  # -x slope
+    # CCW wound for OUTWARD (upward) face normals — the documented mesh
+    # convention (shapes.mesh: one-sided collision like Jolt MeshShape);
+    # the original winding pointed the normals INTO the ramp, which the
+    # one-sided kernel correctly treats as back-side geometry
+    f = np.array([[0, 3, 2], [0, 1, 3],      # +x slope
+                  [0, 5, 1], [0, 4, 5]], np.int32)  # -x slope
     w.add_body(w.shapes.mesh(v, f), motion=pw.STATIC)
     w.add_body(w.shapes.sphere(0.4), position=(0.8, 3.0, 0.0))
     types = w.shapes.present_types()
@@ -672,7 +680,8 @@ def test_sleeping_stack_wakes_on_impact():
                       mass_override=200.0)
     state = w.device_state()
     h = 1.0 / cfg.simulation_rate
-    stepf = jax.jit(lambda s: pw.step(s, cfg, h))
+    stepf = jax.jit(lambda s: pw.step(s, cfg, h,
+                                  w.shapes.present_types()))
     for _ in range(90):   # settle + fall asleep (timer 0.5s)
         state = stepf(state)
     assert bool(state["bodies"]["sleeping"][b1]), "stack never slept"
@@ -695,7 +704,13 @@ def test_sleeping_stack_wakes_on_impact():
 def test_hull_hull_oblique_edge_contact():
     """Two box-like hulls meeting edge-on obliquely must resolve via the
     edge-cross SAT axes (round-2 weak #5: face-axis-only hull SAT let
-    oblique edge contacts interpenetrate). Stable over 300 steps."""
+    oblique edge contacts interpenetrate — the upper hull sank straight
+    THROUGH). The single-point oblique edge balance is an unstable
+    equilibrium, so the hull legitimately tips and slides off over a few
+    seconds (when it tipped at all was set by float rounding, not
+    physics); the regression net asserts NO interpenetration at any
+    sampled step and a sane final rest — on top of the lower hull or on
+    the ground — never inside either."""
     cfg = dataclasses.replace(CFG)
     w = make_world(cfg)
     w.add_body(w.shapes.plane((0, 1, 0), 0.0), motion=pw.STATIC)
@@ -714,11 +729,49 @@ def test_hull_hull_oblique_edge_contact():
     q = np.array([v[0], v[1], v[2], aw * bw - np.dot(av, bv)], np.float32)
     w.add_body(hull, position=(0.0, 1.75, 0.0), rotation=q, friction=0.6)
     types = w.shapes.present_types()
-    state = run_steps(w.device_state(), cfg, 300, types)
-    pos = np.asarray(state["bodies"]["pos"])
-    # upper hull must stay supported well above the lower one (no sink-in)
-    assert pos[2, 1] > 1.15, pos[2]
-    assert pos[1, 1] > 0.4, pos[1]
+
+    def quat_mat(qq):
+        x, y, z, ww = qq
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * ww), 2 * (x * z + y * ww)],
+            [2 * (x * y + z * ww), 1 - 2 * (x * x + z * z), 2 * (y * z - x * ww)],
+            [2 * (x * z - y * ww), 2 * (y * z + x * ww), 1 - 2 * (x * x + y * y)],
+        ], np.float64)
+
+    def box_separation(p1, q1, p2, q2, he=0.5):
+        """Max SAT separation (negative = overlap depth) of two boxes."""
+        r1, r2 = quat_mat(q1), quat_mat(q2)
+        axes = [r1[:, i] for i in range(3)] + [r2[:, i] for i in range(3)]
+        for i in range(3):
+            for j in range(3):
+                c = np.cross(r1[:, i], r2[:, j])
+                n = np.linalg.norm(c)
+                if n > 1e-9:
+                    axes.append(c / n)
+        d = np.asarray(p2, np.float64) - np.asarray(p1, np.float64)
+        best = -np.inf
+        for ax in axes:
+            ra = he * np.abs(r1.T @ ax).sum()
+            rb = he * np.abs(r2.T @ ax).sum()
+            best = max(best, abs(float(d @ ax)) - ra - rb)
+        return best
+
+    state = w.device_state()
+    for _ in range(20):
+        state = run_steps(state, cfg, 15, types=types)
+        pos = np.asarray(state["bodies"]["pos"])
+        quat = np.asarray(state["bodies"]["quat"])
+        # exact SAT overlap between the hulls: never deeper than the
+        # settle depth (the round-2 bug sank the upper hull ~half a cube
+        # inside — separation ~ -0.5)
+        sep = box_separation(pos[1], quat[1], pos[2], quat[2])
+        assert sep > -0.12, (sep, pos[1], pos[2])
+        # lower hull undisturbed on the plane, nobody through the floor
+        assert pos[1, 1] > 0.4, pos[1]
+        assert pos[2, 1] > 0.35, pos[2]
+    # final rest: on the lower hull's top or flat on the ground
+    y2 = float(pos[2, 1])
+    assert y2 > 1.1 or abs(y2 - 0.5) < 0.15, pos[2]
     assert np.isfinite(pos).all()
 
 
