@@ -42,9 +42,13 @@ NEAR_EPS = 1e-6
 
 
 def cascade_splits(cfg: ShadowConfig, near: float) -> List[float]:
-    """View-space split depths [near, s1, s2, far] (csm.hpp:89-90)."""
+    """View-space split depths [near, s1, ..., far] (csm.hpp:89-90):
+    exactly cascade_count slices — the LAST cascade always reaches the
+    shadow distance, so configs with fewer cascades than split ratios
+    merge the far range instead of truncating shadow coverage."""
     d = cfg.distance
-    return [near] + [r * d for r in cfg.split_ratios] + [d]
+    ratios = list(cfg.split_ratios)[:max(cfg.cascade_count - 1, 0)]
+    return [near] + [r * d for r in ratios] + [d]
 
 
 def cascade_layout(cfg: ShadowConfig) -> Tuple[Tuple[int, ...],
@@ -74,73 +78,96 @@ def cascade_layout(cfg: ShadowConfig) -> Tuple[Tuple[int, ...],
     return sizes, tuple(offs), int(atlas_w), int(h0)
 
 
-def fit_cascade(
+def fit_cascades(
     inv_view_proj: Array,   # camera inverse view-proj
     light_dir: Array,       # direction the light travels (sun -> scene)
     cam_near: float,
-    split_near: float,
-    split_far: float,
+    splits: List[float],    # [near, s1, ..., far] view-space split depths
     near_clip_proj: float,
-) -> Array:
-    """Light view-projection fitted around one frustum slice.
+) -> Dict[str, Array]:
+    """ONE shared light view + per-cascade ortho crops.
 
-    Builds the slice's 8 world-space corners from NDC via inv_view_proj
-    (reverse-Z: depth = near/viewdist), then a light-space AABB -> ortho.
+    Each cascade's frustum-slice corners (from NDC via inv_view_proj,
+    reverse-Z: depth = near/viewdist) produce a light-space AABB -> ortho
+    window in the SHARED view. Sharing the view (instead of a per-slice
+    lookAt as csm.cpp fits) is equivalent up to the ortho translation and
+    lets render_cascades transform every caster vertex to light space
+    ONCE, with per-cascade coords as cheap affine maps (the three per-
+    cascade 4x4 transforms cost ~1.5 ms of einsum+reshape at 123K tris).
+
+    Returns {"view" (4,4), "projs" (C,4,4) ortho crops, "lvps" (C,4,4)}.
     """
-    # reverse-Z infinite projection: ndc_z = near / dist
-    z0 = near_clip_proj / jnp.maximum(split_near, near_clip_proj)
-    z1 = near_clip_proj / jnp.maximum(split_far, near_clip_proj)
-    corners = []
-    for x in (-1.0, 1.0):
-        for y in (-1.0, 1.0):
-            for z in (z0, z1):
-                h = inv_view_proj @ jnp.array([x, y, z, 1.0])
-                corners.append(h[:3] / h[3])
-    corners = jnp.stack(corners)  # (8, 3)
-
-    center = jnp.mean(corners, axis=0)
     light_dir = m3.normalize(light_dir)
     up = jnp.where(jnp.abs(light_dir[1]) > 0.95,
                    jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+
+    def slice_corners(split_near, split_far):
+        # reverse-Z infinite projection: ndc_z = near / dist
+        z0 = near_clip_proj / jnp.maximum(split_near, near_clip_proj)
+        z1 = near_clip_proj / jnp.maximum(split_far, near_clip_proj)
+        corners = []
+        for x in (-1.0, 1.0):
+            for y in (-1.0, 1.0):
+                for z in (z0, z1):
+                    h = inv_view_proj @ jnp.array([x, y, z, 1.0])
+                    corners.append(h[:3] / h[3])
+        return jnp.stack(corners)  # (8, 3)
+
+    c_count = len(splits) - 1
+    all_corners = [slice_corners(jnp.float32(splits[i]),
+                                 jnp.float32(splits[i + 1]))
+                   for i in range(c_count)]
+    center = jnp.mean(jnp.concatenate(all_corners), axis=0)
     eye = center - light_dir * 200.0
     view = m3.look_at(eye, center, up)
 
-    lc = m3.apply_mat4(view, corners)  # corners in light space
-    lo = jnp.min(lc, axis=0)
-    hi = jnp.max(lc, axis=0)
-    # extend the near plane backwards to catch off-slice casters
-    proj = m3.orthographic(lo[0], hi[0], lo[1], hi[1],
-                           -hi[2] - 100.0, -lo[2], reverse_z=True)
-    return m3.matmul(proj, view)
+    projs = []
+    for corners in all_corners:
+        lc = m3.apply_mat4(view, corners)  # corners in light space
+        lo = jnp.min(lc, axis=0)
+        hi = jnp.max(lc, axis=0)
+        # extend the near plane backwards to catch off-slice casters
+        projs.append(m3.orthographic(lo[0], hi[0], lo[1], hi[1],
+                                     -hi[2] - 100.0, -lo[2],
+                                     reverse_z=True))
+    projs = jnp.stack(projs)
+    lvps = m3.einsum("cij,jk->cik", projs, view)
+    return {"view": view, "projs": projs, "lvps": lvps}
 
 
 def _setup_cascades(
-    clip_all: Array,        # (C, T, 3, 4) clip-space verts per cascade
+    ls: Array,              # (T, 3, 3) SHARED light-space triangle verts
     tri_valid: Array,       # (T,) base triangle validity
     sizes: Tuple[int, ...],
     offsets: Tuple[Tuple[int, int], ...],
+    projs: Array,           # (C, 4, 4) ortho crops (fit_cascades)
 ) -> Dict[str, Array]:
     """Triangle setup for every cascade at once, in ATLAS pixel coords.
 
-    The batched twin of raster.setup_triangles_tv: per-cascade viewport size
-    and (x, y) atlas offset ride as (C, 1, ...) broadcasts, and every field
-    flattens to (C*T,) ready for one binning pass. Replaces the per-cascade
-    setup+concat loop that cost ~9 ms/frame of reshape/concat at 2048^2
-    (round-3 trace)."""
-    c, t = clip_all.shape[:2]
+    The batched twin of raster.setup_triangles_tv. The light view is
+    SHARED (fit_cascades), so each cascade's pixel coords are an affine
+    map of the one light-space position: sx = x*ax_c + bx_c etc., with
+    the coefficients read straight off the ortho matrices (bitwise
+    consistent with the lvps the resolve uses). No per-cascade 4x4
+    transform, no w division (ortho w == 1), no near clip. Every field
+    flattens to (C*T,) ready for one binning pass."""
+    c = projs.shape[0]
+    t = ls.shape[0]
     size = jnp.array(sizes, jnp.float32).reshape(c, 1, 1)     # (C, 1, 1)
     xoff = jnp.array([o[0] for o in offsets],
                      jnp.float32).reshape(c, 1, 1)
     yoff = jnp.array([o[1] for o in offsets],
                      jnp.float32).reshape(c, 1, 1)
+    p = lambda i, j: projs[:, i, j].reshape(c, 1, 1)
 
-    w = clip_all[..., 3]                                       # (C, T, 3)
-    in_front = jnp.all(w > NEAR_EPS, axis=-1)
-    inv_w = 1.0 / jnp.maximum(w, NEAR_EPS)
-    ndc = clip_all[..., :3] * inv_w[..., None]                 # (C, T, 3, 3)
-    sx = (ndc[..., 0] * 0.5 + 0.5) * size + xoff
-    sy = (0.5 - ndc[..., 1] * 0.5) * size + yoff               # y-down
-    z = ndc[..., 2]
+    x = ls[None, ..., 0]                                       # (1, T, 3)
+    y = ls[None, ..., 1]
+    zl = ls[None, ..., 2]
+    # ndc = diag(p00, p11, p22) * ls + (p03, p13, p23); fold the viewport
+    # into the affine: sx = (ndc_x*0.5 + 0.5)*size + xoff
+    sx = x * (p(0, 0) * 0.5 * size) + (p(0, 3) * 0.5 + 0.5) * size + xoff
+    sy = y * (-p(1, 1) * 0.5 * size) + (0.5 - p(1, 3) * 0.5) * size + yoff
+    z = zl * p(2, 2) + p(2, 3)                                 # (C, T, 3)
 
     ax = sx[..., 1] - sx[..., 0]
     ay = sy[..., 1] - sy[..., 0]
@@ -162,10 +189,10 @@ def _setup_cascades(
     on_screen = ((xmax >= x0) & (xmin < x0 + s2)
                  & (ymax >= y0) & (ymin < y0 + s2))
 
-    valid = tri_valid[None, :] & in_front & front & on_screen
+    valid = tri_valid[None, :] & front & on_screen
     flat = lambda a: a.reshape((c * t,) + a.shape[2:])
     return {
-        "sx": flat(sx), "sy": flat(sy), "z": flat(z), "inv_w": flat(inv_w),
+        "sx": flat(sx), "sy": flat(sy), "z": flat(z),
         "inv_area": flat(
             jnp.where(valid, 1.0 / jnp.where(front, -area, 1.0), 0.0)),
         "xmin": flat(xmin), "xmax": flat(xmax),
@@ -178,7 +205,7 @@ def render_cascades(
     world_positions: Array,
     indices: Array,
     tri_valid: Array,
-    light_view_projs: List[Array],
+    light: Dict[str, Array],   # fit_cascades output (shared view + crops)
     cfg: ShadowConfig,
     max_per_tile: int = 256,
     tri_world: Array = None,
@@ -202,13 +229,10 @@ def render_cascades(
     t = tri_world.shape[0]
     flat = tri_world.reshape(t * 3, 3)
     with_trans = tri_translucent is not None and tri_tint is not None
-    # ONE batched transform for all cascades (three separate apply_mat4_h
-    # calls cost ~2.3 ms of reshape copies at 123K tris)
-    c_count = len(light_view_projs)
-    lvp_all = jnp.stack(list(light_view_projs))          # (C, 4, 4)
-    hpos = jnp.concatenate([flat, jnp.ones_like(flat[..., :1])], axis=-1)
-    clip_all = m3.einsum("cij,vj->cvi", lvp_all, hpos)   # (C, V, 4)
-    clip_all = clip_all.reshape(c_count, t, 3, 4)
+    # ONE shared-view transform for all cascades (fit_cascades): the
+    # per-cascade coords are affine maps applied in _setup_cascades
+    c_count = light["projs"].shape[0]
+    ls = m3.apply_mat4(light["view"], flat).reshape(t, 3, 3)
 
     bounds = tuple((offsets[ci][0], offsets[ci][0] + sizes[ci],
                     offsets[ci][1], offsets[ci][1] + sizes[ci])
@@ -218,7 +242,8 @@ def render_cascades(
     opaque_mask = tri_valid & (~tri_translucent if with_trans
                                else jnp.ones_like(tri_valid))
     with jax.named_scope("setup"):
-        atlas_setup = _setup_cascades(clip_all, opaque_mask, sizes, offsets)
+        atlas_setup = _setup_cascades(ls, opaque_mask, sizes, offsets,
+                                      light["projs"])
     # NOTE on early-z ordering: binning depth-ordered (front-to-back from
     # the light) to drive raster._depth_kernel's early-z termination was
     # measured a NET LOSS on the dense-pile flagship (round 4): the rank
@@ -241,8 +266,8 @@ def render_cascades(
 
     trans_atlas = None
     if with_trans:
-        tsetup = _setup_cascades(clip_all, tri_valid & tri_translucent,
-                                 sizes, offsets)
+        tsetup = _setup_cascades(ls, tri_valid & tri_translucent,
+                                 sizes, offsets, light["projs"])
         ttiles, tcounts, tbig = raster.bin_triangles(
             tsetup, atlas_w, atlas_h, 128, max(32, cap // 2), foot=2,
             tile_h=th, foot_y=fy)

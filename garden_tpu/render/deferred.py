@@ -283,12 +283,9 @@ class DeferredRenderer:
             scfg = cfg.shadow
             near = 0.1
             splits = csm_mod.cascade_splits(scfg, near)
-            lvps = [
-                csm_mod.fit_cascade(constants["inv_view_proj"],
-                                    constants["light_dir"], near,
-                                    splits[i], splits[i + 1], near)
-                for i in range(scfg.cascade_count)
-            ]
+            light = csm_mod.fit_cascades(constants["inv_view_proj"],
+                                         constants["light_dir"], near,
+                                         splits, near)
             # translucent casters render into the per-cascade sRGB
             # translucent map (csm.hpp:56-64) when the scene has any
             tri_trans = None
@@ -303,7 +300,7 @@ class DeferredRenderer:
             with scope("csm_render"):
                 depth_atlas, trans_atlas = csm_mod.render_cascades(
                     world_pos, scene["indices"], scene["tri_valid"],
-                    lvps, scfg, tri_world=tri_world,
+                    light, scfg, tri_world=tri_world,
                     tri_translucent=tri_trans, tri_tint=tri_tint,
                 )
             with scope("csm_resolve"):
@@ -311,7 +308,7 @@ class DeferredRenderer:
                     g["position"] - constants["camera_pos"])
                 shadow = csm_mod.resolve_shadow(
                     g["position"], g["normal"], view_depth, depth_atlas,
-                    trans_atlas, jnp.stack(lvps), scfg, splits,
+                    trans_atlas, light["lvps"], scfg, splits,
                     constants["light_dir"],
                 )
                 shadow = jnp.where(g["visible"][..., None], shadow, 1.0)

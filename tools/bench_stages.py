@@ -111,16 +111,15 @@ def main():
             scfg = rcfg.shadow
             near = 0.1
             splits = csm_mod.cascade_splits(scfg, near)
-            lvps = [csm_mod.fit_cascade(constants["inv_view_proj"],
-                                        constants["light_dir"], near,
-                                        splits[i], splits[i + 1], near)
-                    for i in range(scfg.cascade_count)]
+            light = csm_mod.fit_cascades(constants["inv_view_proj"],
+                                         constants["light_dir"], near,
+                                         splits, near)
             depth_a, trans_a = csm_mod.render_cascades(
-                world_pos, scene["indices"], scene["tri_valid"], lvps, scfg)
+                world_pos, scene["indices"], scene["tri_valid"], light, scfg)
             vd = m3.length(g["position"] - constants["camera_pos"])
             shadow = csm_mod.resolve_shadow(g["position"], g["normal"], vd,
                                             depth_a, trans_a,
-                                            jnp.stack(lvps), scfg,
+                                            light["lvps"], scfg,
                                             splits, constants["light_dir"])
             shadow = jnp.where(g["visible"][..., None], shadow, 1.0)
             if upto == "shadow":

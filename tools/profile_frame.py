@@ -159,26 +159,24 @@ def main():
     splits = csm_mod.cascade_splits(scfg, near)
 
     def shadows(wp, g):
-        lvps = [csm_mod.fit_cascade(constants["inv_view_proj"],
-                                    constants["light_dir"], near,
-                                    splits[i], splits[i + 1], near)
-                for i in range(scfg.cascade_count)]
+        light = csm_mod.fit_cascades(constants["inv_view_proj"],
+                                     constants["light_dir"], near,
+                                     splits, near)
         depth_a, trans_a = csm_mod.render_cascades(
-            wp, scene["indices"], scene["tri_valid"], lvps, scfg)
+            wp, scene["indices"], scene["tri_valid"], light, scfg)
         vd = m3.length(g["position"] - constants["camera_pos"])
         sh = csm_mod.resolve_shadow(g["position"], g["normal"], vd, depth_a,
-                                    trans_a, jnp.stack(lvps), scfg, splits,
+                                    trans_a, light["lvps"], scfg, splits,
                                     constants["light_dir"])
         return jnp.where(g["visible"][..., None], sh, 1.0)
     shadow = timeit("CSM (3 cascades + resolve)", shadows, world_pos, g)
 
     def csm_raster_only(wp):
-        lvps = [csm_mod.fit_cascade(constants["inv_view_proj"],
-                                    constants["light_dir"], near,
-                                    splits[i], splits[i + 1], near)
-                for i in range(scfg.cascade_count)]
+        light = csm_mod.fit_cascades(constants["inv_view_proj"],
+                                     constants["light_dir"], near,
+                                     splits, near)
         return csm_mod.render_cascades(wp, scene["indices"],
-                                       scene["tri_valid"], lvps, scfg)
+                                       scene["tri_valid"], light, scfg)
     timeit("  CSM raster only", csm_raster_only, world_pos)
 
     ao = timeit("HBAO",
