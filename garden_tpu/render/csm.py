@@ -291,38 +291,43 @@ def render_cascades(
 def _project_cascades(
     position: Array,        # (h, w, 3) biased world positions
     view_depth: Array,      # (h, w)
-    light_view_projs: Array,
+    light: Dict[str, Array],  # fit_cascades output
     cfg: ShadowConfig,
     splits: List[float],
 ) -> Tuple[Array, Array, Array, Array]:
     """Per-pixel atlas (u, v), reverse-Z compare depth z, and validity.
 
-    Projects into EVERY cascade densely and selects by view distance — a
-    (h, w)-indexed gather of per-pixel matrices lowers catastrophically on
-    TPU; C dense einsums + selects are ~free."""
+    ONE dense transform to the shared light view, then every cascade is
+    an affine map of it (selected by view distance) — a (h, w)-indexed
+    gather of per-pixel matrices lowers catastrophically on TPU, and the
+    per-cascade 4x4 einsums this replaces were 3x the transform work."""
     sizes, offsets, _, _ = cascade_layout(cfg)
+    projs = light["projs"]
     c_count = len(sizes)
     cascade = jnp.zeros_like(view_depth, dtype=jnp.int32)
     for i in range(1, c_count):
         cascade = jnp.where(view_depth > splits[i], i, cascade)
 
-    hpos = jnp.concatenate([position, jnp.ones_like(position[..., :1])], -1)
+    ls = m3.einsum("ij,hwj->hwi", light["view"][:3, :3], position) \
+        + light["view"][:3, 3]
     u = jnp.zeros_like(view_depth)
     v = jnp.zeros_like(view_depth)
     z = jnp.zeros_like(view_depth)
     inside = jnp.zeros_like(view_depth, dtype=bool)
     for i in range(c_count):
-        h = m3.einsum("ij,hwj->hwi", light_view_projs[i], hpos)
-        uvz = h[..., :3] / jnp.maximum(h[..., 3:4], 1e-9)
         s_i = float(sizes[i])
         x_i = float(offsets[i][0])
         y_i = float(offsets[i][1])
-        u_i = (uvz[..., 0] * 0.5 + 0.5) * s_i + x_i
-        v_i = (0.5 - uvz[..., 1] * 0.5) * s_i + y_i
+        # ortho rows: ndc = diag(p00, p11, p22) * ls + (p03, p13, p23)
+        u_i = (ls[..., 0] * projs[i, 0, 0] + projs[i, 0, 3]) \
+            * (0.5 * s_i) + (0.5 * s_i + x_i)
+        v_i = (ls[..., 1] * projs[i, 1, 1] + projs[i, 1, 3]) \
+            * (-0.5 * s_i) + (0.5 * s_i + y_i)
+        z_i = ls[..., 2] * projs[i, 2, 2] + projs[i, 2, 3]
         sel = cascade == i
         u = jnp.where(sel, u_i, u)
         v = jnp.where(sel, v_i, v)
-        z = jnp.where(sel, uvz[..., 2], z)
+        z = jnp.where(sel, z_i, z)
         inside |= sel & ((u_i >= x_i + 1) & (u_i < x_i + s_i - 1)
                          & (v_i >= y_i + 1) & (v_i < y_i + s_i - 1))
     ok = inside & (view_depth < splits[-1])
@@ -335,7 +340,7 @@ def resolve_shadow(
     view_depth: Array,       # (H, W) distance from camera (for cascade pick)
     depth_atlas: Array,      # (Ha, Wa) opaque cascade-atlas depth
     trans_atlas: Optional[Array],  # (Ha, Wa, 4) tint+depth, or None
-    light_view_projs: Array,  # (C, 4, 4)
+    light: Dict[str, Array],  # fit_cascades output (shared view + crops)
     cfg: ShadowConfig,
     splits: List[float],
     light_dir: Array,
@@ -366,7 +371,7 @@ def resolve_shadow(
     # normal-offset bias (csm.hpp bias settings)
     offset_pos = position + normal * cfg.bias_normal
     u, v, z, ok = _project_cascades(offset_pos, view_depth,
-                                    light_view_projs, cfg, splits)
+                                    light, cfg, splits)
     flat = jnp.clip(v.astype(jnp.int32), 0, depth_atlas.shape[0] - 1) \
         * atlas_w + jnp.clip(u.astype(jnp.int32), 0, atlas_w - 1)
 
@@ -395,7 +400,7 @@ def resolve_shadow(
                 vd_t = decimate2x(vd_t)
             u_t, v_t, z_t, ok_t = _project_cascades(
                 pos_t + nrm_t * cfg.bias_normal, vd_t,
-                light_view_projs, cfg, splits)
+                light, cfg, splits)
             flat_t = jnp.clip(v_t.astype(jnp.int32), 0,
                               depth_atlas.shape[0] - 1) * atlas_w \
                 + jnp.clip(u_t.astype(jnp.int32), 0, atlas_w - 1)

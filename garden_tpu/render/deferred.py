@@ -308,7 +308,7 @@ class DeferredRenderer:
                     g["position"] - constants["camera_pos"])
                 shadow = csm_mod.resolve_shadow(
                     g["position"], g["normal"], view_depth, depth_atlas,
-                    trans_atlas, light["lvps"], scfg, splits,
+                    trans_atlas, light, scfg, splits,
                     constants["light_dir"],
                 )
                 shadow = jnp.where(g["visible"][..., None], shadow, 1.0)

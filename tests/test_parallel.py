@@ -112,3 +112,65 @@ def test_multihost_dcn_smoke():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i}: OK" in out, out
+
+
+def test_split_frame_rendering_matches_single_device():
+    """Split-frame rendering (parallel/frame_tiles.py): 4 bands over the
+    8-device mesh stitch into the single-renderer image away from band
+    seams (screen-space effects get guard rows; exact equality holds for
+    the purely per-pixel interior)."""
+    import dataclasses
+
+    from garden_tpu.core import math3d as m3
+    from garden_tpu.core.config import RenderConfig
+    from garden_tpu.parallel.frame_tiles import FrameTiles
+    from garden_tpu.render import mesh as rmesh
+    from garden_tpu.render.deferred import DeferredRenderer
+    from garden_tpu.systems.camera import common_constants
+
+    cfg = RenderConfig(width=128, height=64, tile_size=128, tile_h=8,
+                       max_vertices=2048, max_triangles=2048,
+                       max_instances=8, use_bloom=False, use_fxaa=False,
+                       use_auto_exposure=False, use_hbao=False,
+                       use_shadows=True, use_clouds=False)
+    scene = rmesh.SceneBuffers(2048, 2048, 8)
+    red = scene.add_material(rmesh.Material(base_color=(0.9, 0.1, 0.1)))
+    grey = scene.add_material(rmesh.Material(base_color=(0.5, 0.5, 0.5),
+                                             roughness=0.9))
+    scene.add_instance(rmesh.cube(0.5), material=red)
+    scene.add_instance(rmesh.plane_grid(20.0, 4), material=grey)
+
+    eye = jnp.array([0.0, 1.5, 4.0])
+    view = m3.look_at(eye, jnp.array([0.0, 0.5, 0.0]),
+                      jnp.array([0.0, 1.0, 0.0]))
+    proj = m3.perspective_reverse_z(1.0, cfg.width / cfg.height, 0.1)
+    constants = common_constants(eye, view, proj,
+                                 jnp.array([0.3, -0.8, -0.4]),
+                                 (cfg.width, cfg.height), 0.0, 1.0 / 60.0)
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    mats[0][1, 3] = 0.5
+    mats = jnp.asarray(mats)
+
+    ref_r = DeferredRenderer(cfg, scene)
+    ref = np.asarray(ref_r.render(ref_r.device_scene(), mats, constants,
+                                  ref_r.initial_frame_state())["image"])
+
+    ft = FrameTiles(cfg, scene, n_bands=4, overlap=8)
+    img, state = ft.render(ft.renderer.device_scene(), mats, constants,
+                           ft.initial_state())
+    img = np.asarray(img)
+    assert img.shape == ref.shape
+
+    # interior rows (2px off each seam): the band crops re-derive pixel
+    # coordinates through a remapped projection, so allow 1-LSB wobble
+    band_h = cfg.height // 4
+    seam = {r for b in range(1, 4) for r in
+            range(b * band_h - 2, b * band_h + 2)}
+    rows = [r for r in range(cfg.height) if r not in seam]
+    diff = np.abs(img[rows].astype(int) - ref[rows].astype(int))
+    assert np.percentile(diff, 99) <= 2, float(np.percentile(diff, 99))
+    assert diff.mean() < 0.5, diff.mean()
+
+    # a second frame with the reduced (shared) exposure state runs clean
+    img2, _ = ft.render(ft.renderer.device_scene(), mats, constants, state)
+    assert np.isfinite(np.asarray(state["avg_luminance"])).all()

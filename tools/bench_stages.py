@@ -119,7 +119,7 @@ def main():
             vd = m3.length(g["position"] - constants["camera_pos"])
             shadow = csm_mod.resolve_shadow(g["position"], g["normal"], vd,
                                             depth_a, trans_a,
-                                            light["lvps"], scfg,
+                                            light, scfg,
                                             splits, constants["light_dir"])
             shadow = jnp.where(g["visible"][..., None], shadow, 1.0)
             if upto == "shadow":

@@ -166,7 +166,7 @@ def main():
             wp, scene["indices"], scene["tri_valid"], light, scfg)
         vd = m3.length(g["position"] - constants["camera_pos"])
         sh = csm_mod.resolve_shadow(g["position"], g["normal"], vd, depth_a,
-                                    trans_a, light["lvps"], scfg, splits,
+                                    trans_a, light, scfg, splits,
                                     constants["light_dir"])
         return jnp.where(g["visible"][..., None], sh, 1.0)
     shadow = timeit("CSM (3 cascades + resolve)", shadows, world_pos, g)
