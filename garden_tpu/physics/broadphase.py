@@ -10,21 +10,30 @@ TPU cost model (measured): random gathers are the scarce resource (~5-7
 GB/s effective vs ~100 GB/s for dense ops), so the design minimizes gather
 count and volume:
 
-1. each body's AABB inserts into the (up to) 2x2x2 cells it touches —
-   8 keys per body; cell keys are HASHED down to O(bodies) buckets (dense
-   giant-grid tables cost milliseconds of init traffic while ~99% empty),
-   then ONE packed sort of (bucket << bits | body)
-2. a (bucket, slot) -> 8-lane record-row table is built with one row
-   scatter; each entry carries [body id | aabb min/max | layer+active] so
-   every downstream filter is dense
-3. each body row-gathers its 8 cells' record lists (N*8 row gathers — TPU
-   gathers price per ROW; scalar and per-candidate-row designs measured
-   4.7/1.2 ms at 10K bodies, this one ~0.9 ms)
-4. all pair filters (AABB overlap, layers, self, active) run densely on
-   the fetched rows
+1. every body's AABB QUANTIZES to a 10-bit-per-axis integer box (floor
+   minima, ceil maxima — a conservative superset of the true box, at most
+   1/1024 of the world coarser per side) and inserts into the (up to)
+   2x2x2 quantized cells it touches — 8 keys per body; cell keys are
+   HASHED down to O(bodies) buckets (dense giant-grid tables cost
+   milliseconds of init traffic while ~99% empty), then ONE packed sort
+   of (bucket << bits | body)
+2. a (bucket, slot, 3)-int32 table is built with three SCALAR scatters:
+   [id | layer | active], [qmin xyz], [qmax xyz] — the quantized box
+   rides IN the table entry, so no downstream per-candidate fetch exists
+   at all (the round-3 design row-gathered each candidate's f32 AABB:
+   N*8C rows, ~3 ms at 10K bodies — the step's hottest op)
+3. each body row-gathers its 8 cells' entry lists (N*8 narrow rows — TPU
+   gathers price per ROW)
+4. all pair filters (quantized-box overlap, layers, self, active) run
+   densely on the fetched ints; the conservative quantization only ADDS
+   near-miss candidates, which narrowphase rejects on true geometry
 5. duplicate pair findings (the same pair shared by several cells, or
-   injected by a hash-bucket collision) are killed by the home-cell rule:
-   a pair counts only in the cell containing max(aabb_min_i, aabb_min_j)
+   injected by a hash-bucket collision) are killed by the home-cell rule
+   ON THE QUANTIZED BOXES: a pair counts only in the cell containing
+   max(qmin_i, qmin_j) — both rows compute it from the SAME quantized
+   values, so the rule stays exactly symmetric (the solver's mirrored
+   row layout requires it), and for q-overlapping pairs the home point
+   lies inside the q-intersection, hence inside both scan windows
 6. compaction to the per-body budget via top_k over the (already small)
    candidate row
 
@@ -84,16 +93,23 @@ def find_candidates(
     bodies."""
     n = pos.shape[0]
     half_world = 0.5 * cell_size * grid_dim
-    inv_cs = 1.0 / cell_size
+    # 10-bit quantization of the world per axis; spc = quant steps per
+    # grid cell (grid_dim must divide 1024 — power-of-two grids)
+    assert 1024 % grid_dim == 0, "grid_dim must divide 1024"
+    spc = 1024 // grid_dim
+    inv_q = 1024.0 / (cell_size * grid_dim)
+    qmin = jnp.clip(jnp.floor((aabb_min + half_world) * inv_q), 0,
+                    1023).astype(jnp.int32)                     # (N, 3)
+    qmax = jnp.clip(jnp.ceil((aabb_max + half_world) * inv_q), 0,
+                    1023).astype(jnp.int32)
 
     # the 2x2x2 insertion is exact only when every grid AABB spans
-    # <= 2*cell_size per axis; world.collide() enforces that invariant by
-    # clamping the speculative margin and routing over-span non-dynamic
-    # bodies through the global list before calling here
-    cmin = jnp.clip(jnp.floor((aabb_min + half_world) * inv_cs).astype(jnp.int32),
-                    0, grid_dim - 1)
-    cmax = jnp.clip(jnp.floor((aabb_max + half_world) * inv_cs).astype(jnp.int32),
-                    0, grid_dim - 1)
+    # <= 2*cell_size per axis; world.collide() enforces that invariant
+    # (including the quantization inflation) by clamping the speculative
+    # margin and routing over-span non-dynamic bodies through the global
+    # list before calling here
+    cmin = qmin // spc
+    cmax = jnp.minimum(qmax // spc, grid_dim - 1)
     cmax = jnp.minimum(cmax, cmin + 1)      # at most 2 cells per axis
 
     in_grid = active & ~is_global
@@ -146,14 +162,12 @@ def find_candidates(
         key_sorted, body_sorted = jax.lax.sort(
             (hkey8.reshape(-1), body8.reshape(-1)), num_keys=1)
 
-    # 3. dense (bucket, slot) -> PACKED int32 table via one SCALAR
-    # scatter: id | layer<<17 | active<<20 per entry. Round 3 scattered
-    # 8-float record rows here (id + AABB + meta) and the row scatter was
-    # the physics step's hottest op (3.7 ms at 10K bodies); a scalar
-    # scatter of the same entry count moves 8x less data and lets the
-    # AABBs come back through the cheaper per-candidate ROW gather below
-    # (1.2 ms measured) instead of riding the scatter. Slot within a
-    # bucket's run comes from run-position arithmetic (cummax of
+    # 3. dense (bucket, slot, 3) int32 table via three SCALAR scatters:
+    # [id | layer<<17 | active<<20], [qmin xyz, 10 bits each],
+    # [qmax xyz]. The quantized box rides IN the entry, so the filters
+    # below need NO per-candidate fetch (round 3 row-gathered each
+    # candidate's f32 AABB: N*8C rows, ~3 ms at 10K bodies). Slot within
+    # a bucket's run comes from run-position arithmetic (cummax of
     # run-start indices); entries beyond cand_per_cell drop.
     m = key_sorted.shape[0]
     idxs = jnp.arange(m, dtype=jnp.int32)
@@ -166,29 +180,39 @@ def find_candidates(
     assert n <= (1 << 17), "packed broadphase entry caps at 131072 bodies"
     packed_all = (jnp.arange(n, dtype=jnp.int32)
                   | (layer << 17) | (active.astype(jnp.int32) << 20))
-    packed_entry = packed_all[body_sorted]               # one scalar gather
+    pack3 = lambda v: (v[:, 0] << 20) | (v[:, 1] << 10) | v[:, 2]
+    qmin_all = pack3(qmin)
+    qmax_all = pack3(qmax)
+    entry3 = jnp.stack([packed_all, qmin_all, qmax_all], -1)  # (N, 3)
+    ent_sorted = entry3[body_sorted]                 # one 3-lane row gather
     pos = jnp.where((slot < c_per) & (key_sorted < sentinel_bucket),
                     key_sorted * c_per + slot, n_buckets * c_per)
-    cell_tab = jnp.full((n_buckets * c_per,), -1, jnp.int32).at[
-        pos].set(packed_entry, mode="drop").reshape(n_buckets, c_per)
+    # ONE flat scalar scatter for all three lanes (row scatters serialize
+    # pathologically on TPU — the round-3 8-float row scatter cost 3.7 ms
+    # at the same entry count)
+    flat_pos = jnp.concatenate([pos * 3, pos * 3 + 1, pos * 3 + 2])
+    flat_val = ent_sorted.T.reshape(-1)              # lane-major, matches
+    cell_tab = jnp.full((n_buckets * c_per * 3 + 3,), -1, jnp.int32).at[
+        flat_pos].set(flat_val, mode="drop")[:-3].reshape(
+        n_buckets, c_per * 3)
 
-    # 4. each body row-gathers its own 8 cells' candidate id lists
-    # (N*8 narrow rows), then row-gathers the candidates' AABBs from the
-    # (N, 6) record table (N*8C rows — TPU gathers price per ROW)
+    # 4. each body row-gathers its own 8 cells' entry lists (N*8 narrow
+    # rows); every filter below is dense int math on the fetched entries
     scan_key = jnp.where(covered, key8, sentinel)        # (N, 8) true keys
     scan_bucket = jnp.where(covered, hkey8, sentinel_bucket)
-    ents = cell_tab[scan_bucket].reshape(n, 8 * c_per)   # (N, 8C) ints
-    cand_valid = ents >= 0
-    cand = jnp.where(cand_valid, ents & 0x1FFFF, 0)      # (N, 8C)
-    jlayer = jnp.where(cand_valid, (ents >> 17) & 7, 0)
-    j_active = cand_valid & (((ents >> 20) & 1) == 1)
-    record6 = jnp.concatenate([aabb_min, aabb_max], axis=-1)  # (N, 6)
-    rows = record6[cand]                                 # (N, 8C, 6)
-    jmin = rows[..., 0:3]
-    jmax = rows[..., 3:6]
+    ents = cell_tab[scan_bucket].reshape(n, 8 * c_per, 3)   # (N, 8C, 3)
+    meta = ents[..., 0]
+    cand_valid = meta >= 0
+    cand = jnp.where(cand_valid, meta & 0x1FFFF, 0)      # (N, 8C)
+    jlayer = jnp.where(cand_valid, (meta >> 17) & 7, 0)
+    j_active = cand_valid & (((meta >> 20) & 1) == 1)
+    unpack3 = lambda v: jnp.stack(
+        [(v >> 20) & 0x3FF, (v >> 10) & 0x3FF, v & 0x3FF], axis=-1)
+    jqmin = unpack3(ents[..., 1])                        # (N, 8C, 3)
+    jqmax = unpack3(ents[..., 2])
     k8c = cand.shape[1]
 
-    # 4. pair filters, all dense on the fetched rows
+    # 4. pair filters, all dense on the fetched entries
     accept_bits = jnp.sum(
         layer_table[layer].astype(jnp.int32)
         * (1 << jnp.arange(layer_table.shape[0], dtype=jnp.int32))[None, :],
@@ -200,17 +224,20 @@ def find_candidates(
     valid &= dynamic[:, None]
     # layer filter from the precomputed accept bitmask (no table gather)
     valid &= ((accept_bits[:, None] >> jlayer) & 1) == 1
-    # AABB overlap (dense)
-    valid &= jnp.all(aabb_min[:, None, :] <= jmax, axis=-1)
-    valid &= jnp.all(jmin <= aabb_max[:, None, :], axis=-1)
-    # home-cell dedup: the pair counts only in the TRUE cell holding the
-    # component-wise max of the two AABB minima (cheap dense math; also
-    # kills candidates that arrived via a hash-bucket collision, since
-    # their home cell is never the scanned cell). Exact because
-    # world.collide() guarantees every span fits the 2x2x2 insertion.
-    home = jnp.clip(jnp.floor(
-        (jnp.maximum(aabb_min[:, None, :], jmin) + half_world) * inv_cs
-    ).astype(jnp.int32), 0, grid_dim - 1)
+    # quantized-box overlap (a conservative superset of the true AABB
+    # test; near-misses within one quant step reach narrowphase, which
+    # rejects them on true geometry)
+    valid &= jnp.all(qmin[:, None, :] <= jqmax, axis=-1)
+    valid &= jnp.all(jqmin <= qmax[:, None, :], axis=-1)
+    # home-cell dedup ON THE QUANTIZED BOXES: the pair counts only in the
+    # cell holding the component-wise max of the two quantized minima.
+    # Both rows compute this from the same quantized ints, so the rule is
+    # exactly symmetric; for q-overlapping pairs the point lies in the
+    # q-intersection, hence inside both bodies' scan windows. Also kills
+    # candidates injected by a hash-bucket collision (their home cell is
+    # never the scanned cell).
+    home = jnp.minimum(jnp.maximum(qmin[:, None, :], jqmin) // spc,
+                       grid_dim - 1)
     home_key = (home[..., 0] * grid_dim + home[..., 1]) * grid_dim \
         + home[..., 2]
     scanned = jnp.repeat(scan_key, c_per, axis=1)        # (N, 8C)

@@ -242,11 +242,15 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     # under 2*cell_size (the global list is one-sided and would break the
     # solver's symmetric row layout).
     span = jnp.max(aabb_max - aabb_min, axis=-1)
+    # quantization inflation: the broadphase rounds AABBs outward to a
+    # 10-bit grid (broadphase step 1), adding up to one step per side
+    qstep = config.cell_size * config.grid_dim / 1024.0
     margin = jnp.minimum(
-        margin, jnp.maximum((2.0 * config.cell_size - span) * 0.5 - 1e-3,
-                            config.speculative_margin))
+        margin,
+        jnp.maximum((2.0 * config.cell_size - span) * 0.5 - qstep - 1e-3,
+                    config.speculative_margin))
     is_global = b["is_global"] | (
-        (span + 2.0 * margin > 2.0 * config.cell_size)
+        (span + 2.0 * margin + 2.0 * qstep > 2.0 * config.cell_size)
         & (b["motion"] != DYNAMIC))
     aabb_min = aabb_min - margin[:, None]
     aabb_max = aabb_max + margin[:, None]

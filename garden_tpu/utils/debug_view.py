@@ -19,6 +19,8 @@ def _save(img: np.ndarray, path: str) -> None:
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    if img.ndim == 3 and img.shape[-1] == 1:   # (H, W, 1) single channel
+        img = img[..., 0]
     if img.ndim == 2:
         img = np.stack([img] * 3, -1)
     try:
