@@ -373,7 +373,7 @@ def _raster_kernel(count_ref, bigcnt_ref, data_ref, big_ref, depth_ref,
         b1_ref[:] = jnp.where(keep, b1s.reshape(th, tile), b1_ref[:])
 
     def body_big(cb, _):
-        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        process(big_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
         return 0
 
     def body(cb, _):
@@ -396,7 +396,10 @@ def _big_inputs(records: Array, big_list: Array) -> Tuple[Array, Array]:
                            constant_values=-1)
     big_data = records[_safe_ids(big_list, t_count)]        # (B_pad, 16)
     bigcnt = jnp.sum(big_list >= 0).reshape(1, 1).astype(jnp.int32)
-    return big_data, bigcnt
+    # (1, B, 16): mirrors the per-tile data block's proven TPU layout
+    # (2D blocks with a 16-lane minor dim are not a shape the Mosaic
+    # lowering has been exercised with here)
+    return big_data[None], bigcnt
 
 
 def rasterize_visibility(
@@ -464,7 +467,8 @@ def rasterize_visibility(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((big_data.shape[0], 16), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, big_data.shape[1], 16),
+                         lambda ty, tx: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_block, out_block, out_block, out_block),
@@ -528,7 +532,7 @@ def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
     b1_s[:] = jnp.zeros((1, n_px), jnp.float32)
     slot_s[:] = jnp.full((1, n_px), -1.0, jnp.float32)
 
-    b_cap = big_ref.shape[0]
+    b_cap = big_ref.shape[1]
 
     def process(d, slot0):
         # edge-coefficient records (_pack_edge_records): e = a*px + b*py + c
@@ -574,7 +578,7 @@ def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
             jnp.int32, (TRI_BLOCK, 1), 0)).astype(jnp.float32)
 
     def body_big(cb, _):
-        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :],
+        process(big_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :],
                 slot_iota(cb, 0))
         return 0
 
@@ -655,7 +659,7 @@ def rasterize_visibility_shaded(
     big_pad = jnp.pad(big_list, (0, b_cap - big_list.shape[0]),
                       constant_values=-1)
     safe_big = _safe_ids(big_pad, t_count)
-    big_data = records[safe_big]                            # (B, 16)
+    big_data = records[safe_big][None]                      # (1, B, 16)
     bigcnt = jnp.sum(big_pad >= 0).reshape(1, 1).astype(jnp.int32)
 
     rec_w = shade_records.shape[1]
@@ -688,7 +692,7 @@ def rasterize_visibility_shaded(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_cap, 16), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, b_cap, 16), lambda ty, tx: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rec, c), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -789,7 +793,7 @@ def _blend_kernel(count_ref, bigcnt_ref, data_ref, big_ref, depth_ref,
             bo_ref[:] = bo_ref[:] * (1.0 - a) + cb_ * a
 
     def body_big(cb, _):
-        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        process(big_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
         return 0
 
     def body(cb, _):
@@ -872,7 +876,8 @@ def rasterize_sorted_blend(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((big_data.shape[0], 16), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, big_data.shape[1], 16),
+                         lambda ty, tx: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             blk, blk, blk, blk,
         ],
@@ -956,7 +961,7 @@ def _depth_kernel(count_ref, bigcnt_ref, bound_ref, data_ref, big_ref,
         depth_ref[:] = jnp.maximum(depth_ref[:], zs)
 
     def body_big(cb, _):
-        process(big_ref[pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        process(big_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
         return 0
 
     nb_big = (bigcnt_ref[0, 0] + TRI_BLOCK - 1) // TRI_BLOCK
@@ -1037,7 +1042,8 @@ def rasterize_depth(
             pl.BlockSpec((1, c, 16),
                          lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((big_data.shape[0], 16), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, big_data.shape[1], 16),
+                         lambda ty, tx: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
