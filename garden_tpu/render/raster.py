@@ -132,6 +132,7 @@ def bin_triangles(
     max_per_tile: int,
     max_big: int = 64,
     priority: Array = None,
+    bucket_priority: Array = None,
     foot: int = None,
     tile_h: int = None,
     foot_y: int = None,
@@ -151,6 +152,14 @@ def bin_triangles(
     out sorted by ascending priority instead of triangle id (the
     back-to-front translucent sort, mesh.hpp:204; priorities must be a
     permutation of [0, T)). The big list stays in id order.
+
+    bucket_priority: optional int32[T] COARSE ordering key in [0, 16):
+    rides as 4 extra bits inside the packed binning sort, so tile entries
+    come out bucket-ordered with NO argsort, NO inverse-permutation
+    scatter and NO per-tile remap gather (the exact `priority` path costs
+    all three, ~2 ms at 123K triangles). Right for order-as-a-HEURISTIC
+    uses — the opaque front-to-back overflow-drop policy — not for
+    correctness-ordered blending. Mutually exclusive with `priority`.
 
     tile_h: rectangular tiles (tile wide, tile_h tall; see tpu_tile_legal).
     foot_y: y-footprint for short tiles (defaults to foot scaled so the
@@ -194,14 +203,23 @@ def bin_triangles(
     else:  # emission is per-triangle-row: repeat, don't gather
         payload = jnp.repeat(priority[:, None], FOOT * FOOT_Y, 1).reshape(-1)
     tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
-    key_bits = max(int(np.ceil(np.log2(n_tiles + 2))), 1)
+    bkt_bits = 0
+    if bucket_priority is not None:
+        assert priority is None, "priority and bucket_priority are exclusive"
+        bkt_bits = 4
+        # coarse order rides between tile key and triangle id
+        key = (key << bkt_bits) | jnp.repeat(
+            jnp.clip(bucket_priority, 0, 15)[:, None],
+            FOOT * FOOT_Y, 1).reshape(-1)
+    key_bits = max(int(np.ceil(np.log2(n_tiles + 2))), 1) + bkt_bits
     if tri_bits + key_bits <= 31:
         packed = jnp.sort((key << tri_bits) | payload)
-        key_sorted = packed >> tri_bits
+        key_sorted = packed >> (tri_bits + bkt_bits)
         pay_sorted = packed & ((1 << tri_bits) - 1)
     else:  # huge scenes: variadic sort (no permutation gathers either)
         key_sorted, pay_sorted = jax.lax.sort(
             (key, payload), num_keys=1)
+        key_sorted = key_sorted >> bkt_bits
 
     # start/end of each tile's contiguous run: keys are integers and the
     # queries are consecutive, so side-right(i) == side-left(i+1) — ONE

@@ -198,3 +198,35 @@ def test_rectangular_tiles_match_square():
                                          rc_big, zeros, hdr0, W, H, TILE,
                                          tile_h=16)
     np.testing.assert_allclose(np.asarray(b_sq), np.asarray(b_rc), atol=1e-6)
+
+
+def test_overflow_drops_farthest_with_bucket_priority():
+    """bucket_priority (coarse in-sort ordering): tile-capacity overflow
+    keeps the nearest depth buckets — the argsort-free variant of the
+    front-to-back drop policy used by the opaque main pass."""
+    T = 40
+    rng = np.random.default_rng(1)
+    z = np.linspace(0.1, 0.9, T).astype(np.float32)
+    cx = rng.uniform(10, 100, T).astype(np.float32)
+    cy = rng.uniform(10, 100, T).astype(np.float32)
+    setup = {
+        "sx": jnp.asarray(np.stack([cx, cx + 3, cx], -1)),
+        "sy": jnp.asarray(np.stack([cy, cy, cy + 3], -1)),
+        "z": jnp.asarray(np.stack([z, z, z], -1)),
+        "inv_w": jnp.ones((T, 3), jnp.float32),
+        "inv_area": jnp.ones((T,), jnp.float32),
+        "xmin": jnp.asarray(cx), "xmax": jnp.asarray(cx + 3),
+        "ymin": jnp.asarray(cy), "ymax": jnp.asarray(cy + 3),
+        "valid": jnp.ones((T,), bool),
+    }
+    # 16 buckets over [0.1, 0.9]; nearest (max reverse-Z) = bucket 0
+    bucket = 15 - np.clip(((z - 0.1) / 0.8 * 16).astype(np.int32), 0, 15)
+    tiles, counts, big = raster.bin_triangles(
+        setup, 128, 128, 128, max_per_tile=8, max_big=4,
+        bucket_priority=jnp.asarray(bucket))
+    kept = sorted(int(x) for x in np.asarray(tiles[0]) if x >= 0)
+    assert int(counts[0]) == 8
+    # the 8 kept triangles must all be nearer than every dropped one,
+    # up to one bucket's quantization (0.8 / 16 = 0.05 in z)
+    dropped = sorted(set(range(T)) - set(kept))
+    assert z[kept].min() >= z[dropped].max() - 0.0501, (kept[:3], dropped[-3:])
