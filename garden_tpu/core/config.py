@@ -170,6 +170,11 @@ class RenderConfig:
     bloom_mip_count: int = 5
     exposure_histogram_bins: int = 256  # reference: auto-exposure.hpp:65
     tone_mapper: str = "aces"           # "aces" | "uchimura"
+    # LdrRender (bloom/exposure/tonemap/AA) in bfloat16: the post chain is
+    # HBM-bandwidth-bound and the reference's HDR render targets are
+    # 16-bit floats too (B10G11R11/RGBA16F); ~0.4% relative quantization,
+    # under one LDR level
+    post_bf16: bool = True
     exposure_compensation: float = 0.0
     shadow: ShadowConfig = dataclasses.field(default_factory=ShadowConfig)
     # screen-space reflections (reflection buffer of PbrLighting,

@@ -510,6 +510,12 @@ class DeferredRenderer:
         # (pre-bloom: bloom glow must not feed back into reflections)
         ssr_prev_hdr = hdr if cfg.use_ssr else None
 
+        # LdrRender in bf16 (post_bf16): halves the post chain's HBM
+        # traffic; the SSR history stays f32 (snapshotted above) and
+        # to_uint8 re-quantizes at the end anyway
+        if cfg.post_bf16:
+            hdr = hdr.astype(jnp.bfloat16)
+
         # LdrRender: bloom -> auto exposure -> tone map
         if cfg.use_bloom:
             with scope("bloom"):
