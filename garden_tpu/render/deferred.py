@@ -389,11 +389,17 @@ class DeferredRenderer:
             # roughness-prefiltered environment approximation: sharp sky
             # sample for mirrors, SH irradiance (fully-blurred sky) for
             # rough — the ibl-specular mip-chain behavior without per-pixel
-            # mip gathers; weighted by the split-sum DFG in lighting.resolve
-            spec_sharp = atm.sky_radiance(refl, to_light, steps=4)
-            spec_rough = atm.sh_irradiance(refl, sh)
-            r = jnp.clip(g["roughness"], 0.0, 1.0)[..., None]
-            spec_amb = spec_sharp * (1.0 - r) + spec_rough * r
+            # mip gathers; weighted by the split-sum DFG in lighting.resolve.
+            # Both terms evaluate at HALF RES and tent-upsample (like the
+            # sky background): the ambient-specular field is smooth in the
+            # reflection direction, and the full-res 4-step raymarch was
+            # a per-pixel cost with no visible benefit
+            refl_h = decimate2x(refl)
+            spec_sharp = atm.sky_radiance(refl_h, to_light, steps=4)
+            spec_rough = atm.sh_irradiance(refl_h, sh)
+            r_h = jnp.clip(decimate2x(g["roughness"]), 0.0, 1.0)[..., None]
+            spec_amb = upsample2x_to(
+                spec_sharp * (1.0 - r_h) + spec_rough * r_h, h, w)
             hdr = lighting.resolve(
                 g, constants, shadow=shadow, ao=ao,
                 ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
