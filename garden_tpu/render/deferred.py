@@ -366,22 +366,29 @@ class DeferredRenderer:
             from garden_tpu.ops.blur import decimate2x, upsample2x_to
             to_light = -constants["light_dir"]
             rays = lighting.view_rays(g, constants)
-            # the sky raymarch is smooth: march at half res and tent-
-            # upsample (~4x cheaper; measured 2.8 ms full-res at 1080p)
-            sky = upsample2x_to(
-                atm.sky_radiance(decimate2x(rays), to_light), h, w)
+            # the sky and cloud raymarches are smooth: march at half res
+            # and tent-upsample the composited result (~4x cheaper;
+            # full-res sky alone measured 2.8 ms at 1080p, the 10-step
+            # 3D-noise cloud march is heavier still)
+            rays_h = decimate2x(rays)
+            sky_h = atm.sky_radiance(rays_h, to_light)
             if cfg.use_clouds:
                 from garden_tpu.render import clouds as clouds_mod
                 crgb, calpha = clouds_mod.render_clouds(
-                    rays, to_light, time=constants["time"])
-                sky = clouds_mod.composite_clouds(sky, crgb, calpha)
-                if shadow is not None:
-                    # cloud shadow pass: attenuate sunlight on geometry by
-                    # the cloud layer's transmittance (clouds.cpp shadows)
-                    cshadow = clouds_mod.cloud_shadow(
-                        g["position"], to_light, time=constants["time"])
-                    shadow = shadow * jnp.where(
-                        g["visible"], cshadow, 1.0)[..., None]
+                    rays_h, to_light, time=constants["time"])
+                sky_h = clouds_mod.composite_clouds(sky_h, crgb, calpha)
+            sky = upsample2x_to(sky_h, h, w)
+            if cfg.use_clouds and shadow is not None:
+                from garden_tpu.render import clouds as clouds_mod
+                # cloud shadow pass: attenuate sunlight on geometry by
+                # the cloud layer's transmittance (clouds.cpp shadows) —
+                # the transmittance field is km-scale-smooth, half res
+                cshadow = upsample2x_to(
+                    clouds_mod.cloud_shadow(
+                        decimate2x(g["position"]), to_light,
+                        time=constants["time"])[..., None], h, w)[..., 0]
+                shadow = shadow * jnp.where(
+                    g["visible"], cshadow, 1.0)[..., None]
             sh = atm.sky_sh(to_light)
             refl = m3.reflect(-jnp.broadcast_to(
                 m3.normalize(constants["camera_pos"] - g["position"]),
