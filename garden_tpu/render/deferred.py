@@ -140,10 +140,14 @@ class DeferredRenderer:
         else:
             w, h = cfg.width, cfg.height
 
-        # PreDeferredRender: vertex transform + frustum cull
+        # PreDeferredRender: per-TRIANGLE world transform + frustum cull.
+        # The fused-raster pipeline consumes only triangle-level data, so
+        # the vertex pool never materializes: one (T,) matrix-row gather
+        # replaces the vertex transform plus two (T,3) corner gathers
+        # (mesh.transform_triangles)
         scope = jax.named_scope
         with scope("xform_cull"):
-            world_pos, world_nrm = mesh.transform_vertices(
+            tri_world, tri_nrm = mesh.transform_triangles(
                 scene, inst_matrices)
             tri_valid = self.cull_instances(scene, inst_matrices, constants)
 
@@ -173,11 +177,8 @@ class DeferredRenderer:
         # mesh.hpp:30-40)
         translucent = scene["tri_translucent"]
         nonopaque = translucent | scene["tri_sorted"] | scene["tri_refract"]
-        # ONE triangle-vertex gather shared by every raster pass (main,
-        # cascades, OIT/sorted/refraction/trans-depth): per-pass
-        # clip[indices] gathers cost ~1.5ms each at 123K tris
-        with scope("tri_fetch"):
-            tri_world = world_pos[scene["indices"]]      # (T, 3, 3)
+        # tri_world (from transform_triangles above) is shared by every
+        # raster pass (main, cascades, OIT/sorted/refraction/trans-depth)
         t_cnt = tri_world.shape[0]
         tw_flat = tri_world.reshape(t_cnt * 3, 3)
 
@@ -221,24 +222,26 @@ class DeferredRenderer:
                 setup, w, h, cfg.tile_size, cap_main,
                 bucket_priority=prio_ftb, foot=2, tile_h=th, foot_y=fy)
 
-        # velocity inputs: previous-frame vertex screen positions ride in
+        # velocity inputs: previous-frame corner screen positions ride in
         # the shading record (deferred.cpp:463-489 velocity pass analog)
-        prev_screen = None
+        prev_screen_tri = None
         if cfg.use_velocity:
             prev_inst = (prev_inst_matrices if prev_inst_matrices is not None
                          else inst_matrices)
             prev_vp = frame_state.get("prev_view_proj", constants["view_proj"])
-            prev_world, _ = mesh.transform_vertices(scene, prev_inst)
-            pclip = m3.apply_mat4_h(prev_vp, prev_world)
+            prev_tri, _ = mesh.transform_triangles(scene, prev_inst)
+            pclip = m3.apply_mat4_h(prev_vp, prev_tri.reshape(t_cnt * 3, 3))
             pw_safe = jnp.maximum(pclip[..., 3:4], 1e-6)
             pndc = pclip[..., :3] / pw_safe
-            prev_screen = jnp.stack(
+            prev_screen_tri = jnp.stack(
                 [(pndc[..., 0] * 0.5 + 0.5) * w,
-                 (0.5 - pndc[..., 1] * 0.5) * h], axis=-1)
+                 (0.5 - pndc[..., 1] * 0.5) * h],
+                axis=-1).reshape(t_cnt, 3, 2)
         with scope("pack_records"):
-            records = gbuffer.pack_triangle_records(scene, world_nrm,
-                                                    prev_screen=prev_screen,
-                                                    inv_w=setup["inv_w"])
+            records = gbuffer.pack_triangle_records(
+                scene, tri_normals=tri_nrm,
+                prev_screen_tri=prev_screen_tri,
+                inv_w=setup["inv_w"])
         # fused raster + record shading: per-pixel attributes materialize
         # on the MXU while the tile's records are in VMEM, replacing the
         # per-pixel record gather (the round-2 frame's hottest op)
@@ -248,7 +251,7 @@ class DeferredRenderer:
                 cfg.tile_size, tile_h=th)
         with scope("gbuffer"):
             g = gbuffer.shade_gbuffer(
-            vis, setup, scene, world_pos, world_nrm,
+                vis, setup, scene, None, None,
                 constants=constants, attrs=attrs,
                 with_velocity=cfg.use_velocity,
                 textures=scene.get("textures")
@@ -304,7 +307,7 @@ class DeferredRenderer:
                     [mat_s[:, 0:3], mat_s[:, 9:10]], axis=-1)
             with scope("csm_render"):
                 depth_atlas, trans_atlas = csm_mod.render_cascades(
-                    world_pos, scene["indices"], scene["tri_valid"],
+                    None, scene["indices"], scene["tri_valid"],
                     light, scfg, tri_world=tri_world,
                     tri_translucent=tri_trans, tri_tint=tri_tint,
                 )
@@ -456,8 +459,9 @@ class DeferredRenderer:
             rvis = raster.rasterize_visibility(rsetup, rtiles, rcounts,
                                                rbig, w, h, cfg.tile_size,
                                                tile_h=th)
-            rg = gbuffer.shade_gbuffer(rvis, rsetup, scene, world_pos,
-                                       world_nrm, constants=constants)
+            rg = gbuffer.shade_gbuffer(rvis, rsetup, scene, None, None,
+                                       records=records,
+                                       constants=constants)
             covered = rvis["tri_id"] >= 0
             # blurred HDR by surface roughness (the GGX blur chain)
             chain = blur_mod.ggx_blur_chain(hdr, levels=3)

@@ -30,18 +30,27 @@ Array = jnp.ndarray
 REC_WIDTH = 36
 
 
-def pack_triangle_records(scene: Dict[str, Array], world_normals: Array,
+def pack_triangle_records(scene: Dict[str, Array],
+                          world_normals: Optional[Array] = None,
                           prev_screen: Optional[Array] = None,
-                          inv_w: Optional[Array] = None) -> Array:
+                          inv_w: Optional[Array] = None,
+                          tri_normals: Optional[Array] = None,
+                          prev_screen_tri: Optional[Array] = None) -> Array:
     """(T, 32) per-triangle shading records: [n0 n1 n2 (9) | uv0 uv1 uv2 (6)
     | material row (10) | instance (1) | prev screen xy x3 (6)].
 
-    prev_screen: (V, 2) previous-frame screen positions per vertex. Riding
-    them in the record makes per-pixel velocity a barycentric interpolation
-    — no extra per-pixel gathers (the velocity pass analog of
+    tri_normals: (T, 3, 3) per-triangle world normals (from
+    mesh.transform_triangles) — preferred: the vertex-pool fallback
+    world_normals[indices] is a (T*3)-row gather.
+
+    prev_screen / prev_screen_tri: previous-frame screen positions per
+    vertex (V, 2) or per triangle corner (T, 3, 2). Riding them in the
+    record makes per-pixel velocity a barycentric interpolation — no
+    extra per-pixel gathers (the velocity pass analog of
     deferred.cpp:463-489)."""
     idx = scene["indices"]                       # (T, 3)
-    n = world_normals[idx]                       # (T, 3, 3)
+    n = (tri_normals if tri_normals is not None
+         else world_normals[idx])                # (T, 3, 3)
     uv = scene.get("tri_uvs")                    # precomputed static
     if uv is None:
         uv = scene["uvs"][idx]                   # (T, 3, 2)
@@ -49,7 +58,9 @@ def pack_triangle_records(scene: Dict[str, Array], world_normals: Array,
     mat_id = scene["inst_material"][inst]
     mat = scene["materials"][mat_id]             # (T, 11)
     t = idx.shape[0]
-    if prev_screen is not None:
+    if prev_screen_tri is not None:
+        prev = prev_screen_tri.reshape(-1, 6)
+    elif prev_screen is not None:
         prev = prev_screen[idx].reshape(-1, 6)
     else:
         prev = jnp.zeros((t, 6), jnp.float32)

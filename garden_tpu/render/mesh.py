@@ -363,12 +363,45 @@ class SceneBuffers:
             # static per-triangle uvs (precomputed: saves a (T,3) row gather
             # per frame in the shading-record pack)
             "tri_uvs": jnp.asarray(self.uvs[self.indices]),
+            # static per-triangle LOCAL geometry: transform_triangles reads
+            # these densely and gathers only the (T,) instance matrices —
+            # replacing the per-frame vertex-pool transform plus TWO (T,3)
+            # corner row gathers (world_pos[indices], world_nrm[indices]
+            # = ~740K gather rows/frame at the flagship scene)
+            "tri_pos_local": jnp.asarray(self.positions[self.indices]),
+            "tri_nrm_local": jnp.asarray(self.normals[self.indices]),
             "inst_lod_dist": jnp.asarray(self.inst_lod_dist),
         }
 
     @property
     def any_lods(self) -> bool:
         return bool((self.tri_lod != 0).any())
+
+
+def transform_triangles(scene: Dict[str, Array],
+                        inst_matrices: Array) -> Tuple[Array, Array]:
+    """Per-TRIANGLE world-space corners and normals, bypassing the vertex
+    pool: ONE (T,) row gather of packed instance matrices + dense math on
+    the static `tri_pos_local`/`tri_nrm_local` arrays. Returns
+    (tri_world (T, 3, 3), tri_nrm (T, 3, 3)). Use for pipelines that only
+    consume triangle-level data (the fused-raster deferred path): it
+    replaces transform_vertices' vertex transform plus the two
+    `x[indices]` corner gathers, which together cost ~3 ms/frame at 123K
+    triangles (TPU gathers price per row; corners are 3 rows/triangle)."""
+    ti = jnp.maximum(scene["tri_instance"], 0)
+    packed = jnp.concatenate(
+        [inst_matrices[:, :3, 0], inst_matrices[:, :3, 1],
+         inst_matrices[:, :3, 2], inst_matrices[:, :3, 3]], axis=-1)
+    rows = packed[ti]                        # (T, 12) the one gather
+    c0 = rows[:, None, 0:3]                  # (T, 1, 3)
+    c1 = rows[:, None, 3:6]
+    c2 = rows[:, None, 6:9]
+    tr = rows[:, None, 9:12]
+    p = scene["tri_pos_local"]               # (T, 3, 3) static
+    n = scene["tri_nrm_local"]
+    pos = c0 * p[..., 0:1] + c1 * p[..., 1:2] + c2 * p[..., 2:3] + tr
+    nrm = m3.normalize(c0 * n[..., 0:1] + c1 * n[..., 1:2] + c2 * n[..., 2:3])
+    return pos, nrm
 
 
 def transform_vertices(scene: Dict[str, Array], inst_matrices: Array) -> Tuple[Array, Array]:
