@@ -112,12 +112,19 @@ def shade_gbuffer(
     visible = vis["tri_id"] >= 0
 
     if attrs is not None:
-        rec = jnp.moveaxis(attrs, 0, -1)         # (H, W, REC) dense
+        # LAZY channel views of the (REC, H, W) attrs: a single
+        # moveaxis(attrs, 0, -1) materializes a ~200 MB (H, W, REC) copy
+        # at 1080p because many consumers read it; per-slice transposes
+        # fuse into each consumer instead (XLA fuses transpose+elementwise)
+        ch = lambda a, b: jnp.moveaxis(attrs[a:b], 0, -1)
+        chs = lambda a: attrs[a]
     else:
         if records is None:
             records = pack_triangle_records(scene, world_normals,
                                             inv_w=setup["inv_w"])
         rec = records[tri]                       # (H, W, 36): the ONE gather
+        ch = lambda a, b: rec[..., a:b]
+        chs = lambda a: rec[..., a]
 
     b0 = vis["b0"]
     b1 = vis["b1"]
@@ -125,18 +132,18 @@ def shade_gbuffer(
 
     # perspective-correct barycentrics: w_i = screen bary * (1/w_i), renorm;
     # inv_w rides the ONE record gather (slots 32:35)
-    inv_w = rec[..., 32:35]
+    inv_w = ch(32, 35)
     pw = jnp.stack([b0, b1, b2], axis=-1) * inv_w
     pw = pw / jnp.maximum(jnp.sum(pw, axis=-1, keepdims=True), 1e-12)
 
     normal = m3.normalize(
-        rec[..., 0:3] * pw[..., 0:1]
-        + rec[..., 3:6] * pw[..., 1:2]
-        + rec[..., 6:9] * pw[..., 2:3]
+        ch(0, 3) * pw[..., 0:1]
+        + ch(3, 6) * pw[..., 1:2]
+        + ch(6, 9) * pw[..., 2:3]
     )
-    uv = (rec[..., 9:11] * pw[..., 0:1]
-          + rec[..., 11:13] * pw[..., 1:2]
-          + rec[..., 13:15] * pw[..., 2:3])
+    uv = (ch(9, 11) * pw[..., 0:1]
+          + ch(11, 13) * pw[..., 1:2]
+          + ch(13, 15) * pw[..., 2:3])
 
     if constants is not None:
         position = reconstruct_position(vis["depth"], constants)
@@ -146,11 +153,10 @@ def shade_gbuffer(
         vals = world_positions[idx]
         position = jnp.sum(vals * pw[..., None], axis=-2)
 
-    mat = rec[..., 15:24]
-    tex_id = rec[..., 24].astype(jnp.int32)
-    inst = rec[..., 25].astype(jnp.int32)
+    tex_id = chs(24).astype(jnp.int32)
+    inst = chs(25).astype(jnp.int32)
 
-    base_color = mat[..., 0:3]
+    base_color = ch(15, 18)
     if textures is not None and textures.shape[0] > 0:
         # base-color texture sample (resource.cpp image loads feeding the
         # deferred.hpp:20 base-color target): nearest-texel, one row gather;
@@ -172,10 +178,10 @@ def shade_gbuffer(
         "normal": normal,
         "uv": uv,
         "base_color": base_color,
-        "metallic": mat[..., 3],
-        "roughness": mat[..., 4],
-        "emissive": mat[..., 5:8],
-        "reflectance": mat[..., 8],
+        "metallic": chs(18),
+        "roughness": chs(19),
+        "emissive": ch(20, 23),
+        "reflectance": chs(23),
         "instance": jnp.where(visible, inst, -1),
     }
     if with_velocity:
@@ -184,9 +190,9 @@ def shade_gbuffer(
         # Screen positions are affine in screen space, so SCREEN barycentrics
         # are the right weights here (perspective-corrected weights would
         # reintroduce the perspective divide and bias static pixels).
-        prev_xy = (rec[..., 26:28] * b0[..., None]
-                   + rec[..., 28:30] * b1[..., None]
-                   + rec[..., 30:32] * b2[..., None])
+        prev_xy = (ch(26, 28) * b0[..., None]
+                   + ch(28, 30) * b1[..., None]
+                   + ch(30, 32) * b2[..., None])
         h, w = vis["depth"].shape
         cur_x = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
         cur_y = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
