@@ -17,13 +17,7 @@ import numpy as np
 Array = jnp.ndarray
 
 
-def _shift2d(x: Array, dy: int, dx: int) -> Array:
-    """Edge-clamped shift (image semantics)."""
-    h, w = x.shape[0], x.shape[1]
-    pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))) + \
-        tuple(((0, 0),) * (x.ndim - 2))
-    xp = jnp.pad(x, pad, mode="edge")
-    return xp[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
+from garden_tpu.ops.shifts import Shifter
 
 
 def gaussian_kernel(radius: int, sigma: Optional[float] = None) -> np.ndarray:
@@ -36,26 +30,28 @@ def gaussian_kernel(radius: int, sigma: Optional[float] = None) -> np.ndarray:
 def gaussian_blur(img: Array, radius: int = 2, sigma: Optional[float] = None) -> Array:
     """Separable gaussian blur (process/gaussian-blur.frag)."""
     k = gaussian_kernel(radius, sigma)
+    at = Shifter(img, 0, radius)
     out = jnp.zeros_like(img)
     for i, wgt in enumerate(k):
-        out = out + _shift2d(img, 0, i - radius) * wgt
-    img2 = out
+        out = out + at(0, radius - i) * wgt
+    at = Shifter(out, radius, 0)
     out = jnp.zeros_like(img)
     for i, wgt in enumerate(k):
-        out = out + _shift2d(img2, i - radius, 0) * wgt
+        out = out + at(radius - i, 0) * wgt
     return out
 
 
 def box_blur(img: Array, radius: int = 1) -> Array:
     """Box blur (process/box-blur.frag)."""
     n = 2 * radius + 1
+    at = Shifter(img, 0, radius)
     out = jnp.zeros_like(img)
     for d in range(-radius, radius + 1):
-        out = out + _shift2d(img, 0, d)
-    img2 = out / n
+        out = out + at(0, -d)
+    at = Shifter(out / n, radius, 0)
     out = jnp.zeros_like(img)
     for d in range(-radius, radius + 1):
-        out = out + _shift2d(img2, d, 0)
+        out = out + at(-d, 0)
     return out / n
 
 
@@ -64,17 +60,19 @@ def bilateral_blur(img: Array, guide_depth: Array, radius: int = 2,
     """Depth-aware (bilateral) blur — used for AO/shadow denoise
     (process/bilateral-blur.frag)."""
     k = gaussian_kernel(radius)
+    g_at = Shifter(guide_depth, radius, radius)
+    i_at = Shifter(img, radius, radius)
     acc = jnp.zeros_like(img)
     wacc = jnp.zeros(img.shape[:2] + (1,) * (img.ndim - 2), img.dtype)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             wgt = k[dy + radius] * k[dx + radius]
-            d = _shift2d(guide_depth, dy, dx)
+            d = g_at(-dy, -dx)
             dw = jnp.exp(-jnp.abs(d - guide_depth) / depth_sigma)
             w = wgt * dw
             while w.ndim < img.ndim:
                 w = w[..., None]
-            acc = acc + _shift2d(img, dy, dx) * w
+            acc = acc + i_at(-dy, -dx) * w
             wacc = wacc + w
     return acc / jnp.maximum(wacc, 1e-6)
 
@@ -152,19 +150,16 @@ def bilateral_upsample_to(x: Array, guide_lo: Array, guide_full: Array,
     upx = up_to(x, th, tw)
     upg = up_to(guide_lo[..., None], th, tw)[..., 0]
 
-    def shift2(a, dy, dx):
-        pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
-        pad += [(0, 0)] * (a.ndim - 2)
-        p = jnp.pad(a, pad, mode="edge")
-        return p[max(dy, 0):max(dy, 0) + th, max(dx, 0):max(dx, 0) + tw]
+    x_at = Shifter(upx, 1, 1)
+    g_at = Shifter(upg, 1, 1)
 
     eps = 1e-3
     acc = jnp.zeros((th, tw, x.shape[-1]), x.dtype)
     wsum = jnp.zeros((th, tw, 1), x.dtype)
     scale = jnp.maximum(jnp.abs(guide_full), 1.0)
     for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1), (0, -1), (-1, 0)):
-        cand = shift2(upx, dy, dx)
-        g = shift2(upg[..., None], dy, dx)[..., 0]
+        cand = x_at(dy, dx)
+        g = g_at(dy, dx)
         w = 1.0 / (jnp.abs(g - guide_full) / scale + eps)
         acc = acc + cand * w[..., None]
         wsum = wsum + w[..., None]

@@ -34,6 +34,7 @@ import numpy as np
 
 from garden_tpu.core import math3d as m3
 from garden_tpu.core.config import ShadowConfig
+from garden_tpu.ops.shifts import Shifter
 from garden_tpu.render import raster
 
 Array = jnp.ndarray
@@ -420,15 +421,12 @@ def resolve_shadow(
 
     r = cfg.pcf_radius
     if r > 0:
+        lit_at = Shifter(lit, r, r)  # pad once; each PCF tap is one slice
         acc = jnp.zeros_like(lit)
         n = 0
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
-                h_, w_ = lit.shape
-                pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0)))
-                sh = jnp.pad(lit, pad, mode="edge")[
-                    max(-dy, 0):max(-dy, 0) + h_, max(-dx, 0):max(-dx, 0) + w_]
-                acc = acc + sh
+                acc = acc + lit_at(dy, dx)
                 n += 1
         lit = acc / n
     lit = lit[..., None] * tint               # (h, w, 3)

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from garden_tpu.ops.shifts import Shifter
+
 Array = jnp.ndarray
 
 EDGE_THRESHOLD = 1.0 / 8.0        # fxaa.frag qualityEdgeThreshold
@@ -35,17 +37,6 @@ def _luma(rgb: Array) -> Array:
     return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
 
 
-def _shift(img: Array, dy: int, dx: int) -> Array:
-    """Edge-clamped 2D shift: out[y, x] = img[y + dy, x + dx]."""
-    h, w = img.shape[:2]
-    pad_y = (max(dy, 0), max(-dy, 0))
-    pad_x = (max(dx, 0), max(-dx, 0))
-    pads = ((pad_y, pad_x) if img.ndim == 2
-            else (pad_y, pad_x, (0, 0)))
-    p = jnp.pad(img, pads, mode="edge")
-    return p[pad_y[1]:pad_y[1] + h, pad_x[1]:pad_x[1] + w]
-
-
 def _end_search(edge_luma_pos: Array, edge_luma_neg: Array, is_neg: Array,
                 local_avg: Array, grad_scaled: Array, axis: int):
     """March both ways along the edge; -> (dist-, dist+, end luma-, end+).
@@ -55,13 +46,18 @@ def _end_search(edge_luma_pos: Array, edge_luma_neg: Array, is_neg: Array,
     each origin pixel. axis=1 marches along x (horizontal edge), axis=0
     along y.
     """
+    # pad each searched image once along the march axis; every tap is one
+    # fused slice (ops/shifts.py)
+    reach = int(_STEPS[-1])
+    ry, rx = (0, reach) if axis == 1 else (reach, 0)
+    pos_at = Shifter(edge_luma_pos, ry, rx)
+    neg_at = Shifter(edge_luma_neg, ry, rx)
     dists, lumas = [], []
     for sign in (-1, 1):
         hits, ends = [], []
         for d in _STEPS:
             dy, dx = (0, sign * int(d)) if axis == 1 else (sign * int(d), 0)
-            tap = jnp.where(is_neg, _shift(edge_luma_neg, dy, dx),
-                            _shift(edge_luma_pos, dy, dx))
+            tap = jnp.where(is_neg, neg_at(-dy, -dx), pos_at(-dy, -dx))
             delta = tap - local_avg
             hits.append(jnp.abs(delta) >= grad_scaled)
             ends.append(delta)
@@ -86,14 +82,15 @@ def _end_search(edge_luma_pos: Array, edge_luma_neg: Array, is_neg: Array,
 def apply_fxaa(ldr: Array) -> Array:
     """ldr: (H, W, 3) float in [0,1] -> antialiased (H, W, 3)."""
     luma = _luma(ldr)
-    l_n = _shift(luma, -1, 0)
-    l_s = _shift(luma, 1, 0)
-    l_w = _shift(luma, 0, -1)
-    l_e = _shift(luma, 0, 1)
-    l_nw = _shift(luma, -1, -1)
-    l_ne = _shift(luma, -1, 1)
-    l_sw = _shift(luma, 1, -1)
-    l_se = _shift(luma, 1, 1)
+    lum_at = Shifter(luma, 1, 1)
+    l_n = lum_at(1, 0)
+    l_s = lum_at(-1, 0)
+    l_w = lum_at(0, 1)
+    l_e = lum_at(0, -1)
+    l_nw = lum_at(1, 1)
+    l_ne = lum_at(1, -1)
+    l_sw = lum_at(-1, 1)
+    l_se = lum_at(-1, -1)
 
     l_min = jnp.minimum(luma, jnp.minimum(jnp.minimum(l_n, l_s),
                                           jnp.minimum(l_w, l_e)))
@@ -165,10 +162,9 @@ def apply_fxaa(ldr: Array) -> Array:
 
     # final: resample a half-pixel toward the chosen perpendicular side,
     # weighted by the offset == lerp with the straddled neighbor
-    nb_rgb_h = jnp.where(is_neg[..., None], _shift(ldr, -1, 0),
-                         _shift(ldr, 1, 0))
-    nb_rgb_v = jnp.where(is_neg[..., None], _shift(ldr, 0, -1),
-                         _shift(ldr, 0, 1))
+    ldr_at = Shifter(ldr, 1, 1)
+    nb_rgb_h = jnp.where(is_neg[..., None], ldr_at(1, 0), ldr_at(-1, 0))
+    nb_rgb_v = jnp.where(is_neg[..., None], ldr_at(0, 1), ldr_at(0, -1))
     nb_rgb = jnp.where(horiz[..., None], nb_rgb_h, nb_rgb_v)
     o = offset[..., None]
     out = ldr * (1.0 - o) + nb_rgb * o

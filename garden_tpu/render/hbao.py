@@ -30,6 +30,7 @@ import math
 import jax.numpy as jnp
 
 from garden_tpu.core import math3d as m3
+from garden_tpu.ops.shifts import Shifter
 
 Array = jnp.ndarray
 
@@ -38,12 +39,7 @@ STEP_RADII = (2, 4, 7, 11, 16)  # fixed pixel radii marched per direction
 ANGLE_BIAS = 0.1                # sin of the tangent bias (hbao.frag bias)
 
 
-def _shift2(x: Array, dy: int, dx: int) -> Array:
-    h, w = x.shape[0], x.shape[1]
-    pad = ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))) + \
-        tuple(((0, 0),) * (x.ndim - 2))
-    xp = jnp.pad(x, pad, mode="edge")
-    return xp[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
+_MAX_RADIUS = 16  # largest STEP_RADII entry: the one-time pad size
 
 
 def compute_hbao(
@@ -76,6 +72,11 @@ def compute_hbao(
                                    h, w)[..., 0]
         return jnp.where(visible, jnp.clip(ao, 0.0, 1.0), 1.0)
 
+    # pad once to the maximum march radius; every (direction, step) tap is
+    # then a single fused slice (see ops/shifts.py — the per-tap edge-pad
+    # version traced to ~1400 HLO ops for this pass alone)
+    pos_at = Shifter(position, _MAX_RADIUS, _MAX_RADIUS)
+    vis_at = Shifter(visible, _MAX_RADIUS, _MAX_RADIUS)
     occlusion = jnp.zeros(visible.shape, jnp.float32)
     for d in range(N_DIRS):
         ang = 2.0 * math.pi * (d + 0.5) / N_DIRS
@@ -85,8 +86,8 @@ def compute_hbao(
         for r_px in STEP_RADII:
             dy = int(round(uy * r_px))
             dx = int(round(ux * r_px))
-            sample_pos = _shift2(position, dy, dx)
-            sample_vis = _shift2(visible, dy, dx)
+            sample_pos = pos_at(-dy, -dx)
+            sample_vis = vis_at(-dy, -dx)
             delta = sample_pos - position
             dlen = m3.length(delta)
             # elevation above the tangent plane (sin of the sample angle)

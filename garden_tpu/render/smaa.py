@@ -25,20 +25,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from garden_tpu.ops.shifts import Shifter
+
 Array = jnp.ndarray
 
 EDGE_THRESHOLD = 0.1
 LOCAL_CONTRAST_FACTOR = 2.0
 SEARCH_STEPS = 8
-
-
-def _shift(x: Array, dy: int, dx: int) -> Array:
-    """Edge-clamped 2D shift: result[y, x] = x[y + dy, x + dx]."""
-    h, w = x.shape[:2]
-    pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))]
-    pad += [(0, 0)] * (x.ndim - 2)
-    p = jnp.pad(x, pad, mode="edge")
-    return p[max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
 
 
 def _luma(img: Array) -> Array:
@@ -51,15 +44,16 @@ def detect_edges(img: Array) -> Array:
     local-contrast adaptation (an edge is suppressed when a neighboring
     contrast is more than 2x stronger)."""
     l = _luma(img)
-    d_left = jnp.abs(l - _shift(l, 0, -1))
-    d_top = jnp.abs(l - _shift(l, -1, 0))
+    l_at = Shifter(l, 2, 2)  # pad once; each tap is one fused slice
+    d_left = jnp.abs(l - l_at(0, -1))
+    d_top = jnp.abs(l - l_at(-1, 0))
     left = d_left >= EDGE_THRESHOLD
     top = d_top >= EDGE_THRESHOLD
 
-    d_right = jnp.abs(l - _shift(l, 0, 1))
-    d_bottom = jnp.abs(l - _shift(l, 1, 0))
-    d_leftleft = jnp.abs(_shift(l, 0, -1) - _shift(l, 0, -2))
-    d_toptop = jnp.abs(_shift(l, -1, 0) - _shift(l, -2, 0))
+    d_right = jnp.abs(l - l_at(0, 1))
+    d_bottom = jnp.abs(l - l_at(1, 0))
+    d_leftleft = jnp.abs(l_at(0, -1) - l_at(0, -2))
+    d_toptop = jnp.abs(l_at(-1, 0) - l_at(-2, 0))
     max_l = jnp.maximum(jnp.maximum(d_right, d_bottom),
                         jnp.maximum(d_top, d_leftleft))
     max_t = jnp.maximum(jnp.maximum(d_right, d_bottom),
@@ -69,14 +63,14 @@ def detect_edges(img: Array) -> Array:
     return jnp.stack([left, top], axis=-1)
 
 
-def _runs(edge: Array, dy: int, dx: int) -> Array:
+def _runs(edge_at: Shifter, dy: int, dx: int) -> Array:
     """Length of the contiguous edge run in direction (dy, dx), up to
     SEARCH_STEPS, NOT counting the center pixel. Dense cumulative product
     of shifted masks."""
-    run = jnp.zeros(edge.shape, jnp.float32)
-    alive = jnp.ones(edge.shape, bool)
+    run = jnp.zeros((edge_at.h, edge_at.w), jnp.float32)
+    alive = jnp.ones((edge_at.h, edge_at.w), bool)
     for s in range(1, SEARCH_STEPS + 1):
-        alive = alive & _shift(edge, dy * s, dx * s)
+        alive = alive & edge_at(dy * s, dx * s)
         run = run + alive.astype(jnp.float32)
     return run
 
@@ -101,10 +95,13 @@ def blending_weights(edges: Array) -> Array:
     """(H, W, 4) blend weights [up, down, left, right] per pixel."""
     left_e = edges[..., 0]   # vertical edge on the pixel's left border
     top_e = edges[..., 1]    # horizontal edge on the pixel's top border
+    r = SEARCH_STEPS + 1
+    le_at = Shifter(left_e, r, r)
+    te_at = Shifter(top_e, r, r)
 
     # ---- horizontal (top) edges: search left/right along the edge ------
-    d1 = _runs(top_e, 0, -1)
-    d2 = _runs(top_e, 0, 1)
+    d1 = _runs(te_at, 0, -1)
+    d2 = _runs(te_at, 0, 1)
     # crossing edges at the run ends: a LEFT edge (vertical) at the end
     # pixel or the one above marks which way the surface continues
     c1 = jnp.zeros_like(d1)
@@ -113,10 +110,10 @@ def blending_weights(edges: Array) -> Array:
         at_end1 = d1 == s
         at_end2 = d2 == s
         # crossing above (+0.5) or below (-0.5) at each end
-        cross1_up = _shift(left_e, -1, -s)
-        cross1_dn = _shift(left_e, 0, -s)
-        cross2_up = _shift(left_e, -1, s + 1)
-        cross2_dn = _shift(left_e, 0, s + 1)
+        cross1_up = le_at(-1, -s)
+        cross1_dn = le_at(0, -s)
+        cross2_up = le_at(-1, s + 1)
+        cross2_dn = le_at(0, s + 1)
         c1 = jnp.where(at_end1 & cross1_up, 1.0,
                        jnp.where(at_end1 & cross1_dn, -1.0, c1))
         c2 = jnp.where(at_end2 & cross2_up, 1.0,
@@ -126,17 +123,17 @@ def blending_weights(edges: Array) -> Array:
     w_dn = jnp.where(top_e, jnp.maximum(-h, 0.0), 0.0)
 
     # ---- vertical (left) edges: search up/down -------------------------
-    d1v = _runs(left_e, -1, 0)
-    d2v = _runs(left_e, 1, 0)
+    d1v = _runs(le_at, -1, 0)
+    d2v = _runs(le_at, 1, 0)
     c1v = jnp.zeros_like(d1v)
     c2v = jnp.zeros_like(d2v)
     for s in range(SEARCH_STEPS + 1):
         at_end1 = d1v == s
         at_end2 = d2v == s
-        cross1_l = _shift(top_e, -s, -1)
-        cross1_r = _shift(top_e, -s, 0)
-        cross2_l = _shift(top_e, s + 1, -1)
-        cross2_r = _shift(top_e, s + 1, 0)
+        cross1_l = te_at(-s, -1)
+        cross1_r = te_at(-s, 0)
+        cross2_l = te_at(s + 1, -1)
+        cross2_r = te_at(s + 1, 0)
         c1v = jnp.where(at_end1 & cross1_l, 1.0,
                         jnp.where(at_end1 & cross1_r, -1.0, c1v))
         c2v = jnp.where(at_end2 & cross2_l, 1.0,
@@ -152,24 +149,26 @@ def neighborhood_blend(img: Array, weights: Array) -> Array:
     """Final pass: blend each pixel with its 4 neighbors by the computed
     coverage weights (weights of the pixel's own edges plus the opposing
     weights stored on neighboring pixels)."""
+    w_at = Shifter(weights, 1, 1)
     w_up = weights[..., 0]
     w_dn = weights[..., 1]
     w_left = weights[..., 2]
     w_right = weights[..., 3]
     # opposing weights from neighbors: the pixel below's 'up' weight
     # blends THIS pixel downward, etc.
-    w_from_below = _shift(weights[..., 0], 1, 0)
-    w_from_right = _shift(weights[..., 2], 0, 1)
+    w_from_below = w_at(1, 0)[..., 0]
+    w_from_right = w_at(0, 1)[..., 2]
 
     total = (w_up + w_dn + w_left + w_right
              + w_from_below + w_from_right)
+    i_at = Shifter(img, 1, 1)
     blend = (
-        w_up[..., None] * _shift(img, -1, 0)
-        + w_dn[..., None] * _shift(img, 1, 0)
-        + w_left[..., None] * _shift(img, 0, -1)
-        + w_right[..., None] * _shift(img, 0, 1)
-        + w_from_below[..., None] * _shift(img, 1, 0)
-        + w_from_right[..., None] * _shift(img, 0, 1)
+        w_up[..., None] * i_at(-1, 0)
+        + w_dn[..., None] * i_at(1, 0)
+        + w_left[..., None] * i_at(0, -1)
+        + w_right[..., None] * i_at(0, 1)
+        + w_from_below[..., None] * i_at(1, 0)
+        + w_from_right[..., None] * i_at(0, 1)
     )
     t = jnp.clip(total, 0.0, 1.0)[..., None]
     safe = jnp.maximum(total, 1e-6)[..., None]
