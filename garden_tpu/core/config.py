@@ -74,6 +74,14 @@ class ShadowConfig:
     # triangles) can use 2 — triangles taller than foot_y*atlas_tile_h px
     # ride the shared big list (raster.bin_triangles)
     atlas_foot_y: Optional[int] = None
+    # SPLIT raster path for the cascade atlas (raster.rasterize_depth):
+    # grid lists raster over a compacted 1D grid of the max_active_tiles
+    # most-populated atlas tiles (the flagship atlas occupies 252 of 3072),
+    # and big casters ride per-SUPER-tile lists instead of one global list
+    # every tile draws. None = dense path (every tile fetches its record
+    # block; always correct). Tiles past max_active_tiles lose their grid
+    # list, least-populated first — size it ~3x the expected occupancy.
+    max_active_tiles: Optional[int] = None
     # shadow-factor resolve decimation: the per-pixel shadow-map lookup is a
     # random gather (~30ns/element on TPU); resolving every Nth pixel and
     # bilinearly upsampling the factor costs ~1px of edge softness that the

@@ -255,15 +255,29 @@ def render_cascades(
     th = cfg.atlas_tile_h or 128
     cap = max(64, (max_per_tile * th // 128) // 16 * 16)
     fy = cfg.atlas_foot_y or max(2, min(8, 256 // th))
+    max_active = getattr(cfg, "max_active_tiles", None)
     with jax.named_scope("bin"):
-        tiles, counts, big = raster.bin_triangles(atlas_setup, atlas_w,
-                                                  atlas_h, 128, cap, foot=2,
-                                                  tile_h=th, foot_y=fy)
+        sup_bins = act = None
+        if max_active:
+            tiles, counts, big, act = raster.bin_triangles(
+                atlas_setup, atlas_w, atlas_h, 128, cap, foot=2,
+                tile_h=th, foot_y=fy, max_big=256, max_active=max_active)
+            # 512 x (8 tile_h) px super-tiles for the big-caster lists
+            sup_bins = raster.bin_big_supertiles(
+                atlas_setup, big, atlas_w, atlas_h, 128, th,
+                sup_x=4, sup_y=max(128 // th, 1), cap=64)
+        else:
+            tiles, counts, big = raster.bin_triangles(
+                atlas_setup, atlas_w, atlas_h, 128, cap, foot=2,
+                tile_h=th, foot_y=fy)
     with jax.named_scope("raster"):
         depth_atlas = raster.rasterize_depth(atlas_setup, tiles, counts, big,
                                              atlas_w, atlas_h, 128,
                                              atlas_bounds=bounds,
-                                             tri_atlas=tri_atlas, tile_h=th)
+                                             tri_atlas=tri_atlas, tile_h=th,
+                                             sup_bins=sup_bins,
+                                             max_active=max_active,
+                                             act_ids=act)
 
     trans_atlas = None
     if with_trans:

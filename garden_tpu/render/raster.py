@@ -136,7 +136,8 @@ def bin_triangles(
     foot: int = None,
     tile_h: int = None,
     foot_y: int = None,
-) -> Tuple[Array, Array, Array]:
+    max_active: int = None,
+) -> Tuple[Array, ...]:
     """Returns (tile_tris (tiles, max_per_tile) int32 padded with -1,
     counts (tiles,) int32, big_list (max_big,) int32 padded with -1).
     tiles = tiles_y * tiles_x, row-major.
@@ -163,7 +164,14 @@ def bin_triangles(
 
     tile_h: rectangular tiles (tile wide, tile_h tall; see tpu_tile_legal).
     foot_y: y-footprint for short tiles (defaults to foot scaled so the
-    covered pixel span matches the x span)."""
+    covered pixel span matches the x span).
+
+    max_active: COMPACTED output for sparse targets — returns a 4-tuple
+    (tile_tris (A, C), counts (A,), big_list, act_ids (A,)) holding only
+    the A most-populated tiles' lists (A = max_active), so the per-tile
+    list fetch scales with occupancy instead of tile count. Consume with
+    rasterize_depth(act_ids=...). Incompatible with `priority` (the
+    inverse-permutation remap assumes dense rows)."""
     FOOT = foot if foot is not None else globals()["FOOT"]
     th = tile_h or tile
     FOOT_Y = foot_y if foot_y is not None else FOOT
@@ -230,6 +238,15 @@ def bin_triangles(
     edges = jnp.searchsorted(key_sorted, probes, side="left")
     start = edges[:-1]
     end = edges[1:]
+    if max_active is not None:
+        # compact BEFORE the list gather: only the A most-populated tiles'
+        # runs are fetched from the sorted pair array
+        assert priority is None, "max_active and priority are exclusive"
+        a = min(max_active, n_tiles)
+        _, act_ids = jax.lax.top_k(end - start, a)
+        act_ids = act_ids.astype(jnp.int32)
+        start = start[act_ids]
+        end = end[act_ids]
     take = jnp.arange(max_per_tile, dtype=jnp.int32)
     gather = start[:, None] + take[None, :]
     ok = gather < end[:, None]
@@ -250,7 +267,79 @@ def bin_triangles(
     _, big_idx = jax.lax.top_k(big_rank, max_big)
     big_ok = big[big_idx]
     big_list = jnp.where(big_ok, big_idx.astype(jnp.int32), -1)  # (B,)
+    if max_active is not None:
+        return tile_tris, counts, big_list, act_ids
     return tile_tris, counts, big_list
+
+
+def bin_big_supertiles(
+    setup: Dict[str, Array],
+    big_list: Array,        # (B,) triangle ids, -1 padded (bin_triangles)
+    width: int,
+    height: int,
+    tile: int,
+    tile_h: int,
+    sup_x: int,
+    sup_y: int,
+    cap: int,
+) -> Tuple[Array, Array, Tuple[int, int, int]]:
+    """Per-SUPER-tile big lists: (sup_tris (n_sup, cap), sup_counts (n_sup,),
+    (sup_x, sup_y, sups_x)).
+
+    The shared global big list makes EVERY tile raster every big triangle —
+    on the 3072-tile cascade atlas that was ~90% of the depth-kernel work
+    (3072 x 64 (tri, tile) pairs for ~200 actually-covered pairs). Here the
+    big candidates (already compacted to B entries by bin_triangles' top_k)
+    are binned once more onto a coarse grid of sup_x x sup_y tiles
+    (e.g. 512 x 128 px), with NO footprint limit: a big triangle emits a
+    slot for every super-tile its bbox overlaps (B x n_sup is tiny — a few
+    thousand pairs), so nothing ever falls back to a global list. Raster
+    kernels then draw only their own super-tile's big block."""
+    th = tile_h or tile
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // th)
+    sups_x = -(-tiles_x // sup_x)
+    sups_y = -(-tiles_y // sup_y)
+    n_sup = sups_x * sups_y
+    spw = float(tile * sup_x)
+    sph = float(th * sup_y)
+    t = setup["valid"].shape[0]
+    b = big_list.shape[0]
+
+    safe = jnp.clip(big_list, 0, t - 1)
+    ok = big_list >= 0
+    x0 = setup["xmin"][safe]
+    x1 = setup["xmax"][safe]
+    y0 = setup["ymin"][safe]
+    y1 = setup["ymax"][safe]
+    s = jnp.arange(n_sup, dtype=jnp.int32)
+    sx0 = ((s % sups_x).astype(jnp.float32)) * spw
+    sy0 = ((s // sups_x).astype(jnp.float32)) * sph
+    hit = (ok[:, None]
+           & (x1[:, None] >= sx0[None, :]) & (x0[:, None] < sx0[None, :] + spw)
+           & (y1[:, None] >= sy0[None, :]) & (y0[:, None] < sy0[None, :] + sph))
+    key = jnp.where(hit, s[None, :], n_sup).reshape(-1)
+    payload = jnp.broadcast_to(safe.astype(jnp.int32)[:, None],
+                               (b, n_sup)).reshape(-1)
+    tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
+    key_bits = max(int(np.ceil(np.log2(n_sup + 2))), 1)
+    if tri_bits + key_bits <= 31:
+        packed = jnp.sort((key << tri_bits) | payload)
+        key_sorted = packed >> tri_bits
+        pay_sorted = packed & ((1 << tri_bits) - 1)
+    else:
+        key_sorted, pay_sorted = jax.lax.sort((key, payload), num_keys=1)
+    probes = jnp.arange(n_sup + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(key_sorted, probes, side="left")
+    start = edges[:-1]
+    end = edges[1:]
+    take = jnp.arange(cap, dtype=jnp.int32)
+    gather = start[:, None] + take[None, :]
+    in_range = gather < end[:, None]
+    gather = jnp.clip(gather, 0, key.shape[0] - 1)
+    sup_tris = jnp.where(in_range, pay_sorted[gather], -1)
+    sup_counts = jnp.minimum(end - start, cap).astype(jnp.int32)
+    return sup_tris, sup_counts, (sup_x, sup_y, sups_x)
 
 
 def merge_big_list(tile_tris: Array, counts: Array,
@@ -1000,6 +1089,104 @@ def _depth_kernel(count_ref, bigcnt_ref, bound_ref, data_ref, big_ref,
     jax.lax.while_loop(cond, body, (jnp.int32(0), False))
 
 
+def _depth_super_kernel(cnt_ref, data_ref, depth_ref,
+                        *, tile: int, tiles_x: int, sup_x: int, sup_y: int,
+                        sups_x: int, atlas_bounds: tuple = (),
+                        tile_h: int = None):
+    """Dense pass 1 of the split depth raster: every tile draws ONLY its
+    super-tile's big block (bin_big_supertiles). The block arrives via a
+    static index map (super of (ty, tx)), so consecutive tiles in the same
+    super reuse the fetched block."""
+    th = tile_h or tile
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    sup = (ty // sup_y) * sups_x + (tx // sup_x)
+    n_px = th * tile
+    ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
+    col = (ixf % tile).astype(jnp.float32)
+    row = (ixf // tile).astype(jnp.float32)
+    px = (tx * tile + 0.5) + col
+    py = (ty * th + 0.5) + row
+
+    depth_ref[:] = jnp.zeros((th, tile), jnp.float32)
+
+    def process(d):
+        e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
+        e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
+        e2 = d[:, 9:10] - e0 - e1
+        inv_area = d[:, 13:14]
+        tri_id = d[:, 14:15]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        z = (d[:, 10:11] + e0 * inv_area * d[:, 11:12]
+             + e1 * inv_area * d[:, 12:13])
+        cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
+        if atlas_bounds:
+            cand &= _atlas_guard(d, px, py, atlas_bounds)
+        zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(th, tile)
+        depth_ref[:] = jnp.maximum(depth_ref[:], zs)
+
+    def body(cb, _):
+        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        return 0
+
+    nb = (cnt_ref[0, sup] + TRI_BLOCK - 1) // TRI_BLOCK
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+def _depth_grid_kernel(act_ref, cnt_ref, bound_ref, data_ref, prior_ref,
+                       depth_ref,
+                       *, tile: int, tiles_x: int, atlas_bounds: tuple = (),
+                       tile_h: int = None):
+    """Compacted pass 2 of the split depth raster: grid slot i handles
+    ACTIVE tile act_ref[i] only (scalar-prefetched ids drive the in/out
+    index maps), max-merging its binned grid list onto pass 1's output
+    (aliased in as prior_ref). Dummy tail slots (count 0) write the prior
+    block back unchanged. Early-z: bound_ref (SMEM) column i holds the
+    suffix max of remaining blocks' zmax (see rasterize_depth)."""
+    th = tile_h or tile
+    i = pl.program_id(0)
+    tid = act_ref[i]
+    ty = tid // tiles_x
+    tx = tid % tiles_x
+    n_px = th * tile
+    ixf = jax.lax.broadcasted_iota(jnp.int32, (1, n_px), 1)
+    col = (ixf % tile).astype(jnp.float32)
+    row = (ixf // tile).astype(jnp.float32)
+    px = (tx * tile + 0.5) + col
+    py = (ty * th + 0.5) + row
+
+    depth_ref[:] = prior_ref[:]
+
+    def process(d):
+        e0 = d[:, 0:1] * px + d[:, 3:4] * py + d[:, 6:7]
+        e1 = d[:, 1:2] * px + d[:, 4:5] * py + d[:, 7:8]
+        e2 = d[:, 9:10] - e0 - e1
+        inv_area = d[:, 13:14]
+        tri_id = d[:, 14:15]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        z = (d[:, 10:11] + e0 * inv_area * d[:, 11:12]
+             + e1 * inv_area * d[:, 12:13])
+        cand = inside & (z <= 1.0) & (z > 0.0) & (tri_id >= 0.0)
+        if atlas_bounds:
+            cand &= _atlas_guard(d, px, py, atlas_bounds)
+        zs = jnp.max(jnp.where(cand, z, 0.0), axis=0).reshape(th, tile)
+        depth_ref[:] = jnp.maximum(depth_ref[:], zs)
+
+    n_blocks = (cnt_ref[i] + TRI_BLOCK - 1) // TRI_BLOCK
+
+    def cond(carry):
+        cb, done = carry
+        return (cb < n_blocks) & ~done
+
+    def body(carry):
+        cb, _ = carry
+        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :])
+        done = jnp.min(depth_ref[:]) >= bound_ref[cb + 1, i]
+        return cb + 1, done
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+
 def rasterize_depth(
     setup: Dict[str, Array],
     tile_tris: Array,
@@ -1011,11 +1198,24 @@ def rasterize_depth(
     atlas_bounds: tuple = (),
     tri_atlas: Array = None,
     tile_h: int = None,
+    sup_bins: Tuple = None,
+    max_active: int = None,
+    act_ids: Array = None,
 ) -> Array:
     """Depth-only raster (shadow maps: the CSM cascade passes,
     csm.hpp:36-64) via the reduced _depth_kernel. `atlas_bounds` (per-
     cascade (x0, x1, y0, y1) rects) + `tri_atlas` enable the cascade-atlas
-    guard (see _atlas_guard)."""
+    guard (see _atlas_guard).
+
+    sup_bins + max_active select the SPLIT path for sparse targets (the
+    cascade atlas: 252 of 3072 tiles occupied on the flagship): pass 1
+    draws per-super-tile big lists (bin_big_supertiles) densely; pass 2
+    draws the per-tile grid lists over a compacted 1D grid of the
+    max_active most-populated tiles (scalar-prefetched tile ids), so the
+    (tiles, C, 16) record fetch — 6.1 ms/frame on the dense-pile atlas —
+    shrinks to (max_active, C, 16). Tiles beyond max_active lose their
+    grid list (the least-populated ones), same drop semantics as per-tile
+    cap overflow."""
     th = tile_h or tile
     tiles_x = -(-width // tile)
     tiles_y = -(-height // th)
@@ -1030,6 +1230,11 @@ def rasterize_depth(
     c = tile_tris.shape[1]
     records = _pack_edge_records(setup, tri_atlas)
     t_count = records.shape[0] - 1
+    if sup_bins is not None:
+        return _rasterize_depth_split(
+            records, tile_tris, counts, sup_bins,
+            width, height, tile, th, atlas_bounds,
+            max_active or max(n_tiles // 4, 1), act_ids)
     data = records[_safe_ids(tile_tris, t_count)]
     big_data, bigcnt = _big_inputs(records, big_list)
     counts2d = counts.reshape(1, n_tiles)
@@ -1069,6 +1274,99 @@ def rasterize_depth(
         out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         interpret=_interpret(),
     )(counts2d, bigcnt, bound, data, big_data)
+    return depth[:height, :width]
+
+
+def _rasterize_depth_split(records, tile_tris, counts, sup_bins,
+                           width, height, tile, th, atlas_bounds,
+                           max_active, act_ids=None):
+    """Two-pass depth raster for sparse targets (see rasterize_depth).
+    act_ids: tile_tris/counts are ALREADY compacted to the active set
+    (bin_triangles max_active=...) — skip the internal compaction."""
+    sup_tris, sup_counts, (sup_x, sup_y, sups_x) = sup_bins
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // th)
+    n_tiles = tiles_x * tiles_y
+    n_sup = sup_counts.shape[0]
+    t_count = records.shape[0] - 1
+    c = tile_tris.shape[1]
+    h_pad = tiles_y * th
+    w_pad = tiles_x * tile
+
+    # pass 1: per-super-tile big lists, dense grid (consecutive tiles in a
+    # super reuse the fetched block)
+    st = sup_tris
+    if st.shape[1] % TRI_BLOCK:
+        st = jnp.pad(st, ((0, 0), (0, TRI_BLOCK - st.shape[1] % TRI_BLOCK)),
+                     constant_values=-1)
+    capb = st.shape[1]
+    sup_data = records[_safe_ids(st, t_count)]            # (n_sup, capB, 16)
+    supcnt = sup_counts.reshape(1, n_sup)
+    prior = pl.pallas_call(
+        functools.partial(_depth_super_kernel, tile=tile, tiles_x=tiles_x,
+                          sup_x=sup_x, sup_y=sup_y, sups_x=sups_x,
+                          atlas_bounds=atlas_bounds, tile_h=th),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((1, n_sup), lambda ty, tx: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, capb, 16),
+                         lambda ty, tx, _sx=sup_x, _sy=sup_y, _nx=sups_x:
+                         ((ty // _sy) * _nx + tx // _sx, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        interpret=_interpret(),
+    )(supcnt, sup_data)
+
+    # pass 2: compacted grid lists over the max_active most-populated tiles
+    if act_ids is None:
+        a = min(max_active, n_tiles)
+        _, act_ids = jax.lax.top_k(counts, a)
+        act_ids = act_ids.astype(jnp.int32)
+        act_cnt = counts[act_ids].astype(jnp.int32)
+        tt_c = tile_tris[act_ids]                         # (A, C) small
+    else:
+        a = act_ids.shape[0]
+        act_cnt = counts.astype(jnp.int32)
+        tt_c = tile_tris
+    data_c = records[_safe_ids(tt_c, t_count)]            # (A, C, 16)
+    nb = c // TRI_BLOCK
+    rec_zmax = data_c[:, :, 10] + jnp.maximum(
+        jnp.maximum(data_c[:, :, 11], data_c[:, :, 12]), 0.0)
+    rec_zmax = jnp.where(tt_c >= 0, rec_zmax, -1.0)
+    blk_zmax = rec_zmax.reshape(a, nb, TRI_BLOCK).max(axis=2)
+    suffix = jnp.flip(jax.lax.cummax(jnp.flip(blk_zmax, 1), axis=1), 1)
+    bound = jnp.concatenate(
+        [suffix, jnp.full((a, 1), -1.0, jnp.float32)], axis=1).T  # (nb+1, A)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,                   # act_ids, act_cnt
+        grid=(a,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # bound, full
+            pl.BlockSpec((1, c, 16), lambda i, act, cnt: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tile),
+                         lambda i, act, cnt, _tx=tiles_x:
+                         (act[i] // _tx, act[i] % _tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, tile),
+                               lambda i, act, cnt, _tx=tiles_x:
+                               (act[i] // _tx, act[i] % _tx),
+                               memory_space=pltpu.VMEM),
+    )
+    depth = pl.pallas_call(
+        functools.partial(_depth_grid_kernel, tile=tile, tiles_x=tiles_x,
+                          atlas_bounds=atlas_bounds, tile_h=th),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        input_output_aliases={4: 0},
+        interpret=_interpret(),
+    )(act_ids, act_cnt, bound, data_c, prior)
     return depth[:height, :width]
 
 

@@ -230,3 +230,69 @@ def test_overflow_drops_farthest_with_bucket_priority():
     # up to one bucket's quantization (0.8 / 16 = 0.05 in z)
     dropped = sorted(set(range(T)) - set(kept))
     assert z[kept].min() >= z[dropped].max() - 0.0501, (kept[:3], dropped[-3:])
+
+
+def test_split_depth_matches_dense():
+    """The split depth-raster path (per-super-tile big lists +
+    compacted-active-tile grid pass, raster._rasterize_depth_split) must be
+    pixel-exact vs the dense path on a scene mixing small casters with big
+    (multi-super-tile) ones, including atlas-bounds clipping."""
+    rng = np.random.default_rng(11)
+    w, h, tile, th = 512, 256, 128, 16
+    n_small, n_big = 120, 6
+    # small triangles scattered across the left atlas rect only
+    cx = rng.uniform(5, 240, n_small).astype(np.float32)
+    cy = rng.uniform(5, 240, n_small).astype(np.float32)
+    sz = rng.uniform(4, 12, n_small).astype(np.float32)
+    # big triangles spanning several super-tiles
+    bx = rng.uniform(0, 200, n_big).astype(np.float32)
+    by = rng.uniform(0, 100, n_big).astype(np.float32)
+    bs = rng.uniform(120, 400, n_big).astype(np.float32)
+    px = np.concatenate([cx, bx])
+    py = np.concatenate([cy, by])
+    ps = np.concatenate([sz, bs])
+    t = n_small + n_big
+    z = rng.uniform(0.1, 0.9, t).astype(np.float32)
+    sx = np.stack([px, px + ps, px], -1)
+    sy = np.stack([py, py, py + ps], -1)
+    setup = {
+        "sx": jnp.asarray(sx), "sy": jnp.asarray(sy),
+        "z": jnp.asarray(np.stack([z, z, z], -1)),
+        "inv_area": jnp.asarray(1.0 / (ps * ps)),
+        "xmin": jnp.asarray(sx.min(-1)), "xmax": jnp.asarray(sx.max(-1)),
+        "ymin": jnp.asarray(sy.min(-1)), "ymax": jnp.asarray(sy.max(-1)),
+        "valid": jnp.ones((t,), bool),
+    }
+    bounds = ((0, 256, 0, 256), (256, 512, 0, 256))
+    tri_atlas = jnp.asarray((np.arange(t) % 2).astype(np.int32))
+    tiles, counts, big = raster.bin_triangles(
+        setup, w, h, tile, 32, max_big=16, foot=2, tile_h=th, foot_y=2)
+    dense = raster.rasterize_depth(setup, tiles, counts, big, w, h, tile,
+                                   atlas_bounds=bounds, tri_atlas=tri_atlas,
+                                   tile_h=th)
+    sup = raster.bin_big_supertiles(setup, big, w, h, tile, th,
+                                    sup_x=2, sup_y=4, cap=16)
+    split = raster.rasterize_depth(setup, tiles, counts, big, w, h, tile,
+                                   atlas_bounds=bounds, tri_atlas=tri_atlas,
+                                   tile_h=th, sup_bins=sup,
+                                   max_active=tiles.shape[0])
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(split))
+    # compaction at less-than-full capacity still covers every occupied tile
+    # when it fits the actual occupancy
+    n_occ = int((np.asarray(counts) > 0).sum())
+    split2 = raster.rasterize_depth(setup, tiles, counts, big, w, h, tile,
+                                    atlas_bounds=bounds, tri_atlas=tri_atlas,
+                                    tile_h=th, sup_bins=sup,
+                                    max_active=n_occ + 1)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(split2))
+    # pre-compacted binning (bin_triangles max_active=...) is the fused
+    # production path: lists, counts and act ids arrive already compacted
+    tiles_c, counts_c, big_c, act = raster.bin_triangles(
+        setup, w, h, tile, 32, max_big=16, foot=2, tile_h=th, foot_y=2,
+        max_active=n_occ + 1)
+    np.testing.assert_array_equal(np.asarray(big_c), np.asarray(big))
+    split3 = raster.rasterize_depth(setup, tiles_c, counts_c, big_c, w, h,
+                                    tile, atlas_bounds=bounds,
+                                    tri_atlas=tri_atlas, tile_h=th,
+                                    sup_bins=sup, act_ids=act)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(split3))

@@ -55,15 +55,24 @@ def main():
     data, _ = rtd.xspace_to_tool_data(f, "framework_op_stats", {})
     rows = json.loads(data)[0]["rows"]
     tot = 0.0
+    n_rows = 60 if "--long" in sys.argv else 24
     print(f"{'op':<62s} {'n':>3s} {'avg_ms':>8s} {'GB/s':>7s}")
-    for r in rows[:24]:
+    for r in rows[:n_rows]:
         c = [x["v"] for x in r["c"]]
         print(f"{c[3][:62]:<62s} {int(c[4]):>3d} {c[6]/1000:>8.3f} {c[15]:>7.1f}")
+    # aggregate by leading named scope for a subsystem budget table
+    agg = {}
     for r in rows:
         c = [x["v"] for x in r["c"]]
         if c[1] == "Device":
             tot += c[7]
+            name = c[3]
+            scope = name.split("/")[1] if name.count("/") else name
+            agg[scope] = agg.get(scope, 0.0) + c[7]
     print(f"device total: {tot/2000:.2f} ms/frame")
+    print("--- by scope (ms/frame) ---")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:28]:
+        print(f"{k:<40s} {v/2000:>8.3f}")
 
 
 if __name__ == "__main__":
