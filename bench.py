@@ -33,7 +33,8 @@ def build_world(n: int = 10240) -> tuple:
     # iterations to __graft_entry__._build (VERDICT round-2 weak #3 — the
     # bench and entry() used to measure differently-shaped workloads)
     cfg = PhysicsConfig(max_bodies=n, grid_dim=64, cell_size=2.0,
-                        max_contacts_per_body=8, solver_iterations=8)
+                        max_contacts_per_body=8, solver_iterations=8,
+                        max_globals=1)  # one global (the ground plane)
     w = pw.PhysicsWorld(cfg)
     w.add_body(w.shapes.plane((0.0, 1.0, 0.0), 0.0), motion=pw.STATIC)
     box = w.shapes.box((0.45, 0.45, 0.45))

@@ -189,6 +189,11 @@ class RenderConfig:
     # pbr-lighting.hpp:92); traces against the previous frame's HDR
     use_ssr: bool = False
     ssr: SSRConfig = dataclasses.field(default_factory=SSRConfig)
+    # screen-space GI (the PbrLighting GI buffer, pbr-lighting.hpp:92 /
+    # pbr-lighting.cpp:473-494): one-bounce diffuse irradiance from the
+    # previous frame's lit HDR (render/ssgi.py)
+    use_ssgi: bool = False
+    ssgi_intensity: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,8 +215,8 @@ QUALITY_PRESETS = {
                                     resolve_step=2)),
     "medium": dict(shadow=ShadowConfig(map_size=1024, resolve_step=2)),
     "high": dict(shadow=ShadowConfig(map_size=2048)),  # reference parity
-    "ultra": dict(use_clouds=True, shadow=ShadowConfig(map_size=2048,
-                                                       pcf_radius=2)),
+    "ultra": dict(use_clouds=True, use_ssr=True, use_ssgi=True,
+                  shadow=ShadowConfig(map_size=2048, pcf_radius=2)),
 }
 
 

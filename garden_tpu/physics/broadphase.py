@@ -185,34 +185,42 @@ def find_candidates(
     qmax_all = pack3(qmax)
     entry3 = jnp.stack([packed_all, qmin_all, qmax_all], -1)  # (N, 3)
     ent_sorted = entry3[body_sorted]                 # one 3-lane row gather
-    pos = jnp.where((slot < c_per) & (key_sorted < sentinel_bucket),
-                    key_sorted * c_per + slot, n_buckets * c_per)
+    # LANE-PLANE-MAJOR bucket rows: [ids(c_per) | qmins(c_per) |
+    # qmaxs(c_per)] so the post-gather planes slice out as contiguous
+    # (N, 8, c_per) lane blocks and every downstream filter runs on 2-D
+    # (N, 8C) int planes. The previous entry-major layout forced
+    # (N, 8C, 3) shapes whose 3-lane minor dim pads to 128 lanes on TPU
+    # (42x wasted VPU lanes / HBM tiles — measured 1.0 ms reshape +
+    # 0.7 ms select + 0.3 ms reduce_and per step at 10K bodies).
+    base = jnp.where((slot < c_per) & (key_sorted < sentinel_bucket),
+                     key_sorted * (3 * c_per) + slot, n_buckets * 3 * c_per)
     # ONE flat scalar scatter for all three lanes (row scatters serialize
     # pathologically on TPU — the round-3 8-float row scatter cost 3.7 ms
     # at the same entry count)
-    flat_pos = jnp.concatenate([pos * 3, pos * 3 + 1, pos * 3 + 2])
+    flat_pos = jnp.concatenate([base, base + c_per, base + 2 * c_per])
     flat_val = ent_sorted.T.reshape(-1)              # lane-major, matches
     cell_tab = jnp.full((n_buckets * c_per * 3 + 3,), -1, jnp.int32).at[
         flat_pos].set(flat_val, mode="drop")[:-3].reshape(
-        n_buckets, c_per * 3)
+        n_buckets, 3 * c_per)
 
     # 4. each body row-gathers its own 8 cells' entry lists (N*8 narrow
-    # rows); every filter below is dense int math on the fetched entries
+    # rows); every filter below is dense int math on 2-D (N, 8C) planes
     scan_key = jnp.where(covered, key8, sentinel)        # (N, 8) true keys
     scan_bucket = jnp.where(covered, hkey8, sentinel_bucket)
-    ents = cell_tab[scan_bucket].reshape(n, 8 * c_per, 3)   # (N, 8C, 3)
-    meta = ents[..., 0]
+    raw = cell_tab[scan_bucket]                          # (N, 8, 3C)
+    meta = raw[:, :, 0:c_per].reshape(n, 8 * c_per)      # (N, 8C)
+    qmin_pk = raw[:, :, c_per:2 * c_per].reshape(n, 8 * c_per)
+    qmax_pk = raw[:, :, 2 * c_per:3 * c_per].reshape(n, 8 * c_per)
     cand_valid = meta >= 0
-    cand = jnp.where(cand_valid, meta & 0x1FFFF, 0)      # (N, 8C)
-    jlayer = jnp.where(cand_valid, (meta >> 17) & 7, 0)
+    # no `where` guards on the unpacked fields: invalid (-1) entries decode
+    # to garbage (id 0x1FFFF, layer 7) but cand_valid gates `valid` below
+    # and layer 7 has no accept bit — two fewer (N, 8C) selects per step
+    cand = meta & 0x1FFFF                                # (N, 8C)
+    jlayer = (meta >> 17) & 7
     j_active = cand_valid & (((meta >> 20) & 1) == 1)
-    unpack3 = lambda v: jnp.stack(
-        [(v >> 20) & 0x3FF, (v >> 10) & 0x3FF, v & 0x3FF], axis=-1)
-    jqmin = unpack3(ents[..., 1])                        # (N, 8C, 3)
-    jqmax = unpack3(ents[..., 2])
     k8c = cand.shape[1]
 
-    # 4. pair filters, all dense on the fetched entries
+    # 4. pair filters, all dense per-axis math on (N, 8C) planes
     accept_bits = jnp.sum(
         layer_table[layer].astype(jnp.int32)
         * (1 << jnp.arange(layer_table.shape[0], dtype=jnp.int32))[None, :],
@@ -224,22 +232,25 @@ def find_candidates(
     valid &= dynamic[:, None]
     # layer filter from the precomputed accept bitmask (no table gather)
     valid &= ((accept_bits[:, None] >> jlayer) & 1) == 1
-    # quantized-box overlap (a conservative superset of the true AABB
-    # test; near-misses within one quant step reach narrowphase, which
-    # rejects them on true geometry)
-    valid &= jnp.all(qmin[:, None, :] <= jqmax, axis=-1)
-    valid &= jnp.all(jqmin <= qmax[:, None, :], axis=-1)
-    # home-cell dedup ON THE QUANTIZED BOXES: the pair counts only in the
-    # cell holding the component-wise max of the two quantized minima.
-    # Both rows compute this from the same quantized ints, so the rule is
-    # exactly symmetric; for q-overlapping pairs the point lies in the
-    # q-intersection, hence inside both bodies' scan windows. Also kills
-    # candidates injected by a hash-bucket collision (their home cell is
-    # never the scanned cell).
-    home = jnp.minimum(jnp.maximum(qmin[:, None, :], jqmin) // spc,
-                       grid_dim - 1)
-    home_key = (home[..., 0] * grid_dim + home[..., 1]) * grid_dim \
-        + home[..., 2]
+    # quantized-box overlap per axis (a conservative superset of the true
+    # AABB test; near-misses within one quant step reach narrowphase,
+    # which rejects them on true geometry), and home-cell dedup ON THE
+    # QUANTIZED BOXES: the pair counts only in the cell holding the
+    # component-wise max of the two quantized minima. Both rows compute
+    # it from the same quantized ints, so the rule is exactly symmetric;
+    # for q-overlapping pairs the point lies in the q-intersection, hence
+    # inside both bodies' scan windows. Also kills candidates injected by
+    # a hash-bucket collision (their home cell is never the scanned cell).
+    home_key = jnp.zeros_like(cand)
+    for axis, shift in ((0, 20), (1, 10), (2, 0)):
+        jq_min = (qmin_pk >> shift) & 0x3FF              # (N, 8C)
+        jq_max = (qmax_pk >> shift) & 0x3FF
+        iq_min = qmin[:, axis:axis + 1]                  # (N, 1)
+        iq_max = qmax[:, axis:axis + 1]
+        valid &= (iq_min <= jq_max) & (jq_min <= iq_max)
+        home_ax = jnp.minimum(jnp.maximum(iq_min, jq_min) // spc,
+                              grid_dim - 1)
+        home_key = home_key * grid_dim + home_ax
     scanned = jnp.repeat(scan_key, c_per, axis=1)        # (N, 8C)
     valid &= home_key == scanned
 

@@ -186,7 +186,10 @@ class PhysicsWorld:
                 "n": jnp.zeros(ca, jnp.float32),
                 "t1": jnp.zeros(ca, jnp.float32),
                 "t2": jnp.zeros(ca, jnp.float32),
-                "key": jnp.full(ca, -1, jnp.int32),
+                # PAIR-level identity: one key per kept pair (the partner
+                # id); points transfer positionally (see step warm_match)
+                "key": jnp.full((n, ca[1] // narrowphase.MAX_POINTS), -1,
+                                jnp.int32),
             },
             "accum": jnp.float32(0.0),
             "lag_time": jnp.float32(0.0),
@@ -370,18 +373,27 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     # array through two random gathers per step).
     mp = narrowphase.MAX_POINTS
     with jax.named_scope("warm_match"):
-        # point index within the pair's manifold (slots are pair-major)
-        pidx = jnp.tile(jnp.arange(mp, dtype=jnp.int32),
-                        contacts["valid"].shape[1] // mp)
-        new_key = jnp.where(
-            contacts["valid"],
-            contacts["partner"] * mp + pidx[None, :], -1)
-        old_key = state["warm"]["key"]
+        # PAIR-level matching: a row's partner is unique per pair (the
+        # broadphase home-cell rule dedups pairs), so the pair identity is
+        # just the partner id and the mp manifold points transfer
+        # POSITIONALLY (tie-stable manifolds keep point order stable
+        # across steps, narrowphase._top4_sorted). The former slot-level
+        # key compare built an (N, s_act, s_act) match against
+        # (N, s_act, 3) impulses; pair-level shrinks the dense compare
+        # 16x and the contraction 4x (measured 0.42 -> ~0.1 ms/step).
+        n_b, k_act_w = contacts["pair_partner"].shape
+        pair_ok_any = jnp.any(
+            contacts["valid"].reshape(n_b, k_act_w, mp), axis=-1)
+        new_key = jnp.where(pair_ok_any, contacts["pair_partner"], -1)
+        old_key = state["warm"]["key"]                    # (N, K_act)
         match = ((new_key[:, :, None] == old_key[:, None, :])
                  & (new_key >= 0)[:, :, None]).astype(jnp.float32)
         wpack = jnp.stack([state["warm"]["n"], state["warm"]["t1"],
-                           state["warm"]["t2"]], axis=-1)  # (N, s_act, 3)
-        wc = jnp.einsum("nso,nod->nsd", match, wpack)
+                           state["warm"]["t2"]],
+                          axis=-1)                        # (N, s_act, 3)
+        wpack = wpack.reshape(n_b, k_act_w, mp * 3)       # pair-major rows
+        wc = jnp.einsum("nso,nod->nsd", match, wpack)     # (N, K_act, 3mp)
+        wc = wc.reshape(n_b, k_act_w * mp, 3)
         warm_compact = {"n": wc[..., 0], "t1": wc[..., 1], "t2": wc[..., 2]}
     # With the split-impulse position solve active, velocity-level
     # Baumgarte must be OFF for contacts: running both double-corrects
@@ -392,14 +404,15 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
     # solver. The config value remains the fallback when the position
     # solve is disabled.
     vel_baumgarte = 0.0 if config.position_iterations > 0 else config.baumgarte
-    linvel, angvel, warm_c = solver.solve_velocity(
-        b, contacts, dt,
-        iterations=config.solver_iterations,
-        baumgarte=vel_baumgarte,
-        slop=config.penetration_slop,
-        warm=warm_compact,
-        gravity=jnp.asarray(config.gravity, jnp.float32),
-    )
+    with jax.named_scope("solve_velocity"):
+        linvel, angvel, warm_c = solver.solve_velocity(
+            b, contacts, dt,
+            iterations=config.solver_iterations,
+            baumgarte=vel_baumgarte,
+            slop=config.penetration_slop,
+            warm=warm_compact,
+            gravity=jnp.asarray(config.gravity, jnp.float32),
+        )
     warm = {
         "n": jnp.where(contacts["valid"], warm_c["n"], 0.0),
         "t1": jnp.where(contacts["valid"], warm_c["t1"], 0.0),
@@ -418,13 +431,14 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
         )
 
     # integrate (semi-implicit Euler; kinematic bodies keep prescribed vel)
-    moving = ((b["motion"] == DYNAMIC) | (b["motion"] == KINEMATIC)) & b["has"]
-    pos = b["pos"] + jnp.where(moving[:, None], linvel * dt, 0.0)
-    quat = jnp.where(
-        moving[:, None],
-        m3.quat_integrate(b["quat"], angvel, dt),
-        b["quat"],
-    )
+    with jax.named_scope("integrate"):
+        moving = ((b["motion"] == DYNAMIC) | (b["motion"] == KINEMATIC)) & b["has"]
+        pos = b["pos"] + jnp.where(moving[:, None], linvel * dt, 0.0)
+        quat = jnp.where(
+            moving[:, None],
+            m3.quat_integrate(b["quat"], angvel, dt),
+            b["quat"],
+        )
 
     # positional penetration correction (split impulse), with collide-time
     # penetrations adjusted by the integration displacement along the normal
@@ -442,41 +456,44 @@ def step(state: Dict[str, Any], config: PhysicsConfig,
                 pos, dict(b, quat=quat), state["constraints"],
                 iterations=config.position_iterations,
             )
-    b = dict(
-        b,
-        pos=pos,
-        quat=quat,
-        linvel=jnp.where(dynamic[:, None], linvel, b["linvel"]),
-        angvel=jnp.where(dynamic[:, None], angvel, b["angvel"]),
-    )
-    # sleeping (physics.hpp allowSleeping analog): bodies below the motion
-    # threshold for sleep_time freeze; contact with a moving partner wakes
-    if config.sleep_enabled:
-        speed2 = jnp.sum(b["linvel"] ** 2, -1) + jnp.sum(b["angvel"] ** 2, -1)
-        slow = speed2 < 0.003
-        timer = jnp.where(slow, b["sleep_timer"] + dt, 0.0)
-        sleeping = timer > 0.5
-        # sleeping bodies hold pose exactly
-        keep = (sleeping & b["sleeping"])[:, None]
-        pos = jnp.where(keep, state["bodies"]["pos"], pos)
-        quat = jnp.where(keep, state["bodies"]["quat"], quat)
-        b = dict(b, sleep_timer=timer, sleeping=sleeping,
-                 linvel=jnp.where(sleeping[:, None], 0.0, b["linvel"]),
-                 angvel=jnp.where(sleeping[:, None], 0.0, b["angvel"]))
-        b = dict(b, pos=pos, quat=quat)
+    with jax.named_scope("sleep_misc"):
+        b = dict(
+            b,
+            pos=pos,
+            quat=quat,
+            linvel=jnp.where(dynamic[:, None], linvel, b["linvel"]),
+            angvel=jnp.where(dynamic[:, None], angvel, b["angvel"]),
+        )
+        # sleeping (physics.hpp allowSleeping analog): bodies below the
+        # motion threshold for sleep_time freeze; contact with a moving
+        # partner wakes
+        if config.sleep_enabled:
+            speed2 = (jnp.sum(b["linvel"] ** 2, -1)
+                      + jnp.sum(b["angvel"] ** 2, -1))
+            slow = speed2 < 0.003
+            timer = jnp.where(slow, b["sleep_timer"] + dt, 0.0)
+            sleeping = timer > 0.5
+            # sleeping bodies hold pose exactly
+            keep = (sleeping & b["sleeping"])[:, None]
+            pos = jnp.where(keep, state["bodies"]["pos"], pos)
+            quat = jnp.where(keep, state["bodies"]["quat"], quat)
+            b = dict(b, sleep_timer=timer, sleeping=sleeping,
+                     linvel=jnp.where(sleeping[:, None], 0.0, b["linvel"]),
+                     angvel=jnp.where(sleeping[:, None], 0.0, b["angvel"]))
+            b = dict(b, pos=pos, quat=quat)
 
-    # ground support: any contact whose normal (row->partner) points down
-    # within the body's slope limit (default ~45 degrees; characters
-    # override via max_slope_cos), i.e. the partner supports it from below
-    grounded = jnp.any(
-        contacts["valid"]
-        & (contacts["normal"][..., 1] < -b["ground_cos"][:, None]),
-        axis=1,
-    )
-    # touching-partner summary for host-side contact events
-    # (body listeners "Entered/Exited", physics.cpp:1043-1105)
-    touching = jnp.where(contacts["valid"] & (contacts["pen"] > 0.0),
-                         contacts["partner"], -1)
+        # ground support: any contact whose normal (row->partner) points
+        # down within the body's slope limit (default ~45 degrees;
+        # characters override via max_slope_cos)
+        grounded = jnp.any(
+            contacts["valid"]
+            & (contacts["normal"][..., 1] < -b["ground_cos"][:, None]),
+            axis=1,
+        )
+        # touching-partner summary for host-side contact events
+        # (body listeners "Entered/Exited", physics.cpp:1043-1105)
+        touching = jnp.where(contacts["valid"] & (contacts["pen"] > 0.0),
+                             contacts["partner"], -1)
     return dict(state, bodies=b, warm=warm, grounded=grounded,
                 touching=touching, time=state["time"] + dt)
 

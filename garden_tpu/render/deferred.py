@@ -64,10 +64,10 @@ class DeferredRenderer:
             state["prev_depth"] = jnp.zeros((h, w), jnp.float32)
         if self.config.use_velocity:
             state["prev_view_proj"] = jnp.eye(4, dtype=jnp.float32)
-        if self.config.use_ssr:
-            # SSR traces against the previous frame's lit HDR (the
-            # reflection-buffer temporal flow, render/ssr.py); black start
-            # = no reflections on frame 0, IBL fallback covers it
+        if self.config.use_ssr or self.config.use_ssgi:
+            # SSR/SSGI trace against the previous frame's lit HDR (the
+            # reflection/GI-buffer temporal flow, render/ssr.py + ssgi.py);
+            # black start = no reflections/bounce on frame 0
             scale = self.config.render_scale
             if scale != 1.0:
                 w = max(int(self.config.width * scale)
@@ -148,7 +148,8 @@ class DeferredRenderer:
         scope = jax.named_scope
         with scope("xform_cull"):
             tri_world, tri_nrm = mesh.transform_triangles(
-                scene, inst_matrices)
+                scene, inst_matrices,
+                tri_instance_np=self.scene_host.tri_instance)
             tri_valid = self.cull_instances(scene, inst_matrices, constants)
 
         # Hi-Z occlusion culling against the PREVIOUS frame's depth pyramid
@@ -229,7 +230,9 @@ class DeferredRenderer:
             prev_inst = (prev_inst_matrices if prev_inst_matrices is not None
                          else inst_matrices)
             prev_vp = frame_state.get("prev_view_proj", constants["view_proj"])
-            prev_tri, _ = mesh.transform_triangles(scene, prev_inst)
+            prev_tri, _ = mesh.transform_triangles(
+                scene, prev_inst,
+                tri_instance_np=self.scene_host.tri_instance)
             pclip = m3.apply_mat4_h(prev_vp, prev_tri.reshape(t_cnt * 3, 3))
             pw_safe = jnp.maximum(pclip[..., 3:4], 1e-6)
             pndc = pclip[..., :3] / pw_safe
@@ -344,6 +347,20 @@ class DeferredRenderer:
                     constants, cfg.ssr)
                 ssr_conf = jnp.where(g["visible"], ssr_conf, 0.0)
 
+        # screen-space GI (the PbrLighting GI buffer, pbr-lighting.hpp:92):
+        # one-bounce diffuse irradiance gathered half-res from the previous
+        # frame's lit HDR, fed into lighting.resolve(gi=...)
+        gi = None
+        if cfg.use_ssgi and "prev_hdr" in frame_state:
+            from garden_tpu.render import ssgi as ssgi_mod
+            with scope("ssgi"):
+                gi = ssgi_mod.compute_ssgi(
+                    g["position"], g["normal"], g["visible"], vis["depth"],
+                    frame_state["prev_hdr"],
+                    frame_state.get("prev_view_proj",
+                                    constants["view_proj"]),
+                    intensity=cfg.ssgi_intensity)
+
         # HdrRender: PBR lighting resolve + sky.
         # With atmosphere on: physical sky raymarch for background pixels,
         # SH irradiance for diffuse ambient, reflected-ray sky for specular
@@ -362,7 +379,7 @@ class DeferredRenderer:
             hdr = lighting.resolve(
                 g, constants, shadow=shadow, ao=ao,
                 ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
-                reflection=ssr_rgb, reflection_conf=ssr_conf,
+                reflection=ssr_rgb, reflection_conf=ssr_conf, gi=gi,
             )
         elif cfg.use_atmosphere:
             from garden_tpu.render import atmosphere as atm
@@ -413,7 +430,7 @@ class DeferredRenderer:
             hdr = lighting.resolve(
                 g, constants, shadow=shadow, ao=ao,
                 ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
-                reflection=ssr_rgb, reflection_conf=ssr_conf,
+                reflection=ssr_rgb, reflection_conf=ssr_conf, gi=gi,
             )
             # aerial perspective on geometry (the 32^3 camera-volume froxel
             # LUT's role, constants.h:25): distance fog with in-scatter
@@ -427,7 +444,7 @@ class DeferredRenderer:
         else:
             hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao,
                                    reflection=ssr_rgb,
-                                   reflection_conf=ssr_conf)
+                                   reflection_conf=ssr_conf, gi=gi)
 
         # OIT pass: translucent triangles accumulate over the opaque HDR
         # (OitRenderSystem composite, oit.hpp:38); skipped entirely when the
@@ -525,7 +542,7 @@ class DeferredRenderer:
 
         # snapshot the lit scene radiance for next frame's SSR fetch
         # (pre-bloom: bloom glow must not feed back into reflections)
-        ssr_prev_hdr = hdr if cfg.use_ssr else None
+        ssr_prev_hdr = hdr if (cfg.use_ssr or cfg.use_ssgi) else None
 
         # LdrRender in bf16 (post_bf16): halves the post chain's HBM
         # traffic; the SSR history stays f32 (snapshotted above) and
@@ -570,9 +587,9 @@ class DeferredRenderer:
         new_frame_state = {"avg_luminance": avg_lum}
         if cfg.use_occlusion_culling or cfg.use_velocity:
             new_frame_state["prev_depth"] = vis["depth"]
-        if cfg.use_velocity or cfg.use_ssr:
+        if cfg.use_velocity or cfg.use_ssr or cfg.use_ssgi:
             new_frame_state["prev_view_proj"] = constants["view_proj"]
-        if cfg.use_ssr:
+        if cfg.use_ssr or cfg.use_ssgi:
             new_frame_state["prev_hdr"] = ssr_prev_hdr
 
         return {

@@ -54,28 +54,29 @@ def _end_search(edge_luma_pos: Array, edge_luma_neg: Array, is_neg: Array,
     neg_at = Shifter(edge_luma_neg, ry, rx)
     dists, lumas = [], []
     for sign in (-1, 1):
-        hits, ends = [], []
+        # first hit as a SEQUENTIAL carry over the unrolled schedule: each
+        # step is (H, W) elementwise selects XLA fuses into one pass. The
+        # previous formulation stacked all K taps into (K, H, W) buffers
+        # and reduced with a cumsum-masked sum — materializing four 75 MB
+        # stacks per frame (measured 1.7 ms convert + 0.9 ms reduce +
+        # 0.7 ms cumsum at 1080p). (An argmax+take_along_axis draft was
+        # worse still, ~100 ms — the math3d.py one-hot notes.)
+        found = jnp.zeros(local_avg.shape, bool)
+        # unfound rays clamp to the schedule's reach (shader behavior:
+        # distance saturates at the last tap)
+        dist = jnp.full(local_avg.shape, float(reach), local_avg.dtype)
+        end_luma = jnp.zeros(local_avg.shape, local_avg.dtype)
         for d in _STEPS:
             dy, dx = (0, sign * int(d)) if axis == 1 else (sign * int(d), 0)
             tap = jnp.where(is_neg, neg_at(-dy, -dx), pos_at(-dy, -dx))
             delta = tap - local_avg
-            hits.append(jnp.abs(delta) >= grad_scaled)
-            ends.append(delta)
-        hit = jnp.stack(hits)                       # (K, H, W)
-        end = jnp.stack(ends)
-        # first hit as a dense mask reduction — NO argmax+gather: a
-        # take_along_axis over the K axis lowered to a generic gather
-        # costing ~100 ms/frame at 1080p (math3d.py one-hot notes)
-        first_mask = hit & (jnp.cumsum(hit.astype(jnp.float32), axis=0)
-                            <= 1.0)                 # true only at 1st hit
-        fm = first_mask.astype(jnp.float32)
-        found = jnp.any(hit, axis=0)
-        steps = jnp.sum(
-            jnp.asarray(_STEPS, jnp.float32)[:, None, None] * fm, axis=0)
-        # unfound rays clamp to the schedule's reach (shader behavior:
-        # distance saturates at the last tap)
-        dists.append(jnp.where(found, steps, float(_STEPS[-1])))
-        lumas.append(jnp.sum(end * fm, axis=0))
+            hit = jnp.abs(delta) >= grad_scaled
+            new = hit & ~found
+            dist = jnp.where(new, float(d), dist)
+            end_luma = jnp.where(new, delta, end_luma)
+            found = found | hit
+        dists.append(dist)
+        lumas.append(end_luma)
     return dists[0], dists[1], lumas[0], lumas[1]
 
 

@@ -31,13 +31,15 @@ Array = jnp.ndarray
 def dfg_approx(nov: Array, roughness: Array) -> Tuple[Array, Array]:
     """Analytic environment-BRDF (scale, bias) for F0 — Lazarov 2013 fit of
     the Karis split-sum DFG LUT (the dfgLUT at pbr-lighting.hpp:65)."""
-    c0 = jnp.array([-1.0, -0.0275, -0.572, 0.022])
-    c1 = jnp.array([1.0, 0.0425, 1.04, -0.04])
-    r = roughness[..., None] * c0 + c1
-    a004 = jnp.minimum(r[..., 0] * r[..., 0],
-                       jnp.exp2(-9.28 * nov)) * r[..., 0] + r[..., 1]
-    scale = -1.04 * a004 + r[..., 2]
-    bias = 1.04 * a004 + r[..., 3]
+    # unrolled per-coefficient planes (the [..., None] broadcast against
+    # the (4,) constants materialized a channel-minor (H, W, 4) buffer)
+    r0 = roughness * -1.0 + 1.0
+    r1 = roughness * -0.0275 + 0.0425
+    r2 = roughness * -0.572 + 1.04
+    r3 = roughness * 0.022 - 0.04
+    a004 = jnp.minimum(r0 * r0, jnp.exp2(-9.28 * nov)) * r0 + r1
+    scale = -1.04 * a004 + r2
+    bias = 1.04 * a004 + r3
     return scale, bias
 
 

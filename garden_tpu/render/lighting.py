@@ -42,18 +42,22 @@ def sky_color(view_dir: Array, light_dir: Array) -> Array:
 
 
 def view_rays(g: Dict[str, Array], constants: Dict[str, Array]) -> Array:
-    """Per-pixel world-space ray directions from the inverse projection."""
+    """Per-pixel world-space ray directions from the inverse projection.
+
+    Unrolled per-component (see gbuffer.reconstruct_position): the einsum
+    form forces channel-minor dot_general layouts + 33 MB copies."""
     h, w = g["depth"].shape
     cam = constants["camera_pos"]
-    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-    y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
-    ndc = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)  # (H, W, 2)
-    clip = jnp.concatenate(
-        [ndc, jnp.full(ndc.shape[:-1] + (1,), 0.5), jnp.ones(ndc.shape[:-1] + (1,))],
-        axis=-1,
-    )
-    world = m3.einsum("ij,hwj->hwi", constants["inv_view_proj"], clip)
-    return m3.normalize(world[..., :3] / jnp.maximum(world[..., 3:4], 1e-9) - cam)
+    x = ((jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0)[None, :]
+    y = (1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0)[:, None]
+    m = constants["inv_view_proj"]
+    # clip = (x, y, 0.5, 1): z folds into the constant term
+    comps = [m[i, 0] * x + m[i, 1] * y + (m[i, 2] * 0.5 + m[i, 3])
+             for i in range(4)]
+    inv_w4 = 1.0 / jnp.maximum(comps[3], 1e-9)
+    world = jnp.stack([comps[0] * inv_w4, comps[1] * inv_w4,
+                       comps[2] * inv_w4], axis=-1)
+    return m3.normalize(world - cam)
 
 
 def resolve(

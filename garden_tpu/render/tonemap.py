@@ -52,8 +52,11 @@ def uchimura(x: Array, p: float = 1.0, a: float = 1.0, m: float = 0.22,
 def luminance_histogram(hdr: Array, bins: int = 256) -> Array:
     """256-bin log-luminance histogram (auto-exposure.hpp:65 analog).
 
-    Computed on a 4x-downsampled luminance plane: the scatter-add costs
-    ~6ms at full 1080p and exposure metering doesn't need every pixel."""
+    Computed on a 4x-downsampled luminance plane (exposure metering doesn't
+    need every pixel), binned DENSELY: a scatter-add histogram serializes on
+    TPU (measured 1.14 ms/frame at 1080p/4x even with 0 GB/s utilization);
+    the equivalent one-hot compare + column reduction is plain VPU work
+    that XLA fuses into one pass (~0.1 ms)."""
     lum = m3.luminance(hdr)
     if lum.ndim == 2 and lum.shape[0] >= 8 and lum.shape[1] >= 8:
         h4, w4 = (lum.shape[0] // 4) * 4, (lum.shape[1] // 4) * 4
@@ -63,7 +66,9 @@ def luminance_histogram(hdr: Array, bins: int = 256) -> Array:
     )
     t = (log_lum - MIN_LOG_LUM) / (MAX_LOG_LUM - MIN_LOG_LUM)
     bucket = jnp.clip((t * bins).astype(jnp.int32), 0, bins - 1)
-    return jnp.zeros((bins,), jnp.float32).at[bucket.reshape(-1)].add(1.0)
+    onehot = (bucket.reshape(-1, 1)
+              == jnp.arange(bins, dtype=jnp.int32)[None, :])
+    return jnp.sum(onehot.astype(jnp.float32), axis=0)
 
 
 def average_luminance_from_histogram(hist: Array, low_cut: float = 0.5,

@@ -96,12 +96,70 @@ def pendulum():
     return state, cfg, w.shapes.present_types(), track
 
 
+def cradle2():
+    """Two-sphere Newton's cradle: equal masses, head-on elastic impact.
+
+    Analytic contract (momentum + energy, e=1): the moving sphere STOPS
+    and the resting sphere departs at the full approach speed — velocity
+    exchange within ±5% (tests/golden/README.md budget). Zero gravity and
+    zero friction isolate the restitution impulse path."""
+    cfg = PhysicsConfig(max_bodies=8, grid_dim=8, gravity=(0.0, 0.0, 0.0))
+    w = pw.PhysicsWorld(cfg)
+    a = w.add_body(w.shapes.sphere(0.5), position=(-1.3, 0.0, 0.0),
+                   linvel=(2.0, 0.0, 0.0), restitution=1.0, friction=0.0)
+    b = w.add_body(w.shapes.sphere(0.5), position=(0.0, 0.0, 0.0),
+                   restitution=1.0, friction=0.0)
+    track = {
+        "vx_a": lambda s, a=a: float(s["bodies"]["linvel"][a, 0]),
+        "vx_b": lambda s, b=b: float(s["bodies"]["linvel"][b, 0]),
+        "x_a": lambda s, a=a: float(s["bodies"]["pos"][a, 0]),
+        "x_b": lambda s, b=b: float(s["bodies"]["pos"][b, 0]),
+    }
+    return w.device_state(), cfg, w.shapes.present_types(), track
+
+
+def friction_ramp(theta_deg: float, mu: float = 0.5):
+    """1 m box resting on an inclined plane at `theta_deg`.
+
+    Analytic contract (Coulomb cone): the box holds static iff
+    tan(theta) < mu — the golden pair brackets the critical angle
+    atan(0.5) = 26.57 deg at +-1 deg. The ramp tilts about z, so the
+    downhill direction aligns exactly with one solver tangent axis
+    (solver._orthonormal_tangents with |n.x| < 0.9 picks t2 in the x-y
+    plane): the two-tangent friction box degenerates to the exact
+    single-axis Coulomb clamp, making the +-1 deg budget meaningful."""
+    th = np.deg2rad(theta_deg)
+    s, c = float(np.sin(th)), float(np.cos(th))
+    cfg = PhysicsConfig(max_bodies=8, grid_dim=8)
+    w = pw.PhysicsWorld(cfg)
+    w.add_body(w.shapes.plane((-s, c, 0.0), 0.0), motion=pw.STATIC,
+               friction=mu)
+    # box face-aligned with the ramp: orientation = Rz(theta)
+    half = np.sin(th / 2.0)
+    box = w.shapes.box((0.5, 0.5, 0.5))
+    bi = w.add_body(box, position=(-0.501 * s, 0.501 * c, 0.0),
+                    rotation=(0.0, 0.0, float(half), float(np.cos(th / 2.0))),
+                    friction=mu)
+    track = {
+        "speed": lambda st, bi=bi: float(
+            np.linalg.norm(np.asarray(st["bodies"]["linvel"][bi]))),
+        "slip": lambda st, bi=bi, s=s, c=c: float(
+            -(np.asarray(st["bodies"]["pos"][bi, 0]) + 0.501 * s) * c
+            - (np.asarray(st["bodies"]["pos"][bi, 1]) - 0.501 * c) * s),
+    }
+    return w.device_state(), cfg, w.shapes.present_types(), track
+
+
 SCENES: Dict[str, Tuple[Callable, int]] = {
     # name -> (builder, steps)
     "sphere_drop": (sphere_drop, 120),
     "bounce_e05": (bounce_e05, 360),
     "stack5": (stack5, 300),
     "pendulum": (pendulum, 240),
+    "cradle2": (cradle2, 60),
+    # +-1 deg bracket around the critical angle atan(0.5) = 26.57 deg
+    "ramp_hold": (lambda: friction_ramp(25.57), 180),
+    "ramp_slide": (lambda: friction_ramp(27.57), 180),
 }
 
 

@@ -100,6 +100,33 @@ def test_stack5_settle(all_curves):
     _compare("stack5", c)
 
 
+def test_cradle_velocity_exchange(all_curves):
+    c = all_curves["cradle2"]
+    # after the elastic head-on impact, velocities EXCHANGE: the striker
+    # stops and the target departs at the approach speed (equal masses,
+    # e=1). Contract budget: +-5% of the 2 m/s approach speed.
+    assert abs(c["vx_a"][-1]) < 0.10, c["vx_a"][-1]
+    assert abs(c["vx_b"][-1] - 2.0) < 0.10, c["vx_b"][-1]
+    # momentum conserved through the whole trajectory
+    np.testing.assert_allclose(c["vx_a"] + c["vx_b"], 2.0, atol=1e-3)
+    _compare("cradle2", c)
+
+
+def test_friction_cone_bracket(all_curves):
+    # tan(theta) < mu  ->  static hold: no slip, no residual speed
+    hold = all_curves["ramp_hold"]
+    assert hold["speed"][-1] < 0.02, hold["speed"][-1]
+    assert abs(hold["slip"][-1]) < 0.02, hold["slip"][-1]
+    # tan(theta) > mu  ->  steady slide: a = g(sin t - mu cos t) > 0.
+    # At +1 deg that's ~0.19 m/s^2 -> ~0.57 m/s after 3 s; assert well
+    # clear of the hold case and in the right direction (downhill > 0).
+    slide = all_curves["ramp_slide"]
+    assert slide["speed"][-1] > 0.2, slide["speed"][-1]
+    assert slide["slip"][-1] > 0.1, slide["slip"][-1]
+    _compare("ramp_hold", hold)
+    _compare("ramp_slide", slide)
+
+
 def test_pendulum(all_curves):
     c = all_curves["pendulum"]
     x, y, speed = c["x"], c["y"], c["speed"]

@@ -677,3 +677,50 @@ def test_hbao_horizon_line_sampling():
         jnp.zeros(3), radius=2.5))[32, 32]
     assert ao_one < 0.98, ao_one          # the near ridge does occlude
     assert abs(ao_many - ao_one) < 0.02, (ao_many, ao_one)
+
+
+def test_ssgi_emissive_wall_bounce():
+    """SSGI (the PbrLighting GI-buffer producer, pbr-lighting.hpp:92 /
+    pbr-lighting.cpp:473-494): a bright emissive wall standing on a diffuse
+    floor must BOUNCE light onto the floor beside it on frame 2 (GI gathers
+    from the previous frame's lit HDR), brightening that region vs the same
+    scene with GI disabled — and the bounce must carry the wall's hue."""
+    import dataclasses as _dc
+
+    scene = rmesh.SceneBuffers(2048, 2048, 8)
+    diffuse = scene.add_material(rmesh.Material(
+        base_color=(0.8, 0.8, 0.8), roughness=0.9))
+    glow = scene.add_material(rmesh.Material(
+        base_color=(0.05, 0.05, 0.05), emissive=(40.0, 8.0, 4.0)))
+    scene.add_instance(rmesh.plane_grid(20.0, 8), material=diffuse)
+    scene.add_instance(rmesh.cube(0.5), material=glow)
+
+    mats = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    # tall thin emissive wall standing on the floor, left of center
+    mats[1][:3, :3] = np.diag([0.2, 3.0, 3.0])
+    mats[1][:3, 3] = [-1.2, 1.5, 0.0]
+    mats = jnp.asarray(mats)
+
+    def run(use_ssgi):
+        cfg = _dc.replace(small_config(), use_ssgi=use_ssgi,
+                          ssgi_intensity=1.0)
+        ren = DeferredRenderer(cfg, scene)
+        dev = ren.device_scene()
+        constants = make_constants(cfg)
+        state = ren.initial_frame_state()
+        for _ in range(2):                # frame 1 fills prev_hdr
+            out = ren.render(dev, mats, constants, state)
+            state = out["frame_state"]
+        return np.asarray(out["hdr"], np.float32)
+
+    hdr_on = run(True)
+    hdr_off = run(False)
+    assert np.isfinite(hdr_on).all()
+    # floor strip adjacent to the wall's base: one-bounce light lands here
+    h, w = hdr_on.shape[:2]
+    strip_on = hdr_on[int(h * 0.55):int(h * 0.95), int(w * 0.15):int(w * 0.55)]
+    strip_off = hdr_off[int(h * 0.55):int(h * 0.95), int(w * 0.15):int(w * 0.55)]
+    gain = strip_on.mean(axis=(0, 1)) - strip_off.mean(axis=(0, 1))
+    assert gain[0] > 0.02, f"SSGI added no bounce radiance (gain={gain})"
+    # hue check: the wall is red-dominant, so must be the bounce
+    assert gain[0] > 2.0 * max(float(gain[2]), 1e-6), gain
