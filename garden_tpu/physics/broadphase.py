@@ -117,12 +117,17 @@ def find_candidates(
     sentinel = n_cells - 1
 
     # 1. 8 insertion keys per body (dups where the AABB spans < 2 cells are
-    # collapsed to the sentinel so each (cell, body) appears once)
+    # collapsed to the sentinel so each (cell, body) appears once).
+    # Per-axis (N, 8) planes — the (N, 8, 3) stacked form pads its 3-lane
+    # minor dim to 128 (measured 0.33 ms of reduce_and at 1.8 GB/s)
     offs = np.array([(ox, oy, oz) for ox in (0, 1) for oy in (0, 1)
                      for oz in (0, 1)], np.int32)        # (8, 3)
-    cell8 = cmin[:, None, :] + offs[None, :, :]          # (N, 8, 3)
-    covered = jnp.all(cell8 <= cmax[:, None, :], axis=-1)
-    key8 = (cell8[..., 0] * grid_dim + cell8[..., 1]) * grid_dim + cell8[..., 2]
+    cx8 = cmin[:, 0:1] + offs[None, :, 0]                # (N, 8)
+    cy8 = cmin[:, 1:2] + offs[None, :, 1]
+    cz8 = cmin[:, 2:3] + offs[None, :, 2]
+    covered = ((cx8 <= cmax[:, 0:1]) & (cy8 <= cmax[:, 1:2])
+               & (cz8 <= cmax[:, 2:3]))
+    key8 = (cx8 * grid_dim + cy8) * grid_dim + cz8
     key8 = jnp.where(covered & in_grid[:, None], key8, sentinel)  # (N, 8)
 
     # 2. hash the cell space down to O(bodies) buckets: a dense

@@ -137,7 +137,9 @@ def fit_cascades(
 
 
 def _setup_cascades(
-    ls: Array,              # (T, 3, 3) SHARED light-space triangle verts
+    lx: Array,              # (3, T) SHARED light-space x per corner
+    ly: Array,              # (3, T)
+    lz: Array,              # (3, T)
     tri_valid: Array,       # (T,) base triangle validity
     sizes: Tuple[int, ...],
     offsets: Tuple[Tuple[int, int], ...],
@@ -145,55 +147,57 @@ def _setup_cascades(
 ) -> Dict[str, Array]:
     """Triangle setup for every cascade at once, in ATLAS pixel coords.
 
-    The batched twin of raster.setup_triangles_tv. The light view is
+    The batched twin of raster.setup_triangles_planes. The light view is
     SHARED (fit_cascades), so each cascade's pixel coords are an affine
     map of the one light-space position: sx = x*ax_c + bx_c etc., with
     the coefficients read straight off the ortho matrices (bitwise
     consistent with the lvps the resolve uses). No per-cascade 4x4
-    transform, no w division (ortho w == 1), no near clip. Every field
-    flattens to (C*T,) ready for one binning pass."""
+    transform, no w division (ortho w == 1), no near clip. Fields come
+    out corner-major (3, C*T) / (C*T,) — T stays in the lane-minor dim
+    throughout (see setup_triangles_planes) — ready for one binning pass."""
     c = projs.shape[0]
-    t = ls.shape[0]
-    size = jnp.array(sizes, jnp.float32).reshape(c, 1, 1)     # (C, 1, 1)
+    t = lx.shape[1]
+    size = jnp.array(sizes, jnp.float32).reshape(1, c, 1)     # (1, C, 1)
     xoff = jnp.array([o[0] for o in offsets],
-                     jnp.float32).reshape(c, 1, 1)
+                     jnp.float32).reshape(1, c, 1)
     yoff = jnp.array([o[1] for o in offsets],
-                     jnp.float32).reshape(c, 1, 1)
-    p = lambda i, j: projs[:, i, j].reshape(c, 1, 1)
+                     jnp.float32).reshape(1, c, 1)
+    p = lambda i, j: projs[:, i, j].reshape(1, c, 1)
 
-    x = ls[None, ..., 0]                                       # (1, T, 3)
-    y = ls[None, ..., 1]
-    zl = ls[None, ..., 2]
+    x = lx[:, None, :]                                         # (3, 1, T)
+    y = ly[:, None, :]
+    zl = lz[:, None, :]
     # ndc = diag(p00, p11, p22) * ls + (p03, p13, p23); fold the viewport
     # into the affine: sx = (ndc_x*0.5 + 0.5)*size + xoff
     sx = x * (p(0, 0) * 0.5 * size) + (p(0, 3) * 0.5 + 0.5) * size + xoff
     sy = y * (-p(1, 1) * 0.5 * size) + (0.5 - p(1, 3) * 0.5) * size + yoff
-    z = zl * p(2, 2) + p(2, 3)                                 # (C, T, 3)
+    z = zl * p(2, 2) + p(2, 3)                                 # (3, C, T)
 
-    ax = sx[..., 1] - sx[..., 0]
-    ay = sy[..., 1] - sy[..., 0]
-    bx = sx[..., 2] - sx[..., 0]
-    by = sy[..., 2] - sy[..., 0]
+    ax = sx[1] - sx[0]                                         # (C, T)
+    ay = sy[1] - sy[0]
+    bx = sx[2] - sx[0]
+    by = sy[2] - sy[0]
     area = ax * by - ay * bx
     front = area < -1e-8
 
-    xmin = jnp.min(sx, axis=-1)
-    xmax = jnp.max(sx, axis=-1)
-    ymin = jnp.min(sy, axis=-1)
-    ymax = jnp.max(sy, axis=-1)
+    xmin = jnp.min(sx, axis=0)                                 # (C, T)
+    xmax = jnp.max(sx, axis=0)
+    ymin = jnp.min(sy, axis=0)
+    ymax = jnp.max(sy, axis=0)
     # per-cascade viewport cull: this IS the per-cascade caster culling
     # (mesh.cpp:795-847 culls per cascade frustum) — triangles outside a
     # cascade's ortho bounds never reach binning for that cascade
-    x0 = xoff[..., 0]
-    y0 = yoff[..., 0]
-    s2 = size[..., 0]
+    x0 = xoff[0]
+    y0 = yoff[0]
+    s2 = size[0]
     on_screen = ((xmax >= x0) & (xmin < x0 + s2)
                  & (ymax >= y0) & (ymin < y0 + s2))
 
-    valid = tri_valid[None, :] & front & on_screen
-    flat = lambda a: a.reshape((c * t,) + a.shape[2:])
+    valid = tri_valid[None, :] & front & on_screen             # (C, T)
+    flat = lambda a: a.reshape((c * t,))
     return {
-        "sx": flat(sx), "sy": flat(sy), "z": flat(z),
+        "sx": sx.reshape(3, c * t), "sy": sy.reshape(3, c * t),
+        "z": z.reshape(3, c * t),
         "inv_area": flat(
             jnp.where(valid, 1.0 / jnp.where(front, -area, 1.0), 0.0)),
         "xmin": flat(xmin), "xmax": flat(xmax),
@@ -212,6 +216,7 @@ def render_cascades(
     tri_world: Array = None,
     tri_translucent: Array = None,
     tri_tint: Array = None,
+    pos_planes: Tuple[Array, Array, Array] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Shadow raster for all cascades -> (depth_atlas, trans_atlas):
     depth_atlas (H, W) = opaque reverse-Z depth (the D16 map, csm.hpp:56-64)
@@ -220,20 +225,28 @@ def render_cascades(
     depth (the sRGB translucent map — sunlight through tinted glass), or
     None for opaque-only scenes.
 
-    tri_world: optional pre-gathered (T, 3, 3) world triangle vertices —
-    shares ONE gather across cascades and the main pass instead of a
-    per-cascade clip[indices] gather. tri_translucent/tri_tint enable the
-    translucent map ((T,) mask + (T, 4) rgba); omitted = opaque only."""
+    pos_planes: per-component (3, T) world corner planes
+    (mesh.transform_triangle_planes) — the lane-dense preferred input.
+    tri_world: (T, 3, 3) fallback (converted to planes).
+    tri_translucent/tri_tint enable the translucent map ((T,) mask +
+    (T, 4) rgba); omitted = opaque only."""
     sizes, offsets, atlas_w, atlas_h = cascade_layout(cfg)
-    if tri_world is None:
-        tri_world = world_positions[indices]             # (T, 3, 3)
-    t = tri_world.shape[0]
-    flat = tri_world.reshape(t * 3, 3)
+    if pos_planes is None:
+        if tri_world is None:
+            tri_world = world_positions[indices]         # (T, 3, 3)
+        pos_planes = tuple(jnp.transpose(tri_world[..., i])
+                           for i in range(3))            # 3 x (3, T)
+    px, py, pz = pos_planes
+    t = px.shape[1]
     with_trans = tri_translucent is not None and tri_tint is not None
     # ONE shared-view transform for all cascades (fit_cascades): the
-    # per-cascade coords are affine maps applied in _setup_cascades
+    # per-cascade coords are affine maps applied in _setup_cascades;
+    # unrolled per-component (see math3d.apply_mat4 notes)
     c_count = light["projs"].shape[0]
-    ls = m3.apply_mat4(light["view"], flat).reshape(t, 3, 3)
+    v = light["view"]
+    lx = v[0, 0] * px + v[0, 1] * py + v[0, 2] * pz + v[0, 3]
+    ly = v[1, 0] * px + v[1, 1] * py + v[1, 2] * pz + v[1, 3]
+    lz = v[2, 0] * px + v[2, 1] * py + v[2, 2] * pz + v[2, 3]
 
     bounds = tuple((offsets[ci][0], offsets[ci][0] + sizes[ci],
                     offsets[ci][1], offsets[ci][1] + sizes[ci])
@@ -243,8 +256,8 @@ def render_cascades(
     opaque_mask = tri_valid & (~tri_translucent if with_trans
                                else jnp.ones_like(tri_valid))
     with jax.named_scope("setup"):
-        atlas_setup = _setup_cascades(ls, opaque_mask, sizes, offsets,
-                                      light["projs"])
+        atlas_setup = _setup_cascades(lx, ly, lz, opaque_mask,
+                                      sizes, offsets, light["projs"])
     # NOTE on early-z ordering: binning depth-ordered (front-to-back from
     # the light) to drive raster._depth_kernel's early-z termination was
     # measured a NET LOSS on the dense-pile flagship (round 4): the rank
@@ -281,7 +294,7 @@ def render_cascades(
 
     trans_atlas = None
     if with_trans:
-        tsetup = _setup_cascades(ls, tri_valid & tri_translucent,
+        tsetup = _setup_cascades(lx, ly, lz, tri_valid & tri_translucent,
                                  sizes, offsets, light["projs"])
         ttiles, tcounts, tbig = raster.bin_triangles(
             tsetup, atlas_w, atlas_h, 128, max(32, cap // 2), foot=2,

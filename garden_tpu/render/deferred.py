@@ -100,8 +100,7 @@ class DeferredRenderer:
         planes = m3.frustum_planes(constants["view_proj"])
         outside = m3.aabb_outside_frustum(planes, wmin, wmax)
         visible = scene["inst_valid"] & ~outside
-        ti = jnp.maximum(scene["tri_instance"], 0)
-        valid = scene["tri_valid"] & visible[ti] & (scene["tri_instance"] >= 0)
+        t_total = int(scene["tri_instance"].shape[0])
         if self.scene_host.any_lods:
             # LOD selection by camera distance (model.hpp:27-38): level =
             # number of switch distances exceeded; triangles of other levels
@@ -110,8 +109,20 @@ class DeferredRenderer:
             dist = m3.length(center - constants["camera_pos"])
             level = jnp.sum(dist[:, None] > scene["inst_lod_dist"],
                             axis=-1).astype(jnp.int32)
-            valid = valid & (scene["tri_lod"] == level[ti])
-        return valid
+        # instance->triangle expansion: lane-dense blocked broadcast when
+        # the scene is blocked (mesh.expand_instance_to_tris), else gather
+        vis_t = mesh.expand_instance_to_tris(
+            visible, self.scene_host.tri_instance, t_total, fill=False)
+        if vis_t is None:
+            ti = jnp.maximum(scene["tri_instance"], 0)
+            vis_t = visible[ti] & (scene["tri_instance"] >= 0)
+            if self.scene_host.any_lods:
+                vis_t = vis_t & (scene["tri_lod"] == level[ti])
+        elif self.scene_host.any_lods:
+            lvl_t = mesh.expand_instance_to_tris(
+                level, self.scene_host.tri_instance, t_total, fill=-1)
+            vis_t = vis_t & (scene["tri_lod"] == lvl_t)
+        return scene["tri_valid"] & vis_t
 
     # -- the frame ------------------------------------------------------------
 
@@ -142,12 +153,12 @@ class DeferredRenderer:
 
         # PreDeferredRender: per-TRIANGLE world transform + frustum cull.
         # The fused-raster pipeline consumes only triangle-level data, so
-        # the vertex pool never materializes: one (T,) matrix-row gather
-        # replaces the vertex transform plus two (T,3) corner gathers
-        # (mesh.transform_triangles)
+        # the vertex pool never materializes; the transform runs on
+        # per-component (3, T) planes (mesh.transform_triangle_planes) so
+        # T stays in the lane-minor dim end-to-end
         scope = jax.named_scope
         with scope("xform_cull"):
-            tri_world, tri_nrm = mesh.transform_triangles(
+            pos_pl, nrm_pl = mesh.transform_triangle_planes(
                 scene, inst_matrices,
                 tri_instance_np=self.scene_host.tri_instance)
             tri_valid = self.cull_instances(scene, inst_matrices, constants)
@@ -178,15 +189,19 @@ class DeferredRenderer:
         # mesh.hpp:30-40)
         translucent = scene["tri_translucent"]
         nonopaque = translucent | scene["tri_sorted"] | scene["tri_refract"]
-        # tri_world (from transform_triangles above) is shared by every
-        # raster pass (main, cascades, OIT/sorted/refraction/trans-depth)
-        t_cnt = tri_world.shape[0]
-        tw_flat = tri_world.reshape(t_cnt * 3, 3)
+        # the world-space planes (from transform_triangle_planes above) are
+        # shared by every raster pass (main, cascades, OIT/sorted/
+        # refraction/trans-depth)
+        px, py, pz = pos_pl
+        t_cnt = px.shape[1]
 
         def pass_setup(mask):
-            tri_clip = m3.apply_mat4_h(constants["view_proj"],
-                                       tw_flat).reshape(t_cnt, 3, 4)
-            return raster.setup_triangles_tv(tri_clip, mask, w, h)
+            # unrolled clip transform on (3, T) planes (math3d.apply_mat4
+            # notes: einsum dot_generals force component-minor layouts)
+            m = constants["view_proj"]
+            comps = [m[i, 0] * px + m[i, 1] * py + m[i, 2] * pz + m[i, 3]
+                     for i in range(4)]
+            return raster.setup_triangles_planes(*comps, mask, w, h)
 
         with scope("setup"):
             setup = pass_setup(tri_valid & ~nonopaque)
@@ -198,7 +213,7 @@ class DeferredRenderer:
         # rides inside the binning sort for free (the exact argsort +
         # inverse-permutation scatter + per-tile remap gather cost ~2 ms)
         with scope("prio_ftb"):
-            zt = jnp.max(setup["z"], axis=-1)
+            zt = jnp.max(setup["z"], axis=0)
             zlo = jnp.min(jnp.where(setup["valid"], zt, jnp.inf))
             zhi = jnp.max(jnp.where(setup["valid"], zt, -jnp.inf))
             # normalize over the visible range: raw reverse-Z clusters
@@ -218,9 +233,13 @@ class DeferredRenderer:
         with scope("bin_main"):
             # foot=2: a 2x(fy) footprint covers triangles up to 256px each
             # axis; larger ones ride the big list. Quarters the pair
-            # emission + packed sort vs foot=4 (measured ~2 ms at 123K tris)
+            # emission + packed sort vs foot=4 (measured ~2 ms at 123K tris).
+            # The shaded path FOLDS the big list into each tile's block
+            # (rasterize_visibility_shaded), so big(32) + grid cap must sum
+            # to a 128 multiple to keep the one-hot shading dot lane-exact
             tiles_m, counts_m, big_m = raster.bin_triangles(
-                setup, w, h, cfg.tile_size, cap_main,
+                setup, w, h, cfg.tile_size, max(32, cap_main - 32),
+                max_big=32,
                 bucket_priority=prio_ftb, foot=2, tile_h=th, foot_y=fy)
 
         # velocity inputs: previous-frame corner screen positions ride in
@@ -241,10 +260,15 @@ class DeferredRenderer:
                  (0.5 - pndc[..., 1] * 0.5) * h],
                 axis=-1).reshape(t_cnt, 3, 2)
         with scope("pack_records"):
+            nx, ny, nz = nrm_pl
+            tri_nrm = jnp.stack(
+                [nx[0], ny[0], nz[0], nx[1], ny[1], nz[1],
+                 nx[2], ny[2], nz[2]], axis=-1).reshape(t_cnt, 3, 3)
             records = gbuffer.pack_triangle_records(
                 scene, tri_normals=tri_nrm,
                 prev_screen_tri=prev_screen_tri,
-                inv_w=setup["inv_w"])
+                inv_w=setup["inv_w"],
+                tri_instance_np=self.scene_host.tri_instance)
         # fused raster + record shading: per-pixel attributes materialize
         # on the MXU while the tile's records are in VMEM, replacing the
         # per-pixel record gather (the round-2 frame's hottest op)
@@ -311,7 +335,7 @@ class DeferredRenderer:
             with scope("csm_render"):
                 depth_atlas, trans_atlas = csm_mod.render_cascades(
                     None, scene["indices"], scene["tri_valid"],
-                    light, scfg, tri_world=tri_world,
+                    light, scfg, pos_planes=pos_pl,
                     tri_translucent=tri_trans, tri_tint=tri_tint,
                 )
             with scope("csm_resolve"):
@@ -385,6 +409,8 @@ class DeferredRenderer:
             from garden_tpu.render import atmosphere as atm
             from garden_tpu.ops.blur import decimate2x, upsample2x_to
             to_light = -constants["light_dir"]
+            sky_scope = jax.named_scope("sky_ambient")
+            sky_scope.__enter__()
             rays = lighting.view_rays(g, constants)
             # the sky and cloud raymarches are smooth: march at half res
             # and tent-upsample the composited result (~4x cheaper;
@@ -427,20 +453,24 @@ class DeferredRenderer:
             r_h = jnp.clip(decimate2x(g["roughness"]), 0.0, 1.0)[..., None]
             spec_amb = upsample2x_to(
                 spec_sharp * (1.0 - r_h) + spec_rough * r_h, h, w)
-            hdr = lighting.resolve(
+            sky_scope.__exit__(None, None, None)
+            with scope("lighting"):
+                hdr = lighting.resolve(
                 g, constants, shadow=shadow, ao=ao,
-                ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
-                reflection=ssr_rgb, reflection_conf=ssr_conf, gi=gi,
-            )
+                    ambient_sh=sh, sky=sky, specular_ambient=spec_amb,
+                    reflection=ssr_rgb, reflection_conf=ssr_conf, gi=gi,
+                )
             # aerial perspective on geometry (the 32^3 camera-volume froxel
             # LUT's role, constants.h:25): distance fog with in-scatter
             if cfg.use_aerial_perspective:
-                vd_km = m3.length(g["position"] - constants["camera_pos"]) \
-                    * (cfg.aerial_km_per_unit)
-                trans, inscatter = atm.aerial_perspective(
-                    vd_km, rays, to_light)
-                fogged = hdr * trans + inscatter
-                hdr = jnp.where(g["visible"][..., None], fogged, hdr)
+                with scope("aerial"):
+                    vd_km = m3.length(
+                        g["position"] - constants["camera_pos"]) \
+                        * (cfg.aerial_km_per_unit)
+                    trans, inscatter = atm.aerial_perspective(
+                        vd_km, rays, to_light)
+                    fogged = hdr * trans + inscatter
+                    hdr = jnp.where(g["visible"][..., None], fogged, hdr)
         else:
             hdr = lighting.resolve(g, constants, shadow=shadow, ao=ao,
                                    reflection=ssr_rgb,
@@ -510,7 +540,7 @@ class DeferredRenderer:
         if self.any_sorted:
             ssetup = pass_setup(tri_valid & scene["tri_sorted"])
             # back-to-front: ascending reverse-Z (far first) by centroid
-            zc = jnp.mean(ssetup["z"], axis=-1)
+            zc = jnp.mean(ssetup["z"], axis=0)
             zkey = jnp.where(ssetup["valid"], zc, 2.0)
             order = jnp.argsort(zkey)
             t_n = zkey.shape[0]
@@ -555,30 +585,35 @@ class DeferredRenderer:
             with scope("bloom"):
                 hdr = bloom_mod.apply_bloom(hdr, cfg.bloom_mip_count)
 
-        if cfg.use_auto_exposure:
-            hist = tonemap.luminance_histogram(hdr, cfg.exposure_histogram_bins)
-            target = tonemap.average_luminance_from_histogram(hist)
-            avg_lum = tonemap.adapt_exposure(
-                frame_state["avg_luminance"], target, constants["delta_time"]
+        with scope("tonemap"):
+            if cfg.use_auto_exposure:
+                hist = tonemap.luminance_histogram(
+                    hdr, cfg.exposure_histogram_bins)
+                target = tonemap.average_luminance_from_histogram(hist)
+                avg_lum = tonemap.adapt_exposure(
+                    frame_state["avg_luminance"], target,
+                    constants["delta_time"]
+                )
+            else:
+                avg_lum = frame_state["avg_luminance"]
+            exposure = tonemap.exposure_from_luminance(
+                avg_lum, compensation=cfg.exposure_compensation
             )
-        else:
-            avg_lum = frame_state["avg_luminance"]
-        exposure = tonemap.exposure_from_luminance(
-            avg_lum, compensation=cfg.exposure_compensation
-        )
-        ldr = tonemap.tone_map(hdr, exposure, mode=cfg.tone_mapper)
+            ldr = tonemap.tone_map(hdr, exposure, mode=cfg.tone_mapper)
 
-        # upscale to display resolution (DlssRenderSystem's role)
-        if scale != 1.0:
-            ldr = jax.image.resize(ldr, (cfg.height, cfg.width, 3), "linear")
+            # upscale to display resolution (DlssRenderSystem's role)
+            if scale != 1.0:
+                ldr = jax.image.resize(ldr, (cfg.height, cfg.width, 3),
+                                       "linear")
 
         # AA on the LDR buffer (fxaa.hpp:37 / smaa.hpp:37), display res
         if cfg.use_fxaa:
-            if getattr(cfg, "aa_mode", "fxaa") == "smaa":
-                from garden_tpu.render import smaa as smaa_mod
-                ldr = smaa_mod.apply_smaa(ldr)
-            else:
-                ldr = fxaa_mod.apply_fxaa(ldr)
+            with scope("aa"):
+                if getattr(cfg, "aa_mode", "fxaa") == "smaa":
+                    from garden_tpu.render import smaa as smaa_mod
+                    ldr = smaa_mod.apply_smaa(ldr)
+                else:
+                    ldr = fxaa_mod.apply_fxaa(ldr)
 
         # UI pass after LdrRender (deferred.cpp:723-775): sprites + text
         if ui_atlas is not None and ui_sprites is not None:

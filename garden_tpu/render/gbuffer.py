@@ -35,7 +35,8 @@ def pack_triangle_records(scene: Dict[str, Array],
                           prev_screen: Optional[Array] = None,
                           inv_w: Optional[Array] = None,
                           tri_normals: Optional[Array] = None,
-                          prev_screen_tri: Optional[Array] = None) -> Array:
+                          prev_screen_tri: Optional[Array] = None,
+                          tri_instance_np=None) -> Array:
     """(T, 32) per-triangle shading records: [n0 n1 n2 (9) | uv0 uv1 uv2 (6)
     | material row (10) | instance (1) | prev screen xy x3 (6)].
 
@@ -55,8 +56,18 @@ def pack_triangle_records(scene: Dict[str, Array],
     if uv is None:
         uv = scene["uvs"][idx]                   # (T, 3, 2)
     inst = jnp.maximum(scene["tri_instance"], 0)
-    mat_id = scene["inst_material"][inst]
-    mat = scene["materials"][mat_id]             # (T, 11)
+    mat = None
+    if tri_instance_np is not None:
+        # blocked scenes: ONE (I,)-row material gather + a lane-dense
+        # instance->triangle broadcast replaces the (T,)-row gather pair
+        # (mesh.expand_instance_to_tris)
+        from garden_tpu.render.mesh import expand_instance_to_tris
+        mat_inst = scene["materials"][scene["inst_material"]]   # (I, 12)
+        mat = expand_instance_to_tris(mat_inst, tri_instance_np,
+                                      int(idx.shape[0]))
+    if mat is None:
+        mat_id = scene["inst_material"][inst]
+        mat = scene["materials"][mat_id]         # (T, 12)
     t = idx.shape[0]
     if prev_screen_tri is not None:
         prev = prev_screen_tri.reshape(-1, 6)
@@ -64,6 +75,13 @@ def pack_triangle_records(scene: Dict[str, Array],
         prev = prev_screen[idx].reshape(-1, 6)
     else:
         prev = jnp.zeros((t, 6), jnp.float32)
+    if inv_w is None:
+        inv_w_c = jnp.zeros((t, 3), jnp.float32)
+    elif inv_w.shape[0] == 3 and inv_w.shape != (t, 3):
+        # corner-major (3, T) planes (setup_triangles_planes) -> rows
+        inv_w_c = jnp.stack([inv_w[0], inv_w[1], inv_w[2]], axis=-1)
+    else:
+        inv_w_c = inv_w
     parts = [
         n.reshape(-1, 9),
         uv.reshape(-1, 6),
@@ -71,7 +89,7 @@ def pack_triangle_records(scene: Dict[str, Array],
         mat[:, 10:11],                           # base-texture index
         scene["tri_instance"].astype(jnp.float32)[:, None],
         prev,
-        inv_w if inv_w is not None else jnp.zeros((t, 3), jnp.float32),
+        inv_w_c,
     ]
     rec = jnp.concatenate(parts, axis=-1)
     pad = REC_WIDTH - rec.shape[-1]

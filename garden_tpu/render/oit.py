@@ -93,9 +93,11 @@ def rasterize_oit(
     # pack records densely FIRST, fetch with one row gather (field-wise
     # gathers and per-column slices both cost ~10x more on TPU)
     t_count = setup["valid"].shape[0]
-    xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
+    sx, sy, z = setup["sx"], setup["sy"], setup["z"]    # (3, T) corner-major
+    xy = jnp.stack([sx[0], sy[0], sx[1], sy[1], sx[2], sy[2]], axis=-1)
     records = jnp.concatenate(
-        [xy, setup["z"], setup["inv_area"][:, None], tri_colors,
+        [xy, jnp.stack([z[0], z[1], z[2]], axis=-1),
+         setup["inv_area"][:, None], tri_colors,
          jnp.zeros((t_count, 2), jnp.float32)],
         axis=-1,
     )  # (T, 16)

@@ -87,37 +87,56 @@ def setup_triangles_tv(
 
     Multi-pass renderers (main + shadow cascades) should gather world-space
     triangle vertices ONCE and transform per pass — each per-pass
-    clip[indices] gather costs ~1.5ms at 123K triangles on TPU."""
-    w = v[..., 3]
+    clip[indices] gather costs ~1.5ms at 123K triangles on TPU. Prefer
+    setup_triangles_planes for corner-major clip components."""
+    comps = tuple(jnp.transpose(v[..., i]) for i in range(4))   # (3, T) x4
+    return setup_triangles_planes(*comps, tri_valid, width, height)
+
+
+def setup_triangles_planes(
+    cx: Array,            # (3, T) clip x per corner (corner-major)
+    cy: Array,
+    cz: Array,
+    cw: Array,
+    tri_valid: Array,     # (T,)
+    width: int,
+    height: int,
+) -> Dict[str, Array]:
+    """Screen-space setup from PER-COMPONENT clip planes.
+
+    The 2-D per-corner fields (sx/sy/z/inv_w) keep T in the 128-lane
+    MINOR dim: the (T, 3)-oriented formulation this replaces put the
+    3-corner axis minor, which tiles to 128 lanes (42x padding) on every
+    elementwise op — the round-4 trace charged ~3 ms/frame of xform/setup
+    fma time to exactly that (ARCHITECTURE.md round-5 notes)."""
     # conservative near clip: reject triangles with any vertex behind the
     # near plane (finely tessellated scenes make this loss negligible)
-    in_front = jnp.all(w > NEAR_EPS, axis=-1)
-    w_safe = jnp.maximum(w, NEAR_EPS)
-    inv_w = 1.0 / w_safe
-    ndc = v[..., :3] * inv_w[..., None]   # (T, 3, 3)
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[..., 1] * 0.5) * height  # y-down screen
-    z = ndc[..., 2]                       # reverse-Z in [0, 1]
+    in_front = jnp.all(cw > NEAR_EPS, axis=0)
+    w_safe = jnp.maximum(cw, NEAR_EPS)
+    inv_w = 1.0 / w_safe                  # (3, T)
+    sx = (cx * inv_w * 0.5 + 0.5) * width
+    sy = (0.5 - cy * inv_w * 0.5) * height   # y-down screen
+    z = cz * inv_w                        # reverse-Z in [0, 1]
 
     # signed area in screen space; CCW meshes become CW after the y-flip,
     # so front faces have negative area here. Cull area >= 0 (backfaces).
-    ax = sx[:, 1] - sx[:, 0]
-    ay = sy[:, 1] - sy[:, 0]
-    bx = sx[:, 2] - sx[:, 0]
-    by = sy[:, 2] - sy[:, 0]
+    ax = sx[1] - sx[0]
+    ay = sy[1] - sy[0]
+    bx = sx[2] - sx[0]
+    by = sy[2] - sy[0]
     area = ax * by - ay * bx
     front = area < -1e-8
 
-    xmin = jnp.min(sx, axis=-1)
-    xmax = jnp.max(sx, axis=-1)
-    ymin = jnp.min(sy, axis=-1)
-    ymax = jnp.max(sy, axis=-1)
+    xmin = jnp.min(sx, axis=0)
+    xmax = jnp.max(sx, axis=0)
+    ymin = jnp.min(sy, axis=0)
+    ymax = jnp.max(sy, axis=0)
     on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
 
     valid = tri_valid & in_front & front & on_screen
     # edges e_i sum to -area (positive for front faces); bary_i = e_i/(-area)
     return {
-        "sx": sx, "sy": sy, "z": z, "inv_w": inv_w,
+        "sx": sx, "sy": sy, "z": z, "inv_w": inv_w,   # (3, T) corner-major
         "inv_area": jnp.where(valid, 1.0 / jnp.where(front, -area, 1.0), 0.0),
         "xmin": xmin, "xmax": xmax, "ymin": ymin, "ymax": ymax,
         "valid": valid,
@@ -201,7 +220,13 @@ def bin_triangles(
     pty = ty0[None, :] + ky[:, None]
     pair_ok = (small[None, :] & (kx[:, None] < nx[None, :])
                & (ky[:, None] < ny[None, :]))
-    key = jnp.where(pair_ok, pty * tiles_x + ptx, n_tiles)  # sentinel last
+    # THREE key classes: tile keys, then a reserved BIG key (n_tiles) for
+    # every slot of a big triangle, then the sentinel (n_tiles + 1). Big
+    # triangles ride the SAME sort as a contiguous run of K identical
+    # copies each — the big list falls out of the run by striding, killing
+    # the separate (T,)-wide top_k selection (~0.4 ms on the cascade pass)
+    key = jnp.where(pair_ok, pty * tiles_x + ptx,
+                    jnp.where(big[None, :], n_tiles, n_tiles + 1))
     key = key.reshape(-1)
     tri_of_pair = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[None, :], (FOOT * FOOT_Y, t)
@@ -225,7 +250,7 @@ def bin_triangles(
         key = (key << bkt_bits) | jnp.broadcast_to(
             jnp.clip(bucket_priority, 0, 15)[None, :],
             (FOOT * FOOT_Y, t)).reshape(-1)
-    key_bits = max(int(np.ceil(np.log2(n_tiles + 2))), 1) + bkt_bits
+    key_bits = max(int(np.ceil(np.log2(n_tiles + 3))), 1) + bkt_bits
     if tri_bits + key_bits <= 31:
         packed = jnp.sort((key << tri_bits) | payload)
         key_sorted = packed >> (tri_bits + bkt_bits)
@@ -240,23 +265,32 @@ def bin_triangles(
     # searchsorted of n_tiles+1 probes replaces the left+right pair
     # (searchsorted lowers to a while-loop binary search; halving the probe
     # set halved its ~2 ms/frame cascade-atlas cost)
-    probes = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    probes = jnp.arange(n_tiles + 2, dtype=jnp.int32)
     edges = jnp.searchsorted(key_sorted, probes, side="left")
-    start = edges[:-1]
-    end = edges[1:]
+    start = edges[:n_tiles]
+    end = edges[1:n_tiles + 1]
+    big_run = (edges[n_tiles], edges[n_tiles + 1])
     if max_active is not None:
         # compact BEFORE the list gather: only the A most-populated tiles'
-        # runs are fetched from the sorted pair array
+        # runs are fetched from the sorted pair array. Selection via ONE
+        # packed descending sort of (count | tile) — lax.top_k over the
+        # tile axis measured ~0.2 ms slower at 3K tiles
         assert priority is None, "max_active and priority are exclusive"
         a = min(max_active, n_tiles)
-        _, act_ids = jax.lax.top_k(end - start, a)
-        act_ids = act_ids.astype(jnp.int32)
+        bits_t = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
+        cnt_c = jnp.minimum(end - start, (1 << (30 - bits_t)) - 1)
+        packed_a = jnp.sort(
+            (cnt_c << bits_t) | jnp.arange(n_tiles, dtype=jnp.int32))
+        act_ids = (packed_a[::-1][:a] & ((1 << bits_t) - 1)).astype(jnp.int32)
         start = start[act_ids]
         end = end[act_ids]
     take = jnp.arange(max_per_tile, dtype=jnp.int32)
     gather = start[:, None] + take[None, :]
     ok = gather < end[:, None]
     gather = jnp.clip(gather, 0, key.shape[0] - 1)
+    # NOTE: a vmapped dynamic_slice (one C-lane slice per tile) was tried
+    # here and lowered to ~510 separate 1 us gathers — slower than this
+    # single element gather (round-5 trace)
     tile_pay = pay_sorted[gather]                      # (tiles, C) small gather
     if priority is not None:
         # invert the priority permutation at tile-list granularity only
@@ -382,26 +416,30 @@ def _pack_edge_records(setup: Dict[str, Array],
     and row T is a SENTINEL (id -1, inv_area 0): empty tile-list slots
     index the sentinel, so the per-tile fetch `records[safe]` needs no
     post-gather `.at[...].set` rewrite (a full-copy scatter that cost
-    ~1.5 ms/frame on the cascade atlas)."""
-    sx, sy, z = setup["sx"], setup["sy"], setup["z"]      # (T, 3)
-    sx1 = jnp.roll(sx, -1, axis=1)                        # (x1, x2, x0)
-    sy1 = jnp.roll(sy, -1, axis=1)
-    sx2 = jnp.roll(sx, -2, axis=1)                        # (x2, x0, x1)
-    sy2 = jnp.roll(sy, -2, axis=1)
-    a = sy2 - sy1                                         # (T, 3)
-    b = -(sx2 - sx1)
-    c = sy1 * (sx2 - sx1) - sx1 * (sy2 - sy1)
+    ~1.5 ms/frame on the cascade atlas).
+
+    Inputs are corner-major (3, T) planes (setup_triangles_planes): the
+    coefficient math runs lane-dense on T-minor rows; only the final
+    record stack materializes the (T, 16) row layout the per-tile gather
+    needs."""
+    sx, sy, z = setup["sx"], setup["sy"], setup["z"]      # (3, T)
+    a, b, c = [], [], []
+    for k in range(3):
+        x1, y1 = sx[(k + 1) % 3], sy[(k + 1) % 3]
+        x2, y2 = sx[(k + 2) % 3], sy[(k + 2) % 3]
+        a.append(y2 - y1)
+        b.append(-(x2 - x1))
+        c.append(y1 * (x2 - x1) - x1 * (y2 - y1))
     # S = e0 at v0 (e1, e2 vanish there)
-    s_const = (a[:, 0] * sx[:, 0] + b[:, 0] * sy[:, 0] + c[:, 0])[:, None]
-    z2 = z[:, 2:3]
-    dz = z[:, 0:2] - z2                                   # (T, 2)
-    t_count = sx.shape[0]
-    ids = jnp.arange(t_count, dtype=jnp.float32)[:, None]
-    atlas = (tri_atlas.astype(jnp.float32)[:, None] if tri_atlas is not None
-             else jnp.zeros((t_count, 1), jnp.float32))
-    rec = jnp.concatenate(
-        [a, b, c, s_const, z2, dz, setup["inv_area"][:, None],
-         ids, atlas], axis=-1)                            # (T, 16)
+    s_const = a[0] * sx[0] + b[0] * sy[0] + c[0]
+    z2 = z[2]
+    t_count = sx.shape[1]
+    ids = jnp.arange(t_count, dtype=jnp.float32)
+    atlas = (tri_atlas.astype(jnp.float32) if tri_atlas is not None
+             else jnp.zeros((t_count,), jnp.float32))
+    rec = jnp.stack(
+        a + b + c + [s_const, z2, z[0] - z2, z[1] - z2,
+                     setup["inv_area"], ids, atlas], axis=-1)   # (T, 16)
     sentinel = jnp.zeros((1, 16), jnp.float32).at[0, 14].set(-1.0)
     return jnp.concatenate([rec, sentinel], axis=0)       # (T + 1, 16)
 
@@ -604,8 +642,7 @@ def rasterize_visibility(
 
 
 
-def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
-                         bshade_ref, depth_ref, id_ref,
+def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
                          b0_ref, b1_ref, attrs_ref, depth_s, id_s, b0_s,
                          b1_s, slot_s,
                          *, tile: int, tiles_x: int, rec: int, chunk: int,
@@ -613,20 +650,22 @@ def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
     """Visibility raster + in-VMEM record shading.
 
     Phase 1 (VPU): the tournament raster loop of `_raster_kernel`, extended
-    to track each pixel's winning LOCAL slot alongside the global triangle
-    id: slots [0, B) are the shared big list, [B, B + C) the tile's grid
-    list. All running state lives in FLAT (1, n_px) f32 scratch: Mosaic
-    cannot reshape i1/i32 vectors between (tile, tile) and (1, n_px), so
-    the loop never leaves the flat layout; outputs reshape f32 once at the
-    end.
+    to track each pixel's winning slot in the tile's COMBINED list (big
+    prefix + grid entries — the caller folds the shared big list into each
+    tile's block, see rasterize_visibility_shaded). All running state lives
+    in FLAT (1, n_px) f32 scratch: Mosaic cannot reshape i1/i32 vectors
+    between (tile, tile) and (1, n_px), so the loop never leaves the flat
+    layout; outputs reshape f32 once at the end.
 
-    Phase 2 (MXU): per-pixel shading attributes materialize as one-hot
-    contractions attrs[:, px] = big_recs @ onehot_big(slot[px]) +
-    grid_recs @ onehot(slot[px] - B) while both record blocks are still in
-    VMEM. This replaces the per-pixel row gather of the (T, rec) record
-    table from HBM — the single most expensive op of the round-2 frame
-    (~2M random rows, ~14 ms at 1080p). The one-hot is built in chunks of
-    `chunk` pixels to bound VMEM.
+    Phase 2 (MXU): per-pixel shading attributes materialize as ONE one-hot
+    contraction attrs[:, px] = recs @ onehot(slot[px]) while the combined
+    record block is still in VMEM. This replaces the per-pixel row gather
+    of the (T, rec) record table from HBM — the single most expensive op
+    of the round-2 frame (~2M random rows, ~14 ms at 1080p). Folding big
+    into the same contraction (instead of a second 128-slot-padded big
+    dot for ~33 real entries) halved phase 2's MXU work — the phase was
+    ~90% of the 3.6 ms kernel at 510 tiles x 2 chunks x 2 dots. The
+    one-hot is built in chunks of `chunk` pixels to bound VMEM.
     """
     th = tile_h or tile
     ty = pl.program_id(0)
@@ -644,8 +683,6 @@ def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
     b0_s[:] = jnp.zeros((1, n_px), jnp.float32)
     b1_s[:] = jnp.zeros((1, n_px), jnp.float32)
     slot_s[:] = jnp.full((1, n_px), -1.0, jnp.float32)
-
-    b_cap = big_ref.shape[1]
 
     def process(d, slot0):
         # edge-coefficient records (_pack_edge_records): e = a*px + b*py + c
@@ -690,18 +727,11 @@ def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
         return (base + cb * TRI_BLOCK + jax.lax.broadcasted_iota(
             jnp.int32, (TRI_BLOCK, 1), 0)).astype(jnp.float32)
 
-    def body_big(cb, _):
-        process(big_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :],
+    def body(cb, _):
+        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :],
                 slot_iota(cb, 0))
         return 0
 
-    def body(cb, _):
-        process(data_ref[0, pl.ds(cb * TRI_BLOCK, TRI_BLOCK), :],
-                slot_iota(cb, b_cap))
-        return 0
-
-    nb_big = (bigcnt_ref[0, 0] + TRI_BLOCK - 1) // TRI_BLOCK
-    jax.lax.fori_loop(0, nb_big, body_big, 0)
     n_blocks = (count_ref[0, tile_idx] + TRI_BLOCK - 1) // TRI_BLOCK
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
@@ -710,23 +740,17 @@ def _raster_shade_kernel(count_ref, bigcnt_ref, data_ref, big_ref, shade_ref,
     b0_ref[:] = b0_s[:].reshape(th, tile)
     b1_ref[:] = b1_s[:].reshape(th, tile)
 
-    # phase 2: records -> per-pixel attrs by one-hot matmul, chunked
+    # phase 2: records -> per-pixel attrs by ONE one-hot matmul, chunked
     c = shade_ref.shape[2]
     rows_per_chunk = chunk // tile
     recs = shade_ref[0]                               # (rec, C)
-    brecs = bshade_ref[:]                             # (rec, B)
     for ch in range(n_px // chunk):
         sl = slot_s[0:1, pl.ds(ch * chunk, chunk)]    # (1, chunk) f32
         iota_c = jax.lax.broadcasted_iota(
             jnp.int32, (c, chunk), 0).astype(jnp.float32)
-        onehot = (iota_c == (sl - b_cap)).astype(jnp.float32)  # (C, chunk)
+        onehot = (iota_c == sl).astype(jnp.float32)   # (C, chunk)
         part = jnp.dot(recs, onehot,
                        preferred_element_type=jnp.float32)  # (rec, chunk)
-        iota_b = jax.lax.broadcasted_iota(
-            jnp.int32, (b_cap, chunk), 0).astype(jnp.float32)
-        onehot_b = (iota_b == sl).astype(jnp.float32)        # (B, chunk)
-        part = part + jnp.dot(brecs, onehot_b,
-                              preferred_element_type=jnp.float32)
         attrs_ref[:, pl.ds(ch * rows_per_chunk, rows_per_chunk), :] = \
             part.reshape(rec, rows_per_chunk, tile)
 
@@ -747,7 +771,11 @@ def rasterize_visibility_shaded(
     Returns (vis dict as rasterize_visibility, attrs (REC, H, W)) where
     attrs[:, y, x] is the winning triangle's shading record at each pixel
     (zeros where no triangle covers the pixel). See _raster_shade_kernel.
-    """
+
+    The shared big list FOLDS into each tile's block as a prefix (slots
+    [0, B)), so phase 2 runs ONE one-hot contraction over the combined
+    width instead of a second full-lane-padded big dot: size the binning
+    so B + grid cap stays a 128 multiple (the flagship uses 32 + 96)."""
     th = tile_h or tile
     tiles_x = -(-width // tile)
     tiles_y = -(-height // th)
@@ -757,6 +785,14 @@ def rasterize_visibility_shaded(
             f"rasterize_visibility_shaded: tile={tile}x{th} is not TPU-legal "
             f"for a {height}x{width} frame. Use tile_size=128."
         )
+    # fold the shared big list in as a per-tile prefix
+    b_fold = big_list.shape[0]
+    big_tile = jnp.broadcast_to(big_list[None, :],
+                                (tile_tris.shape[0], b_fold))
+    tile_tris = jnp.concatenate([big_tile, tile_tris], axis=1)
+    # the scan covers the (possibly sentinel-holed) big prefix plus the
+    # tile's own entries; sentinel blocks rasterize nothing
+    counts = counts + b_fold
     pad_to = 128  # lane alignment for the (REC, C) record block
     if tile_tris.shape[1] % pad_to:
         pad = pad_to - tile_tris.shape[1] % pad_to
@@ -767,13 +803,6 @@ def rasterize_visibility_shaded(
     t_count = records.shape[0] - 1
     safe = _safe_ids(tile_tris, t_count)
     data = records[safe]                                    # (tiles, C, 16)
-    # big list, padded to the lane width for the (REC, B) matmul block
-    b_cap = max(128, (big_list.shape[0] + 127) // 128 * 128)
-    big_pad = jnp.pad(big_list, (0, b_cap - big_list.shape[0]),
-                      constant_values=-1)
-    safe_big = _safe_ids(big_pad, t_count)
-    big_data = records[safe_big][None]                      # (1, B, 16)
-    bigcnt = jnp.sum(big_pad >= 0).reshape(1, 1).astype(jnp.int32)
 
     rec_w = shade_records.shape[1]
     rec_pad = (-rec_w) % 8                                  # sublane align
@@ -783,7 +812,6 @@ def rasterize_visibility_shaded(
     # per-tile shade records, pre-transposed to (REC, C) so the kernel's
     # matmul needs no in-VMEM transpose; empty slots hit the zero sentinel
     shade = srec[safe].transpose(0, 2, 1)                   # (tiles, REC, C)
-    bshade = srec[safe_big].T                               # (REC, B)
 
     grid = (tiles_y, tiles_x)
     out_block = pl.BlockSpec((th, tile), lambda ty, tx: (ty, tx),
@@ -801,15 +829,9 @@ def rasterize_visibility_shaded(
         in_specs=[
             pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda ty, tx: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, 16), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_cap, 16), lambda ty, tx: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rec, c), lambda ty, tx, _tx=tiles_x: (ty * _tx + tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rec, b_cap), lambda ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_block, out_block, out_block, out_block,
@@ -826,7 +848,7 @@ def rasterize_visibility_shaded(
         scratch_shapes=[pltpu.VMEM((1, n_px), jnp.float32)
                         for _ in range(5)],
         interpret=_interpret(),
-    )(counts2d, bigcnt, data, big_data, shade, bshade)
+    )(counts2d, data, shade)
 
     vis = {
         "depth": depth[:height, :width],
@@ -950,12 +972,14 @@ def rasterize_sorted_blend(
     c = tile_tris.shape[1]
 
     t_count = setup["valid"].shape[0]
-    xy = jnp.stack([setup["sx"], setup["sy"]], axis=-1).reshape(t_count, 6)
+    sx, sy, z = setup["sx"], setup["sy"], setup["z"]      # (3, T)
+    xy = jnp.stack([sx[0], sy[0], sx[1], sy[1], sx[2], sy[2]], axis=-1)
     atlas_col = (tri_atlas.astype(jnp.float32)[:, None]
                  if tri_atlas is not None
                  else jnp.zeros((t_count, 1), jnp.float32))
     records = jnp.concatenate(
-        [xy, setup["z"], setup["inv_area"][:, None],
+        [xy, jnp.stack([z[0], z[1], z[2]], axis=-1),
+         setup["inv_area"][:, None],
          jnp.arange(t_count, dtype=jnp.float32)[:, None],   # tri_id
          tri_rgba,
          atlas_col],

@@ -13,9 +13,14 @@ TPU-first redesign notes:
   directly in-code from the run lengths (no textures, no gathers).
 - Edge searches are fixed-radius (SEARCH_STEPS) cumulative products of
   shifted edge masks — dense VPU work, no data-dependent loops.
-- Orthogonal edge patterns only; SMAA's diagonal patterns are not
-  implemented (they affect <2% of edge pixels in typical scenes and need
-  the diagonal search textures). Documented limitation vs the reference.
+- Diagonal patterns (the reference's diag search + diag AreaTex section,
+  shaders/smaa/*): handled analytically for the four corner orientations —
+  a corner pixel whose same-oriented corner repeats at a diagonal
+  neighbor lies on a revectorized 45-degree line, whose exact coverage
+  is 1/2 split across the two outside neighbors. Diag-handled pixels
+  skip the orthogonal patterns (the reference's diag-first priority).
+  Non-45-degree diagonal patterns (the distance-graded diag AreaTex
+  entries) fall through to the orthogonal handling.
 
 All shifts are pad+slice (dense); the whole pipeline is ~30 elementwise
 ops per pixel and fuses into a handful of XLA kernels.
@@ -145,6 +150,37 @@ def blending_weights(edges: Array) -> Array:
     return jnp.stack([w_up, w_dn, w_left, w_right], axis=-1)
 
 
+def _diag_patterns(edges: Array):
+    """Diagonal patterns (smaa.hpp:37 diag search / diag AreaTex analog).
+
+    A CORNER pixel (two perpendicular border edges) whose same-oriented
+    corner repeats at a diagonal neighbor sits on a 45-degree staircase.
+    The revectorized line x = y + 1/2 covers the boundary pixel by exactly
+    7/8 on the inside and 1/8 on the outside (the integral the diag
+    AreaTex tabulates for the 45-degree entries), so each handled pixel
+    blends 1/8 toward the mean of its two outside neighbors. Returns
+    (handled (H, W) bool, n1 (dy, dx) map, n2 map) as stacked per-corner
+    data: handled mask + per-pixel outside-neighbor offsets encoded as 4
+    one-hot corner masks for apply_smaa's direct blend."""
+    left_e = edges[..., 0]
+    top_e = edges[..., 1]
+    le_at = Shifter(left_e, 1, 1)
+    te_at = Shifter(top_e, 1, 1)
+    right_e = le_at(0, 1)     # right border edge = next pixel's left edge
+    bot_e = te_at(1, 0)       # bottom border edge = next row's top edge
+    out = []
+    for corner, offs in (
+            (left_e & top_e, ((-1, 0), (0, -1))),    # outside up-left
+            (right_e & top_e, ((-1, 0), (0, 1))),    # outside up-right
+            (left_e & bot_e, ((1, 0), (0, -1))),     # outside down-left
+            (right_e & bot_e, ((1, 0), (0, 1)))):    # outside down-right
+        c_at = Shifter(corner, 1, 1)
+        on_diag = corner & (c_at(1, 1) | c_at(-1, -1)
+                            | c_at(1, -1) | c_at(-1, 1))
+        out.append((on_diag, offs))
+    return out
+
+
 def neighborhood_blend(img: Array, weights: Array) -> Array:
     """Final pass: blend each pixel with its 4 neighbors by the computed
     coverage weights (weights of the pixel's own edges plus the opposing
@@ -176,7 +212,24 @@ def neighborhood_blend(img: Array, weights: Array) -> Array:
 
 
 def apply_smaa(img: Array) -> Array:
-    """Full SMAA 1x chain on an LDR (H, W, 3) image in [0, 1]."""
+    """Full SMAA 1x chain on an LDR (H, W, 3) image in [0, 1].
+
+    Diagonal patterns resolve FIRST and their pixels skip the orthogonal
+    weights (the reference's SMAACalculateDiagWeights early-out); the
+    diag blend applies directly (1/8 toward the two outside neighbors —
+    see _diag_patterns) instead of through the edge-weight flow, which
+    would double-count the two sides of the diagonal."""
     edges = detect_edges(img)
+    diags = _diag_patterns(edges)
+    handled = jnp.zeros(img.shape[:2], bool)
+    diag_out = img
+    i_at = Shifter(img, 1, 1)
+    for on_diag, ((dy1, dx1), (dy2, dx2)) in diags:
+        # 7/8 self + 1/16 per outside neighbor (the 45-deg coverage)
+        target = img * 0.875 + (i_at(dy1, dx1) + i_at(dy2, dx2)) * 0.0625
+        diag_out = jnp.where(on_diag[..., None], target, diag_out)
+        handled = handled | on_diag
     weights = blending_weights(edges)
-    return neighborhood_blend(img, weights)
+    weights = jnp.where(handled[..., None], 0.0, weights)
+    out = neighborhood_blend(img, weights)
+    return jnp.where(handled[..., None], diag_out, out)

@@ -120,16 +120,17 @@ def test_overflow_drops_farthest_with_priority():
     cx = rng.uniform(10, 100, T).astype(np.float32)
     cy = rng.uniform(10, 100, T).astype(np.float32)
     setup = {
-        "sx": jnp.asarray(np.stack([cx, cx + 3, cx], -1)),
-        "sy": jnp.asarray(np.stack([cy, cy, cy + 3], -1)),
-        "z": jnp.asarray(np.stack([z, z, z], -1)),
-        "inv_w": jnp.ones((T, 3), jnp.float32),
+        # corner-major (3, T) planes (raster.setup_triangles_planes)
+        "sx": jnp.asarray(np.stack([cx, cx + 3, cx], 0)),
+        "sy": jnp.asarray(np.stack([cy, cy, cy + 3], 0)),
+        "z": jnp.asarray(np.stack([z, z, z], 0)),
+        "inv_w": jnp.ones((3, T), jnp.float32),
         "inv_area": jnp.ones((T,), jnp.float32),
         "xmin": jnp.asarray(cx), "xmax": jnp.asarray(cx + 3),
         "ymin": jnp.asarray(cy), "ymax": jnp.asarray(cy + 3),
         "valid": jnp.ones((T,), bool),
     }
-    zkey = jnp.max(setup["z"], -1)
+    zkey = jnp.max(setup["z"], 0)
     order = jnp.argsort(-zkey)
     prio = jnp.zeros((T,), jnp.int32).at[order].set(
         jnp.arange(T, dtype=jnp.int32))
@@ -210,10 +211,11 @@ def test_overflow_drops_farthest_with_bucket_priority():
     cx = rng.uniform(10, 100, T).astype(np.float32)
     cy = rng.uniform(10, 100, T).astype(np.float32)
     setup = {
-        "sx": jnp.asarray(np.stack([cx, cx + 3, cx], -1)),
-        "sy": jnp.asarray(np.stack([cy, cy, cy + 3], -1)),
-        "z": jnp.asarray(np.stack([z, z, z], -1)),
-        "inv_w": jnp.ones((T, 3), jnp.float32),
+        # corner-major (3, T) planes (raster.setup_triangles_planes)
+        "sx": jnp.asarray(np.stack([cx, cx + 3, cx], 0)),
+        "sy": jnp.asarray(np.stack([cy, cy, cy + 3], 0)),
+        "z": jnp.asarray(np.stack([z, z, z], 0)),
+        "inv_w": jnp.ones((3, T), jnp.float32),
         "inv_area": jnp.ones((T,), jnp.float32),
         "xmin": jnp.asarray(cx), "xmax": jnp.asarray(cx + 3),
         "ymin": jnp.asarray(cy), "ymax": jnp.asarray(cy + 3),
@@ -253,14 +255,14 @@ def test_split_depth_matches_dense():
     ps = np.concatenate([sz, bs])
     t = n_small + n_big
     z = rng.uniform(0.1, 0.9, t).astype(np.float32)
-    sx = np.stack([px, px + ps, px], -1)
-    sy = np.stack([py, py, py + ps], -1)
+    sx = np.stack([px, px + ps, px], 0)    # corner-major (3, T)
+    sy = np.stack([py, py, py + ps], 0)
     setup = {
         "sx": jnp.asarray(sx), "sy": jnp.asarray(sy),
-        "z": jnp.asarray(np.stack([z, z, z], -1)),
+        "z": jnp.asarray(np.stack([z, z, z], 0)),
         "inv_area": jnp.asarray(1.0 / (ps * ps)),
-        "xmin": jnp.asarray(sx.min(-1)), "xmax": jnp.asarray(sx.max(-1)),
-        "ymin": jnp.asarray(sy.min(-1)), "ymax": jnp.asarray(sy.max(-1)),
+        "xmin": jnp.asarray(sx.min(0)), "xmax": jnp.asarray(sx.max(0)),
+        "ymin": jnp.asarray(sy.min(0)), "ymax": jnp.asarray(sy.max(0)),
         "valid": jnp.ones((t,), bool),
     }
     bounds = ((0, 256, 0, 256), (256, 512, 0, 256))

@@ -105,7 +105,8 @@ def main():
         sizes, offsets, aw, ah = csm_mod.cascade_layout(scfg)
         ls = m3.apply_mat4(light["view"],
                            tri_world.reshape(-1, 3)).reshape(-1, 3, 3)
-        st = csm_mod._setup_cascades(ls, tri_valid, sizes, offsets,
+        lx, ly, lz = (jnp.transpose(ls[..., i]) for i in range(3))
+        st = csm_mod._setup_cascades(lx, ly, lz, tri_valid, sizes, offsets,
                                      light["projs"])
         th = scfg.atlas_tile_h or 128
         cap = max(64, (256 * th // 128) // 16 * 16)
