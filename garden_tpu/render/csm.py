@@ -270,15 +270,30 @@ def render_cascades(
     fy = cfg.atlas_foot_y or max(2, min(8, 256 // th))
     max_active = getattr(cfg, "max_active_tiles", None)
     with jax.named_scope("bin"):
+        # depth raster reduces per pixel order-independently, so the
+        # cascade pass qualifies for corner binning: ONE sorted entry per
+        # caster instead of foot*foot_y slot copies (the 4x-bigger slot
+        # sort was 2.2 ms/frame on the flagship atlas, round-5 trace).
+        # Falls back to slot binning for non-2x2 footprints.
+        corner = fy == 2
         sup_bins = act = None
         if max_active:
-            tiles, counts, big, act = raster.bin_triangles(
-                atlas_setup, atlas_w, atlas_h, 128, cap, foot=2,
-                tile_h=th, foot_y=fy, max_big=256, max_active=max_active)
+            if corner:
+                tiles, counts, big, act = raster.bin_triangles_corner(
+                    atlas_setup, atlas_w, atlas_h, 128, cap,
+                    tile_h=th, max_big=256, max_active=max_active)
+            else:
+                tiles, counts, big, act = raster.bin_triangles(
+                    atlas_setup, atlas_w, atlas_h, 128, cap, foot=2,
+                    tile_h=th, foot_y=fy, max_big=256,
+                    max_active=max_active)
             # 512 x (8 tile_h) px super-tiles for the big-caster lists
             sup_bins = raster.bin_big_supertiles(
                 atlas_setup, big, atlas_w, atlas_h, 128, th,
                 sup_x=4, sup_y=max(128 // th, 1), cap=64)
+        elif corner:
+            tiles, counts, big = raster.bin_triangles_corner(
+                atlas_setup, atlas_w, atlas_h, 128, cap, tile_h=th)
         else:
             tiles, counts, big = raster.bin_triangles(
                 atlas_setup, atlas_w, atlas_h, 128, cap, foot=2,

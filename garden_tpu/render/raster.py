@@ -255,18 +255,23 @@ def bin_triangles(
         packed = jnp.sort((key << tri_bits) | payload)
         key_sorted = packed >> (tri_bits + bkt_bits)
         pay_sorted = packed & ((1 << tri_bits) - 1)
-    else:  # huge scenes: variadic sort (no permutation gathers either)
+    else:  # huge scenes: variadic sort (no permutation gathers either);
+        # payload is a SECONDARY key so equal-key runs come out
+        # payload-ordered — the big-run striding below requires each big
+        # triangle's K copies consecutive (the packed path has this by
+        # construction)
         key_sorted, pay_sorted = jax.lax.sort(
-            (key, payload), num_keys=1)
+            (key, payload), num_keys=2)
         key_sorted = key_sorted >> bkt_bits
 
     # start/end of each tile's contiguous run: keys are integers and the
     # queries are consecutive, so side-right(i) == side-left(i+1) — ONE
-    # searchsorted of n_tiles+1 probes replaces the left+right pair
-    # (searchsorted lowers to a while-loop binary search; halving the probe
-    # set halved its ~2 ms/frame cascade-atlas cost)
-    probes = jnp.arange(n_tiles + 2, dtype=jnp.int32)
-    edges = jnp.searchsorted(key_sorted, probes, side="left")
+    # edge table of n_tiles+1 probes replaces the left+right pair, built
+    # by _run_edges' dense two-level count (jnp.searchsorted lowers to a
+    # while-loop binary search whose ~21 iterations are each a separate
+    # serial dispatch: 0.92 ms/frame on the cascade atlas in the round-5
+    # trace; the dense count is 4 fused ops)
+    edges = _run_edges(key_sorted, n_tiles + 2)
     start = edges[:n_tiles]
     end = edges[1:n_tiles + 1]
     big_run = (edges[n_tiles], edges[n_tiles + 1])
@@ -300,13 +305,194 @@ def bin_triangles(
     tile_tris = jnp.where(ok, tile_pay, -1)            # (tiles, C)
     counts = jnp.minimum(end - start, max_per_tile).astype(jnp.int32)
 
-    # big triangles: fixed global list, shared across tiles (top_k of the
-    # 0/1 rank is stable, so valid entries form a dense prefix)
+    # big triangles: fixed global list, shared across tiles — extracted
+    # from the reserved-key run of the SAME sort. Each big triangle holds
+    # K identical consecutive copies there (same packed key|payload), so
+    # striding by K yields each once, ascending (id order with no
+    # priority; back-to-front under `priority`, which is MORE correct for
+    # the ordered-blend consumers than the old id-ordered top_k list)
     max_big = min(max_big, t)
-    big_rank = jnp.where(big, 1, 0)
-    _, big_idx = jax.lax.top_k(big_rank, max_big)
-    big_ok = big[big_idx]
-    big_list = jnp.where(big_ok, big_idx.astype(jnp.int32), -1)  # (B,)
+    kk = FOOT * FOOT_Y
+    big_cnt = (big_run[1] - big_run[0]) // kk
+    pos = big_run[0] + jnp.arange(max_big, dtype=jnp.int32) * kk
+    big_pay = pay_sorted[jnp.clip(pos, 0, key.shape[0] - 1)]
+    if priority is not None:
+        big_pay = inv[jnp.clip(big_pay, 0, t - 1)]
+    big_list = jnp.where(jnp.arange(max_big) < big_cnt,
+                         big_pay.astype(jnp.int32), -1)      # (B,)
+    if max_active is not None:
+        return tile_tris, counts, big_list, act_ids
+    return tile_tris, counts, big_list
+
+
+def _run_edges(key_sorted: Array, n_probes: int) -> Array:
+    """searchsorted(key_sorted, arange(n_probes), side="left") as a dense
+    two-level count: edges[k] = #(entries < k).
+
+    jnp.searchsorted lowers to a while-loop binary search — ~21 serial
+    dispatches of tiny gathers (measured 0.92 ms/frame on the cascade
+    atlas alone, round-5 trace). Here: block maxima of the sorted keys
+    give each probe its boundary block with ONE dense compare+reduce,
+    then one (P, stride) row gather + a second compare+reduce finishes
+    the exact count inside that block — 4 fused VPU ops, no loops."""
+    n = key_sorted.shape[0]
+    stride = int(2 ** int(np.ceil(np.log2(max(np.sqrt(n), 2.0)))))
+    stride = max(128, min(stride, 8192))
+    pad = (-n) % stride
+    if pad:
+        key_p = jnp.concatenate(
+            [key_sorted,
+             jnp.full((pad,), jnp.iinfo(jnp.int32).max, key_sorted.dtype)])
+    else:
+        key_p = key_sorted
+    nb = key_p.shape[0] // stride
+    blocks = key_p.reshape(nb, stride)
+    probes = jnp.arange(n_probes, dtype=key_sorted.dtype)[:, None]
+    # blocks fully below the probe (block maxima are sorted too)
+    c = jnp.sum((blocks[:, -1][None, :] < probes).astype(jnp.int32), axis=1)
+    # exact count inside the boundary block (padded MAX entries never
+    # count; when c == nb the clip double-counts the last block but the
+    # base alone is already >= n, so the min() clamp restores exactness)
+    win = blocks[jnp.clip(c, 0, nb - 1)]                 # (P, stride)
+    edges = c * stride + jnp.sum((win < probes).astype(jnp.int32), axis=1)
+    return jnp.minimum(edges, n).astype(jnp.int32)
+
+
+def bin_triangles_corner(
+    setup: Dict[str, Array],
+    width: int,
+    height: int,
+    tile: int,
+    max_per_tile: int,
+    max_big: int = 64,
+    tile_h: int = None,
+    max_active: int = None,
+) -> Tuple[Array, ...]:
+    """bin_triangles for ORDER-FREE consumers (depth-only raster), at a
+    quarter of the sort cost: each small triangle is sorted ONCE by its
+    TOP-LEFT tile instead of emitting foot*foot_y=4 slot copies, and each
+    tile assembles its list from the 4 runs that can reach it (own,
+    left, up, up-left) with dense run arithmetic + one payload gather.
+
+    The footprint constraint is fixed at 2x2 tiles (the foot=2/foot_y=2
+    configuration every cascade pass uses); larger triangles ride the
+    shared big list exactly as in bin_triangles. Entries come out in
+    (run, id) order — NOT globally id-sorted — which is only legal for
+    consumers that reduce per pixel order-independently (rasterize_depth's
+    max). The cascade-atlas binning sort was 2.2 ms/frame at 1.48M slot
+    copies (round-5 trace); this sorts 370K.
+
+    Returns the same tuple shapes as bin_triangles (incl. the
+    max_active compacted form)."""
+    th = tile_h or tile
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // th)
+    n_tiles = tiles_x * tiles_y
+    t = setup["valid"].shape[0]
+
+    tx0 = jnp.clip(jnp.floor(setup["xmin"] / tile).astype(jnp.int32),
+                   0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(setup["xmax"] / tile).astype(jnp.int32),
+                   0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(setup["ymin"] / th).astype(jnp.int32),
+                   0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(setup["ymax"] / th).astype(jnp.int32),
+                   0, tiles_y - 1)
+    nx = tx1 - tx0 + 1
+    ny = ty1 - ty0 + 1
+    small = setup["valid"] & (nx <= 2) & (ny <= 2)
+    big = setup["valid"] & ~small
+
+    key = jnp.where(small, ty0 * tiles_x + tx0,
+                    jnp.where(big, n_tiles, n_tiles + 1))
+    tri_bits = max(int(np.ceil(np.log2(max(t, 2)))), 1)
+    key_bits = max(int(np.ceil(np.log2(n_tiles + 3))), 1)
+    ids = jnp.arange(t, dtype=jnp.int32)
+    if tri_bits + key_bits <= 31:
+        packed = jnp.sort((key << tri_bits) | ids)
+        key_sorted = packed >> tri_bits
+        pay_sorted = packed & ((1 << tri_bits) - 1)
+    else:
+        key_sorted, pay_sorted = jax.lax.sort((key, ids), num_keys=2)
+
+    edges = _run_edges(key_sorted, n_tiles + 2)
+    start = edges[:n_tiles]
+    length = edges[1:n_tiles + 1] - start
+    big_run = (edges[n_tiles], edges[n_tiles + 1])
+
+    # the 4 runs that can contribute to tile k: own (k), left (k-1, only
+    # when the tile is not in column 0), up (k-tiles_x), up-left; border
+    # runs are masked to zero length instead of wrapping
+    col0 = (jnp.arange(n_tiles, dtype=jnp.int32) % tiles_x) == 0
+    row0 = jnp.arange(n_tiles, dtype=jnp.int32) < tiles_x
+
+    def run(shift, dead):
+        s = jnp.roll(start, shift)
+        l = jnp.where(dead, 0, jnp.roll(length, shift))
+        return s, l
+
+    s0, l0 = start, length
+    s1, l1 = run(1, col0)
+    s2, l2 = run(tiles_x, row0)
+    s3, l3 = run(tiles_x + 1, row0 | col0)
+
+    if max_active is not None:
+        # activity by candidate upper bound (coverage filtering happens
+        # after the fetch; an overestimate only costs a wasted slot row)
+        a = min(max_active, n_tiles)
+        cnt_ub = l0 + l1 + l2 + l3
+        bits_t = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
+        cnt_c = jnp.minimum(cnt_ub, (1 << (30 - bits_t)) - 1)
+        packed_a = jnp.sort(
+            (cnt_c << bits_t) | jnp.arange(n_tiles, dtype=jnp.int32))
+        act_ids = (packed_a[::-1][:a] & ((1 << bits_t) - 1)).astype(jnp.int32)
+        pick = lambda x: x[act_ids]
+        s0, l0, s1, l1 = pick(s0), pick(l0), pick(s1), pick(l1)
+        s2, l2, s3, l3 = pick(s2), pick(l2), pick(s3), pick(l3)
+        rows = a
+    else:
+        rows = n_tiles
+
+    # slot j of a tile's list walks the concatenation of the 4 runs:
+    # dense 4-way select of (source position, required-footprint bits)
+    c1 = l0 + l1
+    c2 = c1 + l2
+    c3 = c2 + l3
+    j = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]   # (1, C)
+    in0 = j < l0[:, None]
+    in1 = (j >= l0[:, None]) & (j < c1[:, None])
+    in2 = (j >= c1[:, None]) & (j < c2[:, None])
+    in3 = (j >= c2[:, None]) & (j < c3[:, None])
+    src = jnp.where(
+        in0, s0[:, None] + j,
+        jnp.where(in1, s1[:, None] + (j - l0[:, None]),
+                  jnp.where(in2, s2[:, None] + (j - c1[:, None]),
+                            s3[:, None] + (j - c2[:, None]))))
+    any_run = in0 | in1 | in2 | in3
+    pay = pay_sorted[jnp.clip(src, 0, t - 1)]                # (rows, C)
+
+    # coverage filter: an entry fetched from the left/up/up-left run only
+    # covers this tile if its footprint extends right/down; footprint bits
+    # ride a tiny (T,) side table fetched by the same indices
+    fp = ((nx > 1).astype(jnp.int32)
+          | ((ny > 1).astype(jnp.int32) << 1))               # (T,)
+    fpe = fp[jnp.clip(pay, 0, t - 1)]                        # (rows, C)
+    need = (jnp.where(in1 | in3, 1, 0) | jnp.where(in2 | in3, 2, 0))
+    covered = any_run & ((fpe & need) == need)
+
+    # compact the holes (order-free consumers): ascending sort pushes
+    # dropped slots (sentinel INT_MAX) to the tail, then -1 them
+    slot_val = jnp.where(covered, pay, jnp.int32(2147483647))
+    slot_val = jnp.sort(slot_val, axis=1)
+    tile_tris = jnp.where(slot_val == 2147483647, -1, slot_val)
+    counts = jnp.sum(covered.astype(jnp.int32), axis=1)
+
+    max_big = min(max_big, t)
+    big_cnt = big_run[1] - big_run[0]
+    pos = big_run[0] + jnp.arange(max_big, dtype=jnp.int32)
+    big_pay = pay_sorted[jnp.clip(pos, 0, t - 1)]
+    big_list = jnp.where(jnp.arange(max_big) < big_cnt,
+                         big_pay.astype(jnp.int32), -1)
     if max_active is not None:
         return tile_tris, counts, big_list, act_ids
     return tile_tris, counts, big_list
@@ -369,8 +555,7 @@ def bin_big_supertiles(
         pay_sorted = packed & ((1 << tri_bits) - 1)
     else:
         key_sorted, pay_sorted = jax.lax.sort((key, payload), num_keys=1)
-    probes = jnp.arange(n_sup + 1, dtype=jnp.int32)
-    edges = jnp.searchsorted(key_sorted, probes, side="left")
+    edges = _run_edges(key_sorted, n_sup + 1)
     start = edges[:-1]
     end = edges[1:]
     take = jnp.arange(cap, dtype=jnp.int32)

@@ -298,3 +298,60 @@ def test_split_depth_matches_dense():
                                     tri_atlas=tri_atlas, tile_h=th,
                                     sup_bins=sup, act_ids=act)
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(split3))
+
+
+def test_corner_binning_matches_slot_binning_depth():
+    """bin_triangles_corner (one sorted entry per caster + 4-run list
+    assembly) must produce pixel-identical depth vs the slot-copy
+    bin_triangles on a mixed small/big scene — both dense and in the
+    compacted max_active form (the cascade-atlas production path)."""
+    rng = np.random.default_rng(23)
+    w, h, tile, th = 512, 256, 128, 16
+    n_small, n_big = 160, 5
+    cx = rng.uniform(0, 500, n_small).astype(np.float32)
+    cy = rng.uniform(0, 250, n_small).astype(np.float32)
+    sz = rng.uniform(3, 30, n_small).astype(np.float32)
+    bx = rng.uniform(0, 300, n_big).astype(np.float32)
+    by = rng.uniform(0, 150, n_big).astype(np.float32)
+    bs = rng.uniform(100, 400, n_big).astype(np.float32)
+    px = np.concatenate([cx, bx])
+    py = np.concatenate([cy, by])
+    ps = np.concatenate([sz, bs])
+    t = n_small + n_big
+    z = rng.uniform(0.1, 0.9, t).astype(np.float32)
+    sx = np.stack([px, px + ps, px], 0)
+    sy = np.stack([py, py, py + ps], 0)
+    valid = np.ones((t,), bool)
+    valid[::17] = False          # some culled casters in the stream
+    setup = {
+        "sx": jnp.asarray(sx), "sy": jnp.asarray(sy),
+        "z": jnp.asarray(np.stack([z, z, z], 0)),
+        "inv_area": jnp.asarray(1.0 / (ps * ps)),
+        "xmin": jnp.asarray(sx.min(0)), "xmax": jnp.asarray(sx.max(0)),
+        "ymin": jnp.asarray(sy.min(0)), "ymax": jnp.asarray(sy.max(0)),
+        "valid": jnp.asarray(valid),
+    }
+    tiles, counts, big = raster.bin_triangles(
+        setup, w, h, tile, 64, max_big=16, foot=2, tile_h=th, foot_y=2)
+    ref = raster.rasterize_depth(setup, tiles, counts, big, w, h, tile,
+                                 tile_h=th)
+    ctiles, ccounts, cbig = raster.bin_triangles_corner(
+        setup, w, h, tile, 64, max_big=16, tile_h=th)
+    np.testing.assert_array_equal(np.asarray(cbig), np.asarray(big))
+    out = raster.rasterize_depth(setup, ctiles, ccounts, cbig, w, h, tile,
+                                 tile_h=th)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    # per-tile candidate SETS match exactly (not just the rendered image)
+    ts = np.sort(np.asarray(tiles), axis=1)
+    cs = np.sort(np.asarray(ctiles), axis=1)
+    np.testing.assert_array_equal(ts, cs)
+    # compacted form with the split raster (production cascade path)
+    n_occ = int((np.asarray(ccounts) > 0).sum())
+    ctiles2, ccounts2, cbig2, act = raster.bin_triangles_corner(
+        setup, w, h, tile, 64, max_big=16, tile_h=th, max_active=n_occ + 2)
+    sup = raster.bin_big_supertiles(setup, cbig2, w, h, tile, th,
+                                    sup_x=2, sup_y=4, cap=16)
+    split = raster.rasterize_depth(setup, ctiles2, ccounts2, cbig2, w, h,
+                                   tile, tile_h=th, sup_bins=sup,
+                                   act_ids=act)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(split))
