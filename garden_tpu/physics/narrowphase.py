@@ -206,11 +206,15 @@ def capsule_box(pa, qa, ra, hha, pb, qb, half_b, margin):
 # -- box kernels --------------------------------------------------------------
 
 
-def _box_corners_world(p, q, half):
+def _box_corners_world(p, q, half, rot=None):
     """(..., 8, 3) world corners — explicit sign combination of the scaled
     box axes (a tiny batched matmul here runs at ~10 GB/s on the MXU; the
-    broadcasted VPU form is ~5x faster)."""
-    r = m3.quat_to_mat3(q)
+    broadcasted VPU form is ~5x faster).
+
+    rot: optional precomputed rotation (the dispatch precomputes it ONCE
+    per BODY and rides it in the pair record — per-pair quat math ran at
+    P = N*K rows, 9x the per-body row count)."""
+    r = m3.quat_to_mat3(q) if rot is None else rot
     ax = r[..., :, 0] * half[..., 0:1]          # (..., 3) scaled axes
     ay = r[..., :, 1] * half[..., 1:2]
     az = r[..., :, 2] * half[..., 2:3]
@@ -228,8 +232,8 @@ def _dot3(a, b):
             + a[..., 2] * b[..., 2])
 
 
-def box_plane(pa, qa, half_a, n_w, d_w, margin):
-    corners = _box_corners_world(pa, qa, half_a)  # (..., 8, 3)
+def box_plane(pa, qa, half_a, n_w, d_w, margin, ra=None):
+    corners = _box_corners_world(pa, qa, half_a, rot=ra)  # (..., 8, 3)
     s = _dot3(corners, n_w[..., None, :]) + d_w[..., None]
     pen = -s  # corner below plane -> positive
     marg = jnp.asarray(margin)[..., None]
@@ -298,7 +302,7 @@ def _take4_rows(x: Array, idx: Array) -> Array:
     return m3.gather_rows(x, idx)
 
 
-def box_box(pa, qa, half_a, pb, qb, half_b, margin):
+def box_box(pa, qa, half_a, pb, qb, half_b, margin, ra=None, rb=None):
     """Full-SAT box manifold: 6 face normals + 9 edge-cross axes.
 
     Minimal-overlap axis over all 15 separating-axis candidates (Jolt/Bullet
@@ -309,8 +313,10 @@ def box_box(pa, qa, half_a, pb, qb, half_b, margin):
     interpenetrated without it).
     """
     shape = pa.shape[:-1]
-    ra = m3.quat_to_mat3(qa)  # columns are A's axes
-    rb = m3.quat_to_mat3(qb)
+    if ra is None:
+        ra = m3.quat_to_mat3(qa)  # columns are A's axes
+    if rb is None:
+        rb = m3.quat_to_mat3(qb)
     d = pb - pa
 
     # candidate face axes: world-space face normals of A and B -> (..., 6, 3)
@@ -1138,6 +1144,10 @@ def generate_contacts(
     """
     body_margin = margin if (hasattr(margin, "ndim") and margin.ndim == 1
                              and margin.shape[0] == pos.shape[0]) else None
+    # NOTE: riding per-body quat_to_mat3 results (9 extra lanes) in this
+    # record was tried in round 5 and measured WORSE (collide 6.23 ->
+    # 6.62 ms/frame) — the wider rows slow the P-row gather more than the
+    # per-pair quat math costs; kernels recompute rotations from quats
     cols = [pos, quat, params, stype.astype(jnp.float32)[:, None]]
     if body_margin is not None:
         cols.append(body_margin[:, None])
@@ -1201,7 +1211,8 @@ def generate_contacts(
             lambda: sphere_plane(pa, prm_a[..., 0], n_w, d_w, margin))
     if have(sh.BOX):
         add((ta == sh.BOX) & (tb == sh.BOX),
-            lambda: box_box(pa, qa, prm_a[..., :3], pb, qb, prm_b[..., :3], margin))
+            lambda: box_box(pa, qa, prm_a[..., :3], pb, qb, prm_b[..., :3],
+                            margin))
     if have(sh.BOX, sh.CAPSULE):
         add((ta == sh.BOX) & (tb == sh.CAPSULE),
             lambda: _flip(capsule_box(pb, qb, prm_b[..., 0], prm_b[..., 1],

@@ -130,6 +130,10 @@ def solve_velocity(
          bodies["friction"][:, None], bodies["restitution"][:, None],
          bodies["linvel"], bodies["angvel"]],
         axis=1)                             # (N, 25)
+    # NOTE: the whole-record expand stays (materialized once): per-field
+    # lazy expands were tried in round 5 and measured WORSE (solve_velocity
+    # 3.32 -> 4.42 ms/frame) — the many broadcast consumers each re-read
+    # the (N, K, 25) gather output instead of one shared expansion
     par_tab = expand(body_tab[partner])     # (N, S, 25) the one gather
     pos_p = par_tab[..., 0:3]
     inv_mass_p = par_tab[..., 3]
@@ -149,18 +153,28 @@ def solve_velocity(
     inertia_own = inv_inertia_w[:, None]   # (N, 1, 3, 3) broadcast over slots
     angf_own = ang_factor[:, None, :]
 
+    def matvec3(m, v):
+        """Unrolled batched 3x3 matvec: the einsum form lowers to a
+        3-wide batched dot_general that forces layout copies on the
+        (N, S, 3, 3) operands (the same pathology as the render-side
+        einsums, see math3d one-hot notes)."""
+        return jnp.stack(
+            [m[..., i, 0] * v[..., 0] + m[..., i, 1] * v[..., 1]
+             + m[..., i, 2] * v[..., 2] for i in range(3)], axis=-1)
+
     def k_for(axis: Array) -> Array:
         """Effective mass denominator along a unit axis (with splitting)."""
         rx_o = jnp.cross(r_own, axis)
         rx_p = jnp.cross(r_par, axis)
-        ang_o = m3.einsum("nsij,nsj->nsi", jnp.broadcast_to(
-            inertia_own, inertia_par.shape), rx_o * angf_own)
-        ang_p = m3.einsum("nsij,nsj->nsi", inertia_par, rx_p * angf_par)
+        xo = rx_o * angf_own
+        xp = rx_p * angf_par
+        ang_o = matvec3(inertia_own, xo)
+        ang_p = matvec3(inertia_par, xp)
         k = (
             inv_mass[:, None] * split[:, None]
             + inv_mass_p * split_p
-            + m3.dot(rx_o * angf_own, ang_o) * split[:, None]
-            + m3.dot(rx_p * angf_par, ang_p) * split_p
+            + m3.dot(xo, ang_o) * split[:, None]
+            + m3.dot(xp, ang_p) * split_p
         )
         return jnp.maximum(k, 1e-9)
 
@@ -231,7 +245,7 @@ def solve_velocity(
         pass lambda * n with n pointing row->partner and we negate here)."""
         dlin = -jnp.sum(impulse, axis=1) * inv_mass[:, None] * lin_factor
         torque = -jnp.sum(jnp.cross(r_own, impulse), axis=1)
-        dang = m3.einsum("nij,nj->ni", inv_inertia_w, torque) * ang_factor
+        dang = matvec3(inv_inertia_w, torque) * ang_factor
         return linvel + dlin, angvel + dang
 
     def iteration(_, carry):

@@ -273,13 +273,13 @@ class DeferredRenderer:
         # on the MXU while the tile's records are in VMEM, replacing the
         # per-pixel record gather (the round-2 frame's hottest op)
         with scope("raster_shade"):
-            vis, attrs = raster.rasterize_visibility_shaded(
+            vis, gplanes = raster.rasterize_visibility_shaded(
                 setup, records, tiles_m, counts_m, big_m, w, h,
-                cfg.tile_size, tile_h=th)
+                cfg.tile_size, tile_h=th, gbuf=True)
         with scope("gbuffer"):
             g = gbuffer.shade_gbuffer(
                 vis, setup, scene, None, None,
-                constants=constants, attrs=attrs,
+                constants=constants, gplanes=gplanes,
                 with_velocity=cfg.use_velocity,
                 textures=scene.get("textures")
                 if self.scene_host.any_textured else None)

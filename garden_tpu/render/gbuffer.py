@@ -125,14 +125,60 @@ def shade_gbuffer(
     with_velocity: bool = False,
     textures: Optional[Array] = None,
     attrs: Optional[Array] = None,
+    gplanes: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Reconstruct per-pixel attributes -> G-buffer planes (H, W, C).
 
     attrs: optional (REC, H, W) per-pixel records already materialized by
     the fused raster (raster.rasterize_visibility_shaded) — skips the
-    per-pixel record gather entirely (the round-2 frame's hottest op)."""
+    per-pixel record gather entirely (the round-2 frame's hottest op).
+
+    gplanes: optional (18, H, W) FINISHED planes from the in-kernel
+    G-buffer path (raster.rasterize_visibility_shaded(gbuf=True)):
+    [normal3 | uv2 | base3 metallic roughness emissive3 reflectance |
+    tex | instance | velocity2]. The interpolation already happened in
+    VMEM; only texture sampling, position reconstruction and visibility
+    gating remain here."""
     tri = jnp.maximum(vis["tri_id"], 0)          # (H, W)
     visible = vis["tri_id"] >= 0
+
+    if gplanes is not None:
+        gp = lambda a, b: jnp.moveaxis(gplanes[a:b], 0, -1)
+        uv = gp(3, 5)
+        tex_id = gplanes[14].astype(jnp.int32)
+        base_color = gp(5, 8)
+        if textures is not None and textures.shape[0] > 0:
+            s = textures.shape[1]
+            uvw = uv - jnp.floor(uv)
+            tx = jnp.clip((uvw[..., 0] * s).astype(jnp.int32), 0, s - 1)
+            ty = jnp.clip((uvw[..., 1] * s).astype(jnp.int32), 0, s - 1)
+            flat = jnp.clip(tex_id, 0, textures.shape[0] - 1) * (s * s) \
+                + ty * s + tx
+            texel = textures.reshape(-1, 4)[flat]
+            base_color = jnp.where((tex_id >= 0)[..., None],
+                                   base_color * texel[..., :3], base_color)
+        if constants is not None:
+            position = reconstruct_position(vis["depth"], constants)
+            position = jnp.where(visible[..., None], position, 0.0)
+        else:
+            position = jnp.zeros(vis["depth"].shape + (3,), jnp.float32)
+        g = {
+            "visible": visible,
+            "depth": vis["depth"],
+            "position": position,
+            "normal": gp(0, 3),
+            "uv": uv,
+            "base_color": base_color,
+            "metallic": gplanes[8],
+            "roughness": gplanes[9],
+            "emissive": gp(10, 13),
+            "reflectance": gplanes[13],
+            "instance": jnp.where(visible,
+                                  gplanes[15].astype(jnp.int32), -1),
+        }
+        if with_velocity:
+            g["velocity"] = jnp.where(visible[..., None], gp(16, 18), 0.0)
+        return g
 
     if attrs is not None:
         # LAZY channel views of the (REC, H, W) attrs: a single

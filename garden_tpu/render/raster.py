@@ -827,11 +827,14 @@ def rasterize_visibility(
 
 
 
+GBUF_CH = 24  # in-kernel G-buffer plane count (see _raster_shade_kernel)
+
+
 def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
                          b0_ref, b1_ref, attrs_ref, depth_s, id_s, b0_s,
                          b1_s, slot_s,
                          *, tile: int, tiles_x: int, rec: int, chunk: int,
-                         tile_h: int = None):
+                         tile_h: int = None, gbuf: bool = False):
     """Visibility raster + in-VMEM record shading.
 
     Phase 1 (VPU): the tournament raster loop of `_raster_kernel`, extended
@@ -936,8 +939,58 @@ def _raster_shade_kernel(count_ref, data_ref, shade_ref, depth_ref, id_ref,
         onehot = (iota_c == sl).astype(jnp.float32)   # (C, chunk)
         part = jnp.dot(recs, onehot,
                        preferred_element_type=jnp.float32)  # (rec, chunk)
+        if not gbuf:
+            attrs_ref[:, pl.ds(ch * rows_per_chunk, rows_per_chunk), :] = \
+                part.reshape(rec, rows_per_chunk, tile)
+            continue
+        # phase 3 (gbuf mode): finish the G-buffer IN-KERNEL while the
+        # record chunk is in registers. Materializing the raw 40-channel
+        # attrs at 1080p wrote a 334 MB f32 buffer that every downstream
+        # fusion re-read (>1.3 GB HBM traffic + a 1.2 ms layout-convert
+        # copy, round-5 HLO/trace). The interpolation needs only b0/b1
+        # (scratch) and the pixel coords (iota), so the raw record never
+        # leaves VMEM; the output is GBUF_CH finished planes:
+        #   [0:3 normal | 3:5 uv | 5:14 material (base3, metallic,
+        #    roughness, emissive3, reflectance) | 14 tex | 15 instance |
+        #    16:18 velocity | 18:24 pad]
+        # Record layout: gbuffer.pack_triangle_records.
+        b0c = b0_s[0:1, pl.ds(ch * chunk, chunk)]     # (1, chunk)
+        b1c = b1_s[0:1, pl.ds(ch * chunk, chunk)]
+        b2c = 1.0 - b0c - b1c
+        vis_m = id_s[0:1, pl.ds(ch * chunk, chunk)] >= 0.0
+        r = lambda i: part[i:i + 1]                   # (1, chunk)
+        # perspective-correct weights from the riding inv_w (slots 32:35)
+        w0 = b0c * r(32)
+        w1 = b1c * r(33)
+        w2 = b2c * r(34)
+        inv_s = 1.0 / jnp.maximum(w0 + w1 + w2, 1e-12)
+        w0 = w0 * inv_s
+        w1 = w1 * inv_s
+        w2 = w2 * inv_s
+        nx = r(0) * w0 + r(3) * w1 + r(6) * w2
+        ny = r(1) * w0 + r(4) * w1 + r(7) * w2
+        nz = r(2) * w0 + r(5) * w1 + r(8) * w2
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-12))
+        u = r(9) * w0 + r(11) * w1 + r(13) * w2
+        v = r(10) * w0 + r(12) * w1 + r(14) * w2
+        # velocity uses SCREEN barycentrics (prev positions are affine in
+        # screen space; see gbuffer.shade_gbuffer velocity notes)
+        pxc = px[0:1, ch * chunk:(ch + 1) * chunk]
+        pyc = py[0:1, ch * chunk:(ch + 1) * chunk]
+        vel_x = pxc - (r(26) * b0c + r(28) * b1c + r(30) * b2c)
+        vel_y = pyc - (r(27) * b0c + r(29) * b1c + r(31) * b2c)
+        zero = jnp.zeros_like(u)
+        g_out = jnp.concatenate([
+            nx * inv_len, ny * inv_len, nz * inv_len,
+            u, v,
+            part[15:24],
+            r(24), r(25),
+            jnp.where(vis_m, vel_x, 0.0), jnp.where(vis_m, vel_y, 0.0),
+            zero, zero, zero, zero, zero, zero,
+        ], axis=0)                                    # (GBUF_CH, chunk)
         attrs_ref[:, pl.ds(ch * rows_per_chunk, rows_per_chunk), :] = \
-            part.reshape(rec, rows_per_chunk, tile)
+            g_out.reshape(GBUF_CH, rows_per_chunk, tile)
 
 
 def rasterize_visibility_shaded(
@@ -950,12 +1003,19 @@ def rasterize_visibility_shaded(
     height: int,
     tile: int,
     tile_h: int = None,
+    gbuf: bool = False,
 ) -> Tuple[Dict[str, Array], Array]:
     """Fused visibility raster + record shading.
 
     Returns (vis dict as rasterize_visibility, attrs (REC, H, W)) where
     attrs[:, y, x] is the winning triangle's shading record at each pixel
     (zeros where no triangle covers the pixel). See _raster_shade_kernel.
+
+    gbuf=True: phase 3 finishes the G-buffer in-kernel and attrs is the
+    (GBUF_CH, H, W) FINISHED plane block (normals normalized, uvs and
+    velocity interpolated — consume with gbuffer.shade_gbuffer(gplanes=))
+    instead of the raw record; the raw 40-channel per-pixel buffer
+    (334 MB at 1080p) never reaches HBM.
 
     The shared big list FOLDS into each tile's block as a prefix (slots
     [0, B)), so phase 2 runs ONE one-hot contraction over the combined
@@ -1006,10 +1066,11 @@ def rasterize_visibility_shaded(
     counts2d = counts.reshape(1, n_tiles)
     n_px = th * tile
     chunk = min(2048, n_px)
+    out_ch = GBUF_CH if gbuf else rec
 
     depth, tri_id, b0, b1, attrs = pl.pallas_call(
         functools.partial(_raster_shade_kernel, tile=tile, tiles_x=tiles_x,
-                          rec=rec, chunk=chunk, tile_h=th),
+                          rec=rec, chunk=chunk, tile_h=th, gbuf=gbuf),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n_tiles), lambda ty, tx: (0, 0),
@@ -1020,7 +1081,7 @@ def rasterize_visibility_shaded(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_block, out_block, out_block, out_block,
-                   pl.BlockSpec((rec, th, tile),
+                   pl.BlockSpec((out_ch, th, tile),
                                 lambda ty, tx: (0, ty, tx),
                                 memory_space=pltpu.VMEM)),
         out_shape=(
@@ -1028,7 +1089,7 @@ def rasterize_visibility_shaded(
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((rec, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((out_ch, h_pad, w_pad), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((1, n_px), jnp.float32)
                         for _ in range(5)],
@@ -1041,7 +1102,7 @@ def rasterize_visibility_shaded(
         "b0": b0[:height, :width],
         "b1": b1[:height, :width],
     }
-    return vis, attrs[:rec_w, :height, :width]
+    return vis, attrs[:(18 if gbuf else rec_w), :height, :width]
 
 
 def _blend_kernel(count_ref, bigcnt_ref, data_ref, big_ref, depth_ref,

@@ -355,3 +355,62 @@ def test_corner_binning_matches_slot_binning_depth():
                                    tile, tile_h=th, sup_bins=sup,
                                    act_ids=act)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(split))
+
+
+def test_gbuf_kernel_matches_attrs_path():
+    """rasterize_visibility_shaded(gbuf=True) (in-kernel G-buffer finish)
+    must reproduce shade_gbuffer's interpolation from the raw attrs path:
+    normals, uvs, materials, velocity, within fp tolerance."""
+    from garden_tpu.render import gbuffer
+
+    rng = np.random.default_rng(5)
+    n = 30
+    base = rng.uniform(-0.9, 0.9, (n, 2)).astype(np.float32)
+    d1 = rng.uniform(0.05, 0.5, (n, 2)).astype(np.float32)
+    rot = np.stack([-d1[:, 1], d1[:, 0]], -1)
+    p0, p1, p2 = base, base + d1, base + rot
+    zz = rng.uniform(0.2, 1.6, (n, 1)).astype(np.float32)
+    verts = []
+    for p in (p0, p1, p2):
+        verts.append(np.concatenate(
+            [p * 2.0, zz, np.full((n, 1), 2.0, np.float32)], -1))
+    clip = jnp.asarray(np.stack(verts, 1).reshape(n * 3, 4))
+    idx = jnp.arange(n * 3, dtype=jnp.int32).reshape(n, 3)
+    valid = jnp.ones((n,), bool)
+
+    setup = raster.setup_triangles(clip, idx, valid, W, H)
+    tiles, counts, big = raster.bin_triangles(setup, W, H, TILE, 64)
+
+    # full-width records with realistic fields (normals, uvs, materials,
+    # prev-screen, inv_w) — layout per gbuffer.pack_triangle_records
+    rec = np.zeros((n, 36), np.float32)
+    nrm = rng.normal(size=(n, 3, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    rec[:, 0:9] = nrm.reshape(n, 9)
+    rec[:, 9:15] = rng.uniform(0, 1, (n, 6))            # uvs
+    rec[:, 15:24] = rng.uniform(0, 1, (n, 9))           # material props
+    rec[:, 24] = -1.0                                   # untextured
+    rec[:, 25] = rng.integers(0, 7, n)                  # instance
+    rec[:, 26:32] = rng.uniform(0, 128, (n, 6))         # prev screen
+    rec[:, 32:35] = rng.uniform(0.4, 2.0, (n, 3))       # inv_w
+    recs = jnp.asarray(rec)
+
+    consts = {"inv_view_proj": jnp.eye(4)}
+    vis, attrs = raster.rasterize_visibility_shaded(
+        setup, recs, tiles, counts, big, W, H, TILE)
+    ref = gbuffer.shade_gbuffer(vis, setup, {}, None, None,
+                                constants=consts,
+                                attrs=attrs, with_velocity=True)
+    vis2, gplanes = raster.rasterize_visibility_shaded(
+        setup, recs, tiles, counts, big, W, H, TILE, gbuf=True)
+    out = gbuffer.shade_gbuffer(vis2, setup, {}, None, None,
+                                constants=consts,
+                                gplanes=gplanes, with_velocity=True)
+    np.testing.assert_array_equal(np.asarray(vis["tri_id"]),
+                                  np.asarray(vis2["tri_id"]))
+    for k in ("normal", "uv", "base_color", "metallic", "roughness",
+              "emissive", "reflectance", "velocity"):
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(out[k]),
+                                   atol=2e-5, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(ref["instance"]),
+                                  np.asarray(out["instance"]))
