@@ -32,9 +32,16 @@ def build_world(n: int = 10240) -> tuple:
     # ONE north-star physics workload: identical contact budget and solver
     # iterations to __graft_entry__._build (VERDICT round-2 weak #3 — the
     # bench and entry() used to measure differently-shaped workloads)
+    # 7 grid candidates + 1 global (the ground plane) = K=8 pairs total:
+    # the active budget covers every candidate, so collide takes the
+    # compaction-free path (world.collide notes) AND K stays a multiple
+    # of 8 — K=9 measured 12.1 ms/step vs 8.6 at K=8 (the odd K broke
+    # sublane tiling on every (N, K, d) gather/loop op: +69% on the
+    # solver-loop gather alone). Solver slot count (32) is identical to
+    # the former 8-of-9 compacted layout.
     cfg = PhysicsConfig(max_bodies=n, grid_dim=64, cell_size=2.0,
-                        max_contacts_per_body=8, solver_iterations=8,
-                        max_globals=1)  # one global (the ground plane)
+                        max_contacts_per_body=7, solver_iterations=8,
+                        max_globals=1, max_active_contacts=16)
     w = pw.PhysicsWorld(cfg)
     w.add_body(w.shapes.plane((0.0, 1.0, 0.0), 0.0), motion=pw.STATIC)
     box = w.shapes.box((0.45, 0.45, 0.45))

@@ -308,6 +308,27 @@ def collide(state: Dict[str, Any], config: PhysicsConfig,
     pair_ok = jnp.any(man["valid"].reshape(n, k, mp), axis=-1)  # (N, K)
     k_act = min(active_pair_budget(config), k)
     s_act = k_act * mp
+    if k_act >= k:
+        # FREE path: when the active budget covers every candidate pair,
+        # the candidate layout IS the solver layout — (n*k, mp, ...) ->
+        # (n, k*mp, ...) merges leading dims (a bitcast, no relayout), so
+        # the whole pack+top_k+one-hot compaction stage drops out
+        # (measured ~1.3 ms/step of lane-padded data movement at 245K
+        # pairs; every packed-record formulation tried was WORSE — lane
+        # concats/tiles of 4-lane columns are a relayout per operand).
+        # The north-star configs (bench.py / __graft_entry__) size
+        # max_active_contacts to take this path: strictly better manifold
+        # retention (nothing is ever dropped) AND faster.
+        s_all = k * mp
+        return {
+            "point": man["point"].reshape(n, s_all, 3),
+            "normal": normal.reshape(n, s_all, 3),
+            "pen": man["pen"].reshape(n, s_all),
+            "valid": man["valid"].reshape(n, s_all),
+            "pair_partner": cand_idx,              # (N, K)
+            "partner": jnp.broadcast_to(
+                cand_idx[:, :, None], (n, k, mp)).reshape(n, s_all),
+        }
     with scope("contact_compact"):
         rank = jnp.where(pair_ok,
                          k - jnp.arange(k, dtype=jnp.int32)[None, :], 0)

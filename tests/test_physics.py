@@ -815,3 +815,32 @@ def test_capsule_resting_on_box_edge():
     # settled on top of the box (radius above the top face), not fallen off
     assert 1.1 < pos[1, 1] < 1.3, pos[1]
     assert abs(pos[1, 0]) < 0.3 and abs(pos[1, 2]) < 0.3, pos[1]
+
+
+def test_compaction_free_path_matches_compacted():
+    """When max_active_contacts covers every candidate pair, collide takes
+    the compaction-free path (world.collide): the candidate layout is used
+    directly as the solver layout. With few contacts per body neither path
+    drops anything, so trajectories must match to float tolerance."""
+    base = dataclasses.replace(CFG, max_contacts_per_body=4, max_globals=1)
+    # 2*(4+1) = 10 >= 2*5 covers all 5 candidate pairs -> free path
+    free = dataclasses.replace(base, max_active_contacts=10)
+    # budget of 2 pairs < 5 candidates -> compacted path
+    compact = dataclasses.replace(base, max_active_contacts=4)
+
+    def trajectory(cfg):
+        w = make_world(cfg)
+        w.add_body(w.shapes.plane((0.0, 1.0, 0.0), 0.0), motion=pw.STATIC)
+        box = w.shapes.box((0.4, 0.4, 0.4))
+        sphere = w.shapes.sphere(0.4)
+        for i in range(3):
+            w.add_body(box if i % 2 == 0 else sphere,
+                       position=(0.05 * i, 0.45 + 0.95 * i, 0.0),
+                       friction=0.5, restitution=0.1)
+        types = w.shapes.present_types()
+        state = run_steps(w.device_state(), cfg, 120, types)
+        return np.asarray(state["bodies"]["pos"])
+
+    pos_free = trajectory(free)
+    pos_compact = trajectory(compact)
+    np.testing.assert_allclose(pos_free, pos_compact, atol=1e-4)
