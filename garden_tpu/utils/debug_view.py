@@ -183,4 +183,46 @@ def dump_debug_sheet(out: Dict, state: Optional[Dict], profiler,
     with open(os.path.join(directory, "stats.txt"), "w") as f:
         for k, v in report.items():
             f.write(f"[{k}]\n{v}\n\n")
+    write_html_index(directory)
     return report
+
+
+def write_html_index(directory: str, title: str = "garden-tpu debug") -> str:
+    """Self-contained index.html over a debug-dump directory: every PNG the
+    dumps produced plus stats.txt, viewable in any browser (the honest
+    80/20 of the reference's interactive editor inspectors, reference
+    layer 9 / editor/** — serve with `garden_tpu debugview <dir> --serve`).
+    Regenerable at any time from whatever files are present."""
+    pngs = sorted(f for f in os.listdir(directory) if f.endswith(".png"))
+    stats_path = os.path.join(directory, "stats.txt")
+    stats = ""
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = f.read()
+    cards = "\n".join(
+        f'<figure><img src="{p}" loading="lazy"/>'
+        f"<figcaption>{p}</figcaption></figure>" for p in pngs)
+    html = f"""<!doctype html>
+<html><head><meta charset="utf-8"><title>{title}</title><style>
+body {{ font: 14px system-ui; background: #14161a; color: #d7dae0;
+       margin: 2rem; }}
+h1 {{ font-size: 1.2rem; }}
+.grid {{ display: grid; grid-template-columns: repeat(auto-fill,
+         minmax(420px, 1fr)); gap: 1rem; }}
+figure {{ margin: 0; background: #1d2026; padding: .5rem;
+          border-radius: 8px; }}
+img {{ width: 100%; image-rendering: pixelated; border-radius: 4px; }}
+figcaption {{ color: #8b93a3; padding-top: .3rem; font-size: .85rem; }}
+pre {{ background: #1d2026; padding: 1rem; border-radius: 8px;
+      overflow-x: auto; }}
+</style></head><body>
+<h1>{title}</h1>
+<pre>{stats}</pre>
+<div class="grid">
+{cards}
+</div></body></html>
+"""
+    path = os.path.join(directory, "index.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -4,6 +4,8 @@ tools as argparse subcommands, SURVEY.md layer 10)."""
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from garden_tpu.cli import main
@@ -82,3 +84,30 @@ def test_scene_inspect(tmp_path, capsys):
     assert main(["scene", str(sc)]) == 0
     out = capsys.readouterr().out
     assert "2 entities" in out and "rigidbody" in out
+
+
+def test_debugview_index(tmp_path):
+    from garden_tpu.utils.debug_view import _save
+    _save(np.zeros((4, 4, 3), np.uint8), str(tmp_path / "a.png"))
+    (tmp_path / "stats.txt").write_text("[render]\n{'tris': 1}\n")
+    assert main(["debugview", str(tmp_path)]) == 0
+    html = (tmp_path / "index.html").read_text()
+    assert "a.png" in html and "tris" in html
+
+
+@pytest.mark.slow
+def test_scene_preview(tmp_path):
+    sc = tmp_path / "demo.scene"
+    sc.write_text(json.dumps({"entities": [
+        {"uid": 1, "transform": {"position": [0, 0, 0]},
+         "rigidbody": {"shapeType": "plane", "normal": [0, 1, 0],
+                       "distance": 0.0, "motionType": "static"}},
+        {"uid": 2, "transform": {"position": [0, 0.5, 0]},
+         "rigidbody": {"shapeType": "box", "halfExtent": [0.5, 0.5, 0.5]}},
+        {"uid": 3, "transform": {"position": [0.1, 1.5, 0.0]},
+         "rigidbody": {"shapeType": "sphere", "radius": 0.5}},
+    ]}))
+    out = tmp_path / "preview.png"
+    assert main(["scene", str(sc), "--preview", str(out), "--cpu",
+                 "--width", "256", "--height", "128"]) == 0
+    assert out.exists() and out.stat().st_size > 1000
