@@ -30,17 +30,27 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--worlds-per-device", type=int, default=4)
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (cpu = virtual mesh; tpu on real "
+                         "multi-chip hosts)")
     args = ap.parse_args()
 
+    # Platform selection mirrors tests/conftest.py: the axon plugin's
+    # sitecustomize force-sets jax_platforms at interpreter start
+    # (overriding the JAX_PLATFORMS env var), so the ONLY working override
+    # is jax.config.update AFTER import but BEFORE anything touches the
+    # backend — in particular no jax.default_backend()/jax.devices()
+    # queries may happen first (they finalize backend selection; the
+    # previous version of this script did exactly that and silently ran
+    # single-device). XLA_FLAGS is read lazily at backend init, so setting
+    # it here still takes effect.
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={args.devices}"
         ).strip()
     import jax
-
-    if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
-        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     devices = jax.devices()
@@ -105,9 +115,10 @@ def main():
     scene.add_instance(ground, material=mat)
     for i in range(8):
         scene.add_instance(cube, material=mat)
-    inst = jnp.stack([jnp.eye(4)] * 9)
-    inst = inst.at[1:, 1, 3].set(jnp.arange(8, dtype=jnp.float32) % 3 + 0.5)
-    inst = inst.at[1:, 0, 3].set(jnp.arange(8, dtype=jnp.float32) - 4.0)
+    # instance matrices sized to max_instances (the renderer's contract)
+    inst = jnp.stack([jnp.eye(4)] * 16)
+    inst = inst.at[1:9, 1, 3].set(jnp.arange(8, dtype=jnp.float32) % 3 + 0.5)
+    inst = inst.at[1:9, 0, 3].set(jnp.arange(8, dtype=jnp.float32) - 4.0)
     eye = jnp.array([0.0, 3.0, 8.0])
     view = m3.look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
     proj = m3.perspective_reverse_z(1.0, width / height, 0.1)
